@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query inventory maps 1:1 to SURVEY.md §2 operator families:
+  *  - CoreQueries  : scans/aggregates (S1, P1, A1-A6, A8, skew salting)
+  *  - JoinQueries  : J1 as-of, J2 range, J5 pair, J6 broadcast, O7 semi/anti
+  *  - WindowQueries: W1-W10 ordered per-entity analytics, A7 scan, A12 runs
+  *  - TextQueries  : dedup/fingerprint/langid/quality/jaccard (pipeline ops)
+  *  - VectorQueries: embedding cosine top-k + norms
+  *  - EngineQueries: MinHash/SimHash/LSH, image decode/PSNR, flagship
+  *    feature pipeline, lineage (no SQL oracle; ScalaTest-verified)
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query: the musif-analog feature pipeline (as-of join + lag +
+    * sessionize + windowed feature vectors) on a small synthesized
+    * image+caption table. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    pipeline.FeaturePipeline.runSynthetic(spark, 2000, 16)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
+      TextQueries.queries ++ VectorQueries.queries ++ EngineQueries.queries
+
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
+      TextQueries.oracles ++ VectorQueries.oracles
 }

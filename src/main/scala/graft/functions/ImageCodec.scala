@@ -1,0 +1,133 @@
+package graft.functions
+
+/** Deterministic toy image codec for the image+caption payload path.
+  *
+  * The container has no real image libraries, so per the build brief the
+  * *decode step* is a deterministic fake — but everything Spark-side
+  * (binary column, schema, expressions, PSNR verification, partition shape)
+  * is real. Format:
+  *
+  *   bytes = magic(4) ++ w(2, big-endian) ++ h(2, big-endian) ++ gray pixels (w*h)
+  *
+  * magic "GR01" = lossless ("png"-like); "GR02" = lossy ("jpg"-like,
+  * pixels quantized to step 4 -> worst-case error 2, PSNR ~= 47 dB, above
+  * the >=40 dB gate from BASELINE.json).
+  *
+  * All functions are pure and total on valid payloads; used from Catalyst
+  * expressions and UDFs.
+  */
+object ImageCodec {
+  val MagicLossless = "GR01"
+  val MagicLossy = "GR02"
+  val HeaderLen = 8
+
+  /** splitmix64 — deterministic per-pixel noise source. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def stringSeed(s: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    h
+  }
+
+  /** Deterministic pixel content: a smooth gradient + seeded noise, so
+    * brightness/contrast features are non-trivial. */
+  def pixelAt(seed: Long, x: Int, y: Int, w: Int, h: Int): Int = {
+    val grad = (x * 255 / math.max(1, w - 1) + y * 255 / math.max(1, h - 1)) / 2
+    val noise = (mix64(seed ^ (y.toLong * w + x)) & 0x3f).toInt - 32
+    math.max(0, math.min(255, grad + noise))
+  }
+
+  def encode(seed: Long, w: Int, h: Int, lossy: Boolean): Array[Byte] = {
+    val out = new Array[Byte](HeaderLen + w * h)
+    val magic = if (lossy) MagicLossy else MagicLossless
+    var i = 0
+    while (i < 4) { out(i) = magic.charAt(i).toByte; i += 1 }
+    out(4) = ((w >> 8) & 0xff).toByte; out(5) = (w & 0xff).toByte
+    out(6) = ((h >> 8) & 0xff).toByte; out(7) = (h & 0xff).toByte
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var p = pixelAt(seed, x, y, w, h)
+        if (lossy) p = math.min(255, (p & 0xfc) | 0x02) // quantize, step 4
+        out(HeaderLen + y * w + x) = p.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def width(bytes: Array[Byte]): Int =
+    ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
+  def height(bytes: Array[Byte]): Int =
+    ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+  def isLossy(bytes: Array[Byte]): Boolean =
+    bytes(0) == 'G' && bytes(1) == 'R' && bytes(2) == '0' && bytes(3) == '2'
+
+  /** Decode to int pixels [0,255]; null-safe callers guard length. */
+  def decode(bytes: Array[Byte]): Array[Int] = {
+    val n = bytes.length - HeaderLen
+    val px = new Array[Int](n)
+    var i = 0
+    while (i < n) { px(i) = bytes(HeaderLen + i) & 0xff; i += 1 }
+    px
+  }
+
+  /** PSNR in dB between two equally-sized payloads (infinity -> 99.0 cap so
+    * the column stays a plain double). */
+  def psnr(a: Array[Byte], b: Array[Byte]): Double = {
+    val pa = decode(a); val pb = decode(b)
+    require(pa.length == pb.length, "psnr: size mismatch")
+    var se = 0.0
+    var i = 0
+    while (i < pa.length) { val d = (pa(i) - pb(i)).toDouble; se += d * d; i += 1 }
+    val mse = se / pa.length
+    if (mse == 0.0) 99.0 else 20.0 * math.log10(255.0 / math.sqrt(mse))
+  }
+
+  def meanBrightness(bytes: Array[Byte]): Double = {
+    val px = decode(bytes)
+    if (px.isEmpty) 0.0 else px.map(_.toDouble).sum / px.length
+  }
+
+  /** Nearest-neighbor resize to (nw, nh); returns a lossless payload. */
+  def resize(bytes: Array[Byte], nw: Int, nh: Int): Array[Byte] = {
+    val w = width(bytes); val h = height(bytes)
+    val px = decode(bytes)
+    val out = new Array[Byte](HeaderLen + nw * nh)
+    var i = 0
+    while (i < 4) { out(i) = MagicLossless.charAt(i).toByte; i += 1 }
+    out(4) = ((nw >> 8) & 0xff).toByte; out(5) = (nw & 0xff).toByte
+    out(6) = ((nh >> 8) & 0xff).toByte; out(7) = (nh & 0xff).toByte
+    var y = 0
+    while (y < nh) {
+      val sy = math.min(h - 1, y * h / nh)
+      var x = 0
+      while (x < nw) {
+        val sx = math.min(w - 1, x * w / nw)
+        out(HeaderLen + y * nw + x) = px(sy * w + sx).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 16-bin intensity histogram (normalized shares). */
+  def intensityHistogram(bytes: Array[Byte]): Array[Double] = {
+    val px = decode(bytes)
+    val bins = new Array[Double](16)
+    var i = 0
+    while (i < px.length) { bins(px(i) >> 4) += 1.0; i += 1 }
+    if (px.nonEmpty) { var b = 0; while (b < 16) { bins(b) /= px.length; b += 1 } }
+    bins
+  }
+}

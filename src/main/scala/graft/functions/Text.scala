@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup primitives for the training-data pipeline layer:
+  * normalization, fingerprinting, token counting, language-ID heuristic,
+  * quality scoring, MinHash/SimHash signatures.
+  *
+  * Everything SQL-expressible is built from codegen'd built-ins with an
+  * exactly-matching DuckDB formulation (driver oracle); only the signature
+  * functions (MinHash/SimHash) use deterministic Scala UDFs — they are
+  * per-row (no shuffle) and verified by ScalaTest instead.
+  */
+object Text {
+
+  /** lower + trim + whitespace collapse; the canonical form every other
+    * function operates on. DuckDB: regexp_replace(lower(trim(t)), '\s+', ' ', 'g') */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Stable document fingerprint = md5 of the normalized text (md5 hex is
+    * identical in Spark and DuckDB). */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Whitespace token count over normalized text. */
+  def tokenCount(c: Column): Column = {
+    val n = normText(c)
+    when(length(n) === 0, 0).otherwise(size(split(n, " ")))
+  }
+
+  /** Occurrences of `word` as a whole token inside normalized text
+    * (replace-length trick — regex-free, byte-identical in DuckDB). */
+  def tokenOccurrences(norm: Column, word: String): Column = {
+    val padded = concat(lit(" "), norm, lit(" "))
+    val needle = s" $word "
+    // overlapping " w1 w2 " needles don't occur for single words
+    ((length(padded) - length(expr_replace(padded, needle))) / needle.length).cast("int")
+  }
+
+  private def expr_replace(c: Column, needle: String): Column =
+    call_function("replace", c, lit(needle), lit(""))
+
+  /** Marker-word language scores; deterministic argmax with fixed precedence
+    * en > de > fr > unknown. */
+  val EnMarkers = Seq("the", "and", "a", "of")
+  val DeMarkers = Seq("der", "und", "die", "das")
+  val FrMarkers = Seq("le", "la", "et", "les")
+
+  def langScore(norm: Column, markers: Seq[String]): Column =
+    markers.map(tokenOccurrences(norm, _)).reduce(_ + _)
+
+  def langId(c: Column): Column = {
+    val n = normText(c)
+    val en = langScore(n, EnMarkers)
+    val de = langScore(n, DeMarkers)
+    val fr = langScore(n, FrMarkers)
+    when(en === 0 && de === 0 && fr === 0, "und")
+      .when(en >= de && en >= fr, "en")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** Heuristic quality score in [0,1]: length saturation + lexical
+    * diversity + mean token length saturation. */
+  def qualityScore(c: Column): Column = {
+    val n = normText(c)
+    val toks = tokenCount(c).cast("double")
+    val distinctToks = size(array_distinct(split(n, " "))).cast("double")
+    val avgTokLen = (length(n) - (toks - 1)) / toks
+    val lenScore = least(lit(1.0), toks / 100.0)
+    val divScore = Stats.safeDivD(distinctToks, toks)
+    val tokLenScore = least(lit(1.0), avgTokLen / 8.0)
+    when(toks === 0, 0.0)
+      .otherwise(lit(0.4) * lenScore + lit(0.3) * divScore + lit(0.3) * tokLenScore)
+  }
+
+  /** Stopword ratio (en markers / tokens). */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokenCount(c).cast("double")
+    Stats.safeDivD(langScore(normText(c), EnMarkers).cast("double"), toks)
+  }
+
+  private object Stats {
+    def safeDivD(num: Column, den: Column): Column =
+      when(den =!= 0 && den.isNotNull, num / den).otherwise(lit(0.0))
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Deterministic polynomial hash of a string (engine-internal; verified by
+    * ScalaTest, not a DuckDB oracle). */
+  def polyHash(s: String): Long = {
+    var h = 1469598103934665603L
+    var i = 0
+    while (i < s.length) { h = (h ^ s.charAt(i)) * 1099511628211L; i += 1 }
+    h
+  }
+
+  final val MinHashK = 16
+  final val MinHashBands = 4 // 4 rows per band
+
+  /** MinHash signature of the `shingleLen`-char shingle set of normalized
+    * text; k universal-hash permutations h_i(x) = a_i*x + b_i (odd a). */
+  def minHashSignature(norm: String, shingleLen: Int = 5, k: Int = MinHashK): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (norm.length >= shingleLen) {
+      var i = 0
+      while (i <= norm.length - shingleLen) {
+        val x = polyHash(norm.substring(i, i + shingleLen))
+        var j = 0
+        while (j < k) {
+          val a = ImageCodec.mix64(2 * j + 1) | 1L
+          val b = ImageCodec.mix64(1000 + j)
+          val v = a * x + b
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** LSH band buckets from a signature: one bucket id per band (hash of the
+    * band's rows). Docs sharing ANY bucket are near-dup candidates. */
+  def lshBuckets(sig: Array[Long], bands: Int = MinHashBands): Array[Long] = {
+    val rows = sig.length / bands
+    Array.tabulate(bands) { b =>
+      var h = 1125899906842597L ^ b
+      var r = 0
+      while (r < rows) { h = h * 31 + sig(b * rows + r); r += 1 }
+      h
+    }
+  }
+
+  /** 64-bit SimHash over whitespace tokens of normalized text. */
+  def simHash64(norm: String): Long = {
+    val votes = new Array[Int](64)
+    if (norm.nonEmpty) {
+      norm.split(" ").foreach { t =>
+        val h = polyHash(t)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  val minhashUdf = udf { (t: String) => minHashSignature(if (t == null) "" else t) }
+  val lshBucketsUdf = udf { (sig: Seq[Long]) => lshBuckets(sig.toArray) }
+  val simhashUdf = udf { (t: String) => simHash64(if (t == null) "" else t) }
+  val hammingUdf = udf { (a: Long, b: Long) => hamming64(a, b) }
+}

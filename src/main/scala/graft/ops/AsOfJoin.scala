@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: for each probe row, attach the payload of the
+  * most recent build row with `build.ts <= probe.ts` for the same entity —
+  * zero temporal leakage by construction (the `<=` bound).
+  *
+  * Reference semantics: musif assigns each note the harmonic label of the
+  * latest annotation at-or-before the note's beat
+  * (`/root/reference/musif/extract/features/scale_relative/utils.py:47-73,100-135`).
+  *
+  * Spark-first formulation: union both sides tagged by kind, then
+  * `last(payload, ignoreNulls) OVER (PARTITION BY entity ORDER BY ts, kind
+  * ROWS UNBOUNDED PRECEDING)`. Build rows sort *before* probe rows at equal
+  * ts (kind 0 < 1) so a label exactly at the probe ts is visible (`<=`, not
+  * `<`). Cost shape is identical to a sort-merge join: ONE hash shuffle of
+  * both sides by entity + one sort within partitions — no broadcast of
+  * history, no range explosion, scales linearly with input at any entity
+  * cardinality. Skewed entities are bounded by per-entity history length,
+  * not by join fan-out (the window is a streaming scan within a partition).
+  */
+object AsOfJoin {
+
+  /** @param probe        left/event side; all its columns are preserved
+    * @param build        right/label side (sparse history)
+    * @param entityCol    equi-key present on both sides
+    * @param probeTs      event-time column on the probe side
+    * @param buildTs      event-time column on the build side
+    * @param payloadCols  build-side columns to attach (null when no label at
+    *                     or before the probe ts exists — left-join semantics)
+    * @param dedupeLatest when true, ties in (entity, buildTs) on the build
+    *                     side are resolved deterministically by keeping the
+    *                     row that is max by payload struct ordering
+    */
+  def asOf(
+      probe: DataFrame,
+      build: DataFrame,
+      entityCol: String,
+      probeTs: String,
+      buildTs: String,
+      payloadCols: Seq[String],
+      dedupeLatest: Boolean = true): DataFrame = {
+
+    val probeCols = probe.columns.toSeq
+
+    val buildSel = build.select(
+      col(entityCol).cast(probe.schema(entityCol).dataType).as("__entity"),
+      col(buildTs).as("__ts"),
+      struct(payloadCols.map(col): _*).as("__payload"))
+
+    // Deterministic tie-break among duplicate (entity, ts) labels: keep the
+    // max payload struct (DuckDB ASOF oracle gets the same dedupe in a CTE).
+    val buildDeduped =
+      if (dedupeLatest)
+        buildSel
+          .groupBy(col("__entity"), col("__ts"))
+          .agg(max(col("__payload")).as("__payload"))
+      else buildSel
+
+    val payloadType = buildDeduped.schema("__payload").dataType
+
+    val probeSide = probe.select(
+      col(entityCol).as("__entity") +:
+        col(probeTs).as("__ts") +:
+        lit(1).as("__kind") +:
+        lit(null).cast(payloadType).as("__payload") +:
+        probeCols.map(col): _*)
+
+    val buildSide = buildDeduped.select(
+      col("__entity") +:
+        col("__ts") +:
+        lit(0).as("__kind") +:
+        col("__payload") +:
+        probeCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
+
+    val unioned = probeSide.unionByName(buildSide)
+
+    val w = Window
+      .partitionBy(col("__entity"))
+      .orderBy(col("__ts"), col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = unioned
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__kind") === 1)
+
+    val out = probeCols.map(col) ++
+      payloadCols.map(c => col(s"__asof.$c").as(c))
+    filled.select(out: _*)
+  }
+}

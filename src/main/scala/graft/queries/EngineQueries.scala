@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ImageFunctions, Text, Vectors}
+import graft.pipeline.{FeaturePipeline, Lineage}
+import graft.sources.SynthImages
+import Q._
+
+/** Engine-only operators (no SQL oracle — driver records rows-only; deep
+  * verification lives in ScalaTest): MinHash/LSH near-dup, SimHash, image
+  * decode/fidelity/features over the synthesized input_hint table, the
+  * flagship feature pipeline, lineage, LSH ANN. */
+object EngineQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+    // MinHash signatures + LSH band buckets per document
+    "q50_minhash_signatures" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("sig", Text.minhashUdf(Text.normText(col("text"))))
+        .withColumn("buckets", Text.lshBucketsUdf(col("sig")))
+        .select(col("doc_id"), col("sig").getItem(0).as("minhash_0"),
+          col("sig").getItem(1).as("minhash_1"),
+          col("buckets").getItem(0).as("bucket_0"),
+          col("buckets").getItem(1).as("bucket_1"))
+    }),
+
+    // LSH near-dup candidate pairs with injected duplicates (deterministic):
+    // every doc_id % 25 == 0 gets a near-copy; candidates = same LSH bucket,
+    // verified by estimated jaccard (matching minhash fraction)
+    "q51_near_dup_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dups = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" near duplicate suffix")).as("text"))
+      val all = docs.unionByName(dups)
+        .withColumn("sig", Text.minhashUdf(Text.normText(col("text"))))
+        .withColumn("bucket", explode(Text.lshBucketsUdf(col("sig"))))
+      val a = all.select(col("bucket"), col("doc_id").as("d1"), col("sig").as("s1"))
+      val b = all.select(col("bucket"), col("doc_id").as("d2"), col("sig").as("s2"))
+      a.join(b, Seq("bucket"))
+        .where(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          (size(filter(zip_with(col("s1"), col("s2"), _ === _), x => x))
+            .cast("double") / Text.MinHashK).as("est_jaccard"))
+        .distinct()
+        .where(col("est_jaccard") >= 0.5)
+    }),
+
+    // SimHash fingerprints + hamming distance to the injected near-copy
+    "q52_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("simhash", Text.simhashUdf(Text.normText(col("text"))))
+      val dups = t(s, dir, "documents").where(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id"),
+          Text.simhashUdf(Text.normText(concat(col("text"), lit(" tail")))).as("dup_simhash"))
+      docs.join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("simhash"),
+          when(col("dup_simhash").isNotNull,
+            Text.hammingUdf(col("simhash"), col("dup_simhash"))).as("hamming_to_dup"))
+    }),
+
+    // Image decode + per-image features over the synthesized input table
+    "q53_image_features" -> ((s, dir) => {
+      SynthImages.images(s, 2000, 64)
+        .withColumn("pixels", ImageFunctions.decode_image(col("bytes")))
+        .withColumn("hist", ImageFunctions.intensity_histogram(col("bytes")))
+        .select(col("image_id"), col("phash"), col("fmt"), col("w"), col("h"),
+          size(col("pixels")).as("n_pixels"),
+          r6(ImageFunctions.mean_brightness(col("bytes"))).as("brightness"),
+          r6(col("hist").getItem(0)).as("hist_lo"),
+          r6(col("hist").getItem(15)).as("hist_hi"),
+          Text.tokenCount(col("caption")).as("caption_tokens"))
+    }),
+
+    // Payload fidelity: PSNR between lossless ground truth and the stored
+    // payload (>= 40 dB gate for lossy fmt), plus resize plumbing
+    "q54_payload_fidelity" -> ((s, dir) => {
+      val enc = udf { (id: Long, w: Int, h: Int) =>
+        graft.functions.ImageCodec.encode(
+          graft.functions.ImageCodec.mix64(id * 0x9e37L + 7L), w, h, lossy = false)
+      }
+      SynthImages.images(s, 500, 16)
+        .withColumn("__id", expr("CAST(substr(image_id, 4) AS LONG)"))
+        .withColumn("truth", enc(col("__id"), col("w"), col("h")))
+        .select(col("image_id"), col("fmt"),
+          r6(ImageFunctions.psnr(col("truth"), col("bytes"))).as("psnr_db"),
+          length(ImageFunctions.resize_image(col("bytes"), lit(8), lit(8))).as("resized_len"))
+    }),
+
+    // Flagship: per-entity x window feature vectors with as-of labels
+    "q55_flagship_features" -> ((s, dir) =>
+      FeaturePipeline.runSynthetic(s, 20000, 64)),
+
+    // Lineage rows over the flagship output
+    "q56_lineage" -> ((s, dir) =>
+      Lineage.compute(FeaturePipeline.runSynthetic(s, 20000, 64),
+        "entity", "window_start", 32)),
+
+    // ANN via sign-LSH buckets (scale path vs q40's exact baseline)
+    "q57_lsh_topk" -> ((s, dir) => {
+      Vectors.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 5, nPlanes = 8, dim = 64)
+        .where(col("query_id") < 50)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), r6(col("cos")).as("cos"))
+    }))
+
+  val oracles: Map[String, String] = Map.empty
+}

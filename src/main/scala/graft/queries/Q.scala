@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the driver-facing query battery.
+  *
+  * Oracle-parity conventions (Spark vs DuckDB on identical parquet):
+  *  - every aggregate/computed column is aliased identically on both sides;
+  *  - double aggregates are rounded (6 dp for stats, 2 dp for large sums) to
+  *    absorb summation-order differences;
+  *  - counts are cast to BIGINT on both sides (DuckDB sum(int) is HUGEINT);
+  *  - seconds come from Spark `unix_timestamp` == DuckDB
+  *    `date_diff('second', TIMESTAMP '1970-01-01', ts)` (both floor).
+  */
+object Q {
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Rounding with a tie-breaking epsilon: Spark rounds doubles via exact
+    * BigDecimal HALF_UP while DuckDB multiplies by 10^d in double space, so
+    * values that are EXACT decimal ties (e.g. avg = 44.7590625) round
+    * differently. The epsilon (applied identically in the oracle SQL) moves
+    * data-produced ties off the boundary; engine-level value differences are
+    * ~1e-12 so the shifted boundary is still safe. */
+  final val TieEps = 3.7e-10
+  def r6(c: Column): Column = round(c + lit(TieEps), 6)
+  def r4(c: Column): Column = round(c + lit(TieEps), 4)
+  def r2(c: Column): Column = round(c + lit(TieEps), 2)
+
+  /** DuckDB-side epoch-seconds (floored), matching Spark unix_timestamp. */
+  def sqlEpoch(col: String): String =
+    s"date_diff('second', TIMESTAMP '1970-01-01', $col)"
+
+  /** DuckDB-side normalized text, matching graft.functions.Text.normText. */
+  def sqlNorm(col: String): String =
+    s"regexp_replace(lower(trim($col)), '\\s+', ' ', 'g')"
+}

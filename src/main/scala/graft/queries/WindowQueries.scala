@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{Stats, WindowOps}
+import Q._
+
+/** Ordered per-entity analytics family (SURVEY.md §2.5): lag/lead intervals,
+  * backfill, sessionization, rolling means, diff chains, run-length
+  * segmentation, sliding/tumbling windows, ordered scans, positional ranks. */
+object WindowQueries {
+
+  private val entOrder = Seq("ts", "event_id") // total order within user
+
+  val queries: Map[String, QueryFn] = Map(
+    // W1: lag-derived interval (melodic-interval analog), row-level
+    "q20_lag_delta" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("delta", r6(col("value") - lag(col("value"), 1).over(w)))
+        .select(col("event_id"), col("user_id"), r6(col("value")).as("value"), col("delta"))
+    }),
+
+    // W3: bounded-preceding backfill (last_value ignore nulls)
+    "q21_backfill" -> ((s, dir) => {
+      val sparse = t(s, dir, "events")
+        .withColumn("v_sparse",
+          when(col("event_type").isin("click", "purchase"), col("value")))
+      WindowOps.backfill(sparse, Seq("user_id"), entOrder, Seq("v_sparse"))
+        .select(col("event_id"), col("user_id"), r6(col("v_sparse_filled")).as("v_filled"))
+    }),
+
+    // W4: gap-based sessionization (30 min) + per-session aggregates
+    "q22_sessionize" -> ((s, dir) => {
+      WindowOps.sessionize(t(s, dir, "events"), Seq("user_id"), "ts", 1800L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          r4(sum(col("value"))).as("sum_value"),
+          (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts")))).as("duration_sec"))
+    }),
+
+    // W5: centered rolling mean (+-2 rows)
+    "q23_rolling_mean" -> ((s, dir) => {
+      WindowOps.rollingMean(t(s, dir, "events"), Seq("user_id"), entOrder, "value", 2, "rmean")
+        .select(col("event_id"), col("user_id"), r6(col("rmean")).as("rmean"))
+    }),
+
+    // W7: diff chains (speed/acceleration analog)
+    "q24_diff_chain" -> ((s, dir) => {
+      WindowOps.diffChain(t(s, dir, "events"), Seq("user_id"), entOrder, "value")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          r6(avg(abs(col("speed")))).as("avg_abs_speed"),
+          r6(avg(abs(col("accel")))).as("avg_abs_accel"))
+    }),
+
+    // W9: consecutive-duplicate compression -> run counts
+    "q25_compress" -> ((s, dir) => {
+      WindowOps.compressRuns(t(s, dir, "events"), Seq("user_id"), entOrder, "event_type")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_runs"))
+    }),
+
+    // A12/W4: run-length key areas — per (entity, key): segment count,
+    // segment share ("modulatory" analog), mean run length
+    "q26_run_segments" -> ((s, dir) => {
+      val seg = WindowOps.runLength(t(s, dir, "events"), Seq("user_id"), entOrder, "event_type")
+      val perSeg = seg.groupBy(col("user_id"), col("event_type"), col("segment_id"))
+        .agg(count(lit(1)).as("seg_len"))
+      val perKey = perSeg.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_segments"), avg(col("seg_len")).as("avg_run_len"))
+      val tot = perSeg.groupBy(col("user_id")).agg(count(lit(1)).as("nseg_total"))
+      perKey.join(tot, Seq("user_id"))
+        .select(col("user_id"), col("event_type"), col("n_segments"),
+          r6(col("n_segments").cast("double") / col("nseg_total")).as("seg_share"),
+          r6(col("avg_run_len")).as("avg_run_len"))
+    }),
+
+    // W2 (time axis): tumbling event-time windows — the streaming-shaped op
+    "q27_tumbling" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), window(col("ts"), "6 hours").getField("start").as("wstart"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_value"))
+        .select(col("user_id"), unix_timestamp(col("wstart")).as("wstart_sec"),
+          col("n"), col("sum_value"))
+    }),
+
+    // W2 (row axis): musif sliding measure-windows, size 10 / overlap 5
+    "q28_sliding_measure" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val seq = t(s, dir, "events")
+        .withColumn("rn0", (row_number().over(w) - 1).cast("long"))
+      WindowOps.slidingWindowIds(seq, "rn0", size = 10, overlap = 5)
+        .groupBy(col("user_id"), col("window_id"))
+        .agg(count(lit(1)).as("n"), r6(avg(col("value"))).as("avg_value"))
+    }),
+
+    // W8/W10: first-pick + positional rank of firsts
+    "q29_first_rank" -> ((s, dir) => {
+      val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val firsts = t(s, dir, "events")
+        .withColumn("rn", row_number().over(wFirst)).where(col("rn") === 1)
+      val wPos = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      firsts.withColumn("pos", row_number().over(wPos).cast("long"))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("pos"))
+    }),
+
+    // A7: dynamics-style ordered scan — gradient + duration-weighted mean
+    "q30_weighted_scan" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e = t(s, dir, "events")
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .withColumn("dt",
+          unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+        .withColumn("dur_next",
+          unix_timestamp(lead(col("ts"), 1).over(w)) - unix_timestamp(col("ts")))
+        .withColumn("grad", abs(col("value") - col("prev_v")) / greatest(col("dt"), lit(1L)))
+      e.groupBy(col("user_id"))
+        .agg(
+          r6(avg(col("grad"))).as("dyn_grad"),
+          r6(Stats.safeDiv(sum(col("value") * col("dur_next")), sum(col("dur_next")))).as("dyn_mean_weighted"),
+          r6(avg(col("value"))).as("dyn_mean"))
+    }))
+
+  private val sqlW = "PARTITION BY user_id ORDER BY ts, event_id"
+
+  val oracles: Map[String, String] = Map(
+    "q20_lag_delta" ->
+      s"""SELECT event_id, user_id, round(value, 6) AS value,
+         | round(value - lag(value) OVER ($sqlW) + 3.7e-10, 6) AS delta
+         |FROM events""".stripMargin,
+
+    "q21_backfill" ->
+      s"""SELECT event_id, user_id,
+         | round(last_value(CASE WHEN event_type IN ('click','purchase') THEN value END
+         |   IGNORE NULLS) OVER ($sqlW ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 3.7e-10, 6)
+         |   AS v_filled
+         |FROM events""".stripMargin,
+
+    "q22_sessionize" ->
+      s"""WITH flagged AS (
+         | SELECT user_id, ts, value,
+         |  CASE WHEN lag(ts) OVER ($sqlW) IS NULL
+         |    OR ${sqlEpoch("ts")} - ${sqlEpoch(s"lag(ts) OVER ($sqlW)")} > 1800
+         |   THEN 1 ELSE 0 END AS is_new
+         | FROM events),
+         |sess AS (
+         | SELECT user_id, ts, value,
+         |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+         | FROM flagged)
+         |SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events,
+         | round(sum(value) + 3.7e-10, 4) AS sum_value,
+         | (max(${sqlEpoch("ts")}) - min(${sqlEpoch("ts")}))::BIGINT AS duration_sec
+         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "q23_rolling_mean" ->
+      s"""SELECT event_id, user_id,
+         | round(avg(value) OVER ($sqlW ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) + 3.7e-10, 6) AS rmean
+         |FROM events""".stripMargin,
+
+    "q24_diff_chain" ->
+      s"""WITH d AS (
+         | SELECT user_id, (value - lag(value) OVER ($sqlW)) / 1.0 AS speed, ts, event_id
+         | FROM events),
+         |d2 AS (
+         | SELECT user_id, speed, (speed - lag(speed) OVER ($sqlW)) / 1.0 AS accel
+         | FROM d)
+         |SELECT user_id, count(*)::BIGINT AS n,
+         | round(avg(abs(speed)) + 3.7e-10, 6) AS avg_abs_speed,
+         | round(avg(abs(accel)) + 3.7e-10, 6) AS avg_abs_accel
+         |FROM d2 GROUP BY user_id""".stripMargin,
+
+    "q25_compress" ->
+      s"""SELECT user_id, count(*)::BIGINT AS n_runs FROM (
+         | SELECT user_id,
+         |  CASE WHEN lag(event_type) OVER ($sqlW) IS NULL
+         |    OR lag(event_type) OVER ($sqlW) <> event_type THEN 1 ELSE 0 END AS flag
+         | FROM events)
+         |WHERE flag = 1 GROUP BY user_id""".stripMargin,
+
+    "q26_run_segments" ->
+      s"""WITH flagged AS (
+         | SELECT user_id, event_type, ts, event_id,
+         |  CASE WHEN lag(event_type) OVER ($sqlW) IS NULL
+         |    OR lag(event_type) OVER ($sqlW) <> event_type THEN 1 ELSE 0 END AS chg
+         | FROM events),
+         |seg AS (
+         | SELECT user_id, event_type,
+         |  sum(chg) OVER ($sqlW ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS segment_id
+         | FROM flagged),
+         |per_seg AS (
+         | SELECT user_id, event_type, segment_id, count(*) AS seg_len
+         | FROM seg GROUP BY 1, 2, 3),
+         |per_key AS (
+         | SELECT user_id, event_type, count(*)::BIGINT AS n_segments,
+         |  avg(seg_len) AS avg_run_len
+         | FROM per_seg GROUP BY 1, 2),
+         |tot AS (SELECT user_id, count(*) AS nseg_total FROM per_seg GROUP BY 1)
+         |SELECT p.user_id, p.event_type, p.n_segments,
+         | round(p.n_segments / t.nseg_total + 3.7e-10, 6) AS seg_share,
+         | round(p.avg_run_len + 3.7e-10, 6) AS avg_run_len
+         |FROM per_key p JOIN tot t ON p.user_id = t.user_id""".stripMargin,
+
+    "q27_tumbling" ->
+      s"""SELECT user_id,
+         | (floor(${sqlEpoch("ts")} / 21600) * 21600)::BIGINT AS wstart_sec,
+         | count(*)::BIGINT AS n, round(sum(value) + 3.7e-10, 4) AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q28_sliding_measure" ->
+      s"""WITH r AS (
+         | SELECT user_id, value,
+         |  row_number() OVER ($sqlW) - 1 AS rn0
+         | FROM events),
+         |x AS (
+         | SELECT user_id, value,
+         |  unnest(generate_series(
+         |    greatest(0, CAST(ceil((rn0 - 10 + 1) / 5.0) AS BIGINT)),
+         |    rn0 // 5)) AS window_id
+         | FROM r)
+         |SELECT user_id, window_id::BIGINT AS window_id, count(*)::BIGINT AS n,
+         | round(avg(value) + 3.7e-10, 6) AS avg_value
+         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "q29_first_rank" ->
+      s"""WITH firsts AS (
+         | SELECT user_id, event_type, event_id, ts FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+         |    ORDER BY ts, event_id) AS rn FROM events)
+         | WHERE rn = 1)
+         |SELECT user_id, event_type, event_id,
+         | row_number() OVER ($sqlW)::BIGINT AS pos
+         |FROM firsts""".stripMargin,
+
+    "q30_weighted_scan" ->
+      s"""WITH e AS (
+         | SELECT user_id, value,
+         |  lag(value) OVER ($sqlW) AS prev_v,
+         |  ${sqlEpoch("ts")} - ${sqlEpoch(s"lag(ts) OVER ($sqlW)")} AS dt,
+         |  ${sqlEpoch(s"lead(ts) OVER ($sqlW)")} - ${sqlEpoch("ts")} AS dur_next
+         | FROM events)
+         |SELECT user_id,
+         | round(avg(abs(value - prev_v) / greatest(dt, 1)) + 3.7e-10, 6) AS dyn_grad,
+         | round(CASE WHEN sum(dur_next) <> 0 AND sum(dur_next) IS NOT NULL
+         |   THEN sum(value * dur_next) / sum(dur_next) ELSE 0 END + 3.7e-10, 6) AS dyn_mean_weighted,
+         | round(avg(value) + 3.7e-10, 6) AS dyn_mean
+         |FROM e GROUP BY user_id""".stripMargin)
+}
