@@ -9,6 +9,7 @@ import graft.queries._
   *  - CoreQueries  : scans/aggregates (S1, P1, A1-A6, A8, skew salting)
   *  - JoinQueries  : J1 as-of, J2 range, J5 pair, J6 broadcast, O7 semi/anti
   *  - WindowQueries: W1-W10 ordered per-entity analytics, A7 scan, A12 runs
+  *  - ShapeQueries : A3 pivot, O1 ref-sort, W6 resample, F1 JSON, O5 dedup
   *  - TextQueries  : dedup/fingerprint/langid/quality/jaccard (pipeline ops)
   *  - VectorQueries: embedding cosine top-k + norms
   *  - EngineQueries: MinHash/SimHash/LSH, image decode/PSNR, flagship
@@ -24,9 +25,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
-      TextQueries.queries ++ VectorQueries.queries ++ EngineQueries.queries
+      ShapeQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
+      EngineQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
-      TextQueries.oracles ++ VectorQueries.oracles
+      ShapeQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles
 }

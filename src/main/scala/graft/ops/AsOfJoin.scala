@@ -62,19 +62,26 @@ object AsOfJoin {
 
     val payloadType = buildDeduped.schema("__payload").dataType
 
+    // entity/ts are NOT duplicated into the carry set: the output rebuilds
+    // them from __entity/__ts, so Catalyst's alias-aware output partitioning
+    // sees the result as hash-partitioned by the entity column — downstream
+    // per-entity windows/aggregations reuse this exchange instead of
+    // re-shuffling (one exchange feeds the whole enrichment stage).
+    val carryCols = probeCols.filterNot(c => c == entityCol || c == probeTs)
+
     val probeSide = probe.select(
       col(entityCol).as("__entity") +:
         col(probeTs).as("__ts") +:
         lit(1).as("__kind") +:
         lit(null).cast(payloadType).as("__payload") +:
-        probeCols.map(col): _*)
+        carryCols.map(col): _*)
 
     val buildSide = buildDeduped.select(
       col("__entity") +:
         col("__ts") +:
         lit(0).as("__kind") +:
         col("__payload") +:
-        probeCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
+        carryCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
 
     val unioned = probeSide.unionByName(buildSide)
 
@@ -87,8 +94,11 @@ object AsOfJoin {
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
       .where(col("__kind") === 1)
 
-    val out = probeCols.map(col) ++
-      payloadCols.map(c => col(s"__asof.$c").as(c))
+    val out = probeCols.map {
+      case c if c == entityCol => col("__entity").as(entityCol)
+      case c if c == probeTs   => col("__ts").as(probeTs)
+      case c                   => col(c)
+    } ++ payloadCols.map(c => col(s"__asof.$c").as(c))
     filled.select(out: _*)
   }
 }

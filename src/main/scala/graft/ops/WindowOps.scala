@@ -36,8 +36,13 @@ object WindowOps {
     * `groupby(diff(...))` `/root/reference/musif/extract/features/melody/handler.py:675-689`.
     */
   def sessionize(df: DataFrame, entity: Seq[String], tsCol: String,
-                 gapSeconds: Long, sessionCol: String = "session_id"): DataFrame = {
-    val wOrd = Window.partitionBy(entity.map(col): _*).orderBy(col(tsCol))
+                 gapSeconds: Long, sessionCol: String = "session_id",
+                 tieBreak: Seq[String] = Nil): DataFrame = {
+    // tieBreak doesn't change session assignment (equal ts -> delta 0 <= gap)
+    // but aligning the sort order with sibling windows lets Catalyst run all
+    // of them off ONE sort within the entity partitions
+    val wOrd = Window.partitionBy(entity.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)): _*)
     val prev = lag(col(tsCol), 1).over(wOrd)
     val isNew = when(prev.isNull, 1)
       .when(unix_timestamp(col(tsCol)) - unix_timestamp(prev) > gapSeconds, 1)

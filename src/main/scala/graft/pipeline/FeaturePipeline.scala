@@ -46,7 +46,8 @@ object FeaturePipeline {
         unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(wEnt)))
       .withColumn("aspect", col("w").cast("double") / col("h"))
 
-    WindowOps.sessionize(withLag, Seq("phash"), "ts", SessionGapSeconds)
+    WindowOps.sessionize(withLag, Seq("phash"), "ts", SessionGapSeconds,
+      tieBreak = Seq("image_id"))
   }
 
   /** One wide feature row per (entity, tumbling window). */
@@ -68,8 +69,15 @@ object FeaturePipeline {
         sum(when(col("brightness_delta") < 0, 1).otherwise(0)).as("n_descending"),
         avg(col("caption_tokens").cast("double")).as("caption_tokens_mean"),
         avg(col("aspect")).as("aspect_mean"),
-        countDistinct(col("session_id")).as("n_sessions"),
-        countDistinct(col("label")).as("n_labels"),
+        // exact distinct counts WITHOUT countDistinct: countDistinct plans an
+        // Expand (3x the enriched stream) + a second shuffle. session_id is
+        // nondecreasing +1-increment per entity, and a window is a contiguous
+        // ts-slice, so ids form a gap-free range -> max-min+1 is exact. The
+        // label domain is bounded -> presence-flag sum is exact.
+        (max(col("session_id")) - min(col("session_id")) + 1).as("n_sessions"),
+        SynthImages.LABELS.map(l =>
+          max(when(col("label") === l, 1).otherwise(0))).reduce(_ + _)
+          .cast("long").as("n_labels"),
         max(col("weight")).as("weight_max"),
         Stats.safeDiv(sum(when(col("fmt") === "jpg", 1).otherwise(0)),
           count(lit(1))).as("lossy_share")) ++ labelShares

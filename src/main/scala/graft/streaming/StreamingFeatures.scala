@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming-shaped variants of the batch feature operators (SURVEY.md §2.8).
+  * The reference is batch-only; these exist so the same semantics run under
+  * Structured Streaming unchanged — the transforms below accept either a
+  * batch DataFrame or a `readStream` DataFrame.
+  *
+  *  - tumbling/sliding event-time windows == W2's measure windows on the ts
+  *    axis (`/root/reference/musif/extract/extract.py:416-464`)
+  *  - session windows == W4 gap-based sessionization
+  *    (`melody/handler.py:675-689`) via the native `session_window`
+  *  - the watermark bounds state and drops late data; in batch the same
+  *    query runs with the watermark ignored (Spark semantics), so batch ==
+  *    stream on in-order input — the leakage-freedom gate in both modes.
+  */
+object StreamingFeatures {
+
+  /** Per-(entity, tumbling window) feature aggregates. `watermark` bounds
+    * out-of-orderness; windows close and emit once the watermark passes. */
+  def windowedFeatures(
+      events: DataFrame,
+      entityCol: String = "phash",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      watermark: String = "30 minutes",
+      windowDur: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(entityCol), window(col(tsCol), windowDur))
+      .agg(
+        count(lit(1)).as("n_events"),
+        avg(col(valueCol)).as("value_mean"),
+        min(col(valueCol)).as("value_min"),
+        max(col(valueCol)).as("value_max"))
+      .select(col(entityCol), col("window.start").as("window_start"),
+        col("n_events"), col("value_mean"), col("value_min"), col("value_max"))
+
+  /** Gap-based sessions via the native session_window — the streaming
+    * counterpart of WindowOps.sessionize (state is per open session, bounded
+    * by the watermark instead of unbounded per-entity history). */
+  def sessionFeatures(
+      events: DataFrame,
+      entityCol: String = "phash",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      watermark: String = "30 minutes",
+      gap: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(entityCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("value_sum"))
+      .select(col(entityCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_sum"))
+}

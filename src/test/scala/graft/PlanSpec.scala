@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.AsOfJoin
+import graft.pipeline.FeaturePipeline
+import graft.sources.SynthImages
+
+/** Physical-plan shape gates — the 100TB-readiness properties asserted, not
+  * eyeballed: scan pruning/pushdown, broadcast dims, shuffle budget of the
+  * as-of join and flagship pipeline, whole-stage codegen coverage. */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01 scan: filter pushed down and columns pruned at the parquet scan") {
+    val plan = planOf(SparkEntry.queries("q01_pruned_scan")(spark, sfDir))
+    assert(plan.contains("PushedFilters:") && plan.contains("l_quantity"),
+      s"no pushdown in:\n$plan")
+    assert(!plan.contains("l_comment"), "scan reads unprojected columns")
+  }
+
+  test("q12 dimension joins are broadcast, not shuffled") {
+    val plan = planOf(SparkEntry.queries("q12_broadcast_dim")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "dim join fell back to SMJ")
+  }
+
+  test("as-of join: one union-window pass, no nested-loop/cartesian blowup") {
+    import spark.implicits._
+    val probe = Seq((1L, ts("2024-01-01 00:10:00"), "e1")).toDF("entity", "ts", "event_id")
+    val build = Seq((1L, ts("2024-01-01 00:05:00"), "A", 1.0))
+      .toDF("entity", "label_ts", "label", "weight")
+    val plan = planOf(AsOfJoin.asOf(probe, build, "entity", "ts", "label_ts", Seq("label", "weight")))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of join exploded into a product:\n$plan")
+    assert("(?i)window".r.findFirstIn(plan).isDefined)
+    // one exchange for the union+window by entity, one for the build-side
+    // dedupe groupBy — anything more means a lost partitioning
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"$exchanges exchanges in as-of plan:\n$plan")
+  }
+
+  test("flagship pipeline: bounded shuffle budget, no cartesian") {
+    val df = FeaturePipeline.features(
+      SynthImages.images(spark, 200, 4), SynthImages.labels(spark, 200, 4))
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // countDistinct would plan an Expand (3x the enriched stream) — the
+    // algebraic rewrites must keep the agg a plain hash aggregate
+    assert(!plan.contains("Expand"), s"Expand crept back into the agg:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // one for the build-side dedupe, one for the union+window by entity; the
+    // lag/sessionize windows and the final (entity, window) agg must all
+    // reuse the entity partitioning (alias-aware propagation through as-of)
+    assert(exchanges <= 3, s"shuffle budget blown ($exchanges exchanges):\n$plan")
+  }
+
+  test("image expressions run inside whole-stage codegen") {
+    val df = SynthImages.images(spark, 50, 4)
+      .select(graft.functions.ImageFunctions.mean_brightness(col("bytes")).as("b"))
+    val plan = planOf(df)
+    // "*(n)" prefixes are the WholeStageCodegen span markers in toString form
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"),
+      s"no codegen span:\n$plan")
+    assert(plan.contains("meanbrightness"), s"expression missing:\n$plan")
+    assert(df.agg(avg(col("b"))).collect()(0).getDouble(0) > 0.0)
+  }
+}

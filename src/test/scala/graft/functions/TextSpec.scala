@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, s: String) =
+    Seq(s).toDF("t").select(c).collect()(0)
+
+  test("normText: lower, trim, whitespace collapse") {
+    assert(one(Text.normText(col("t")), "  Hello \t WORLD  x ").getString(0) === "hello world x")
+  }
+
+  test("tokenCount: whitespace tokens; empty -> 0") {
+    assert(one(Text.tokenCount(col("t")), "a b  c").getInt(0) === 3)
+    assert(one(Text.tokenCount(col("t")), "   ").getInt(0) === 0)
+  }
+
+  test("tokenOccurrences counts whole tokens only") {
+    val n = Text.normText(col("t"))
+    assert(one(Text.tokenOccurrences(n, "the"), "the theme of the day").getInt(0) === 2)
+  }
+
+  test("langId: marker argmax with en>de>fr precedence, und on zero") {
+    assert(one(Text.langId(col("t")), "the cat and the hat").getString(0) === "en")
+    assert(one(Text.langId(col("t")), "der Hund und die Katze").getString(0) === "de")
+    assert(one(Text.langId(col("t")), "le chat et la mer").getString(0) === "fr")
+    assert(one(Text.langId(col("t")), "xyzzy plugh").getString(0) === "und")
+  }
+
+  test("qualityScore bounded in [0,1]; zero tokens -> 0") {
+    val q = one(Text.qualityScore(col("t")), "some reasonably long unique text here").getDouble(0)
+    assert(q > 0.0 && q <= 1.0)
+    assert(one(Text.qualityScore(col("t")), "").getDouble(0) === 0.0)
+  }
+
+  test("fingerprint: equal normalized content -> equal md5") {
+    val fp1 = one(Text.fingerprint(col("t")), " A  b ").getString(0)
+    val fp2 = one(Text.fingerprint(col("t")), "a b").getString(0)
+    assert(fp1 === fp2)
+  }
+
+  test("minhash: deterministic, similarity-ordered") {
+    val a = Text.minHashSignature("the quick brown fox jumps over the lazy dog")
+    val a2 = Text.minHashSignature("the quick brown fox jumps over the lazy dog")
+    val near = Text.minHashSignature("the quick brown fox jumps over the lazy cat")
+    val far = Text.minHashSignature("completely unrelated content about spark engines")
+    assert(a.toSeq === a2.toSeq)
+    def matches(x: Array[Long], y: Array[Long]) = x.zip(y).count { case (p, q) => p == q }
+    assert(matches(a, near) > matches(a, far))
+    assert(a.length === Text.MinHashK)
+  }
+
+  test("lsh buckets: identical sigs share all buckets; near-dup shares >=1") {
+    val a = Text.minHashSignature("spark catalyst tungsten codegen pipeline engine design")
+    val near = Text.minHashSignature("spark catalyst tungsten codegen pipeline engine design extra")
+    assert(Text.lshBuckets(a).toSeq === Text.lshBuckets(a).toSeq)
+    assert(Text.lshBuckets(a).intersect(Text.lshBuckets(near)).nonEmpty)
+  }
+
+  test("simhash: hamming 0 to self; closer for near-dup than for unrelated") {
+    val a = Text.simHash64("alpha beta gamma delta epsilon zeta eta theta")
+    val near = Text.simHash64("alpha beta gamma delta epsilon zeta eta iota")
+    val far = Text.simHash64("entirely different words everywhere in this one")
+    assert(Text.hamming64(a, a) === 0)
+    assert(Text.hamming64(a, near) < Text.hamming64(a, far))
+  }
+}

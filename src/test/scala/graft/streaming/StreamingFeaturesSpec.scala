@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured-Streaming semantics: watermarked tumbling windows finalize and
+  * drop late rows; session windows merge by gap; batch == stream on in-order
+  * input (the parity the design promises). */
+class StreamingFeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(e: Long, t: String, v: Double): (Long, Timestamp, Double) =
+    (e, ts(t), v)
+
+  test("tumbling windows emit on watermark passage; late rows are dropped") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamingFeatures.windowedFeatures(
+      in.toDF.toDF("phash", "ts", "value"), watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ev(1L, "2024-01-01 00:01:00", 1.0),
+        ev(1L, "2024-01-01 00:04:00", 3.0))
+      q.processAllAvailable()
+      // advance event time far past the first window + watermark -> finalize
+      in.addData(ev(1L, "2024-01-01 01:00:00", 9.0))
+      q.processAllAvailable()
+      // a LATE row for the already-closed first window: must be dropped
+      in.addData(ev(1L, "2024-01-01 00:02:00", 100.0))
+      in.addData(ev(1L, "2024-01-01 02:00:00", 5.0)) // close the 01:00 window
+      q.processAllAvailable()
+
+      val rows = spark.table("tumbling")
+        .orderBy("window_start").collect()
+      assert(rows.length === 2)
+      val w0 = rows(0)
+      assert(w0.getAs[Timestamp]("window_start") === ts("2024-01-01 00:00:00"))
+      assert(w0.getAs[Long]("n_events") === 2L)      // late 100.0 row dropped
+      assert(w0.getAs[Double]("value_mean") === 2.0) // (1+3)/2, untainted
+      assert(rows(1).getAs[Long]("n_events") === 1L)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamingFeatures.sessionFeatures(
+      in.toDF.toDF("phash", "ts", "value"), watermark = "1 minute", gap = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ev(7L, "2024-01-01 00:00:00", 1.0),
+        ev(7L, "2024-01-01 00:05:00", 2.0),  // same session (gap 5m < 10m)
+        ev(7L, "2024-01-01 00:30:00", 4.0))  // new session (gap 25m)
+      q.processAllAvailable()
+      in.addData(ev(7L, "2024-01-01 09:00:00", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sessions").orderBy("session_start").collect()
+      assert(rows.length >= 2)
+      assert(rows(0).getAs[Long]("n_events") === 2L)
+      assert(rows(0).getAs[Double]("value_sum") === 3.0)
+      assert(rows(1).getAs[Long]("n_events") === 1L)
+    } finally q.stop()
+  }
+
+  test("batch/stream parity: same aggregation on a static frame") {
+    val static = Seq(
+      ev(1L, "2024-01-01 00:01:00", 1.0),
+      ev(1L, "2024-01-01 00:04:00", 3.0),
+      ev(1L, "2024-01-01 00:12:00", 5.0)
+    ).toDF("phash", "ts", "value")
+    val got = StreamingFeatures.windowedFeatures(static)
+      .orderBy("window_start")
+      .select("n_events", "value_mean").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((2L, 2.0), (1L, 5.0)))
+  }
+}
