@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+import graft.plans.AsOfStrategy
+
+/** The idiomatic deployment entry point: register the engine's Catalyst
+  * pieces through SparkSessionExtensions so any session created with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (spark-submit, the
+  * north rule's deployment mode) gets
+  *  - the as-of sort-merge strategy, and
+  *  - the image expression family as SQL functions
+  * with no imports needed on the user side.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => AsOfStrategy)
+    GraftExtensions.sqlFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+  }
+}
+
+object GraftExtensions {
+
+  /** SQL-callable expression builders (shared by the extensions path and
+    * [[registerSql]] for already-running sessions). */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "decode_image" -> { args => DecodeImage(args.head) },
+    "mean_brightness" -> { args => MeanBrightness(args.head) },
+    "intensity_histogram" -> { args => IntensityHistogram(args.head) },
+    "psnr" -> { args => Psnr(args(0), args(1)) },
+    "resize_image" -> { args => ResizeImage(args(0), args(1), args(2)) })
+
+  /** Register the SQL functions into an existing session (tests, REPLs). */
+  def registerSql(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (name, builder) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerFunction(spark, name, builder)
+    }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.pipeline._
+
+/** The spark-submit entry point (north rule: "the same spark-submit job must
+  * run on multi-executor clusters at N and 4N executors"):
+  *
+  *   spark-submit --class graft.Main \
+  *     --conf spark.sql.extensions=graft.GraftExtensions \
+  *     musifspark.jar \
+  *     --images <dir|synth:N> --labels <dir|synth:N> --out <dir> \
+  *     [--config <properties>] [--set k=v ...] [--resume]
+  *
+  * Reads the image+caption table (any Spark source — parquet in the
+  * sandbox, an Iceberg catalog table in production via
+  * `spark.read.table(...)`), validates rows through the error channel,
+  * extracts per-(entity, window) feature vectors, post-processes, and
+  * writes output + per-partition lineage. With `--resume`, buckets already
+  * present in the lineage table are skipped (anti-join) — a killed run
+  * continues without recomputing completed partitions.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args.toList, Map.empty)
+    val spark = SparkSession.builder()
+      .appName("musifspark")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = GraftConfig.load(
+      opts.get("config"),
+      opts.getOrElse("set", "").split(";;").filter(_.contains("="))
+        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
+
+    def load(spec: String, synth: (SparkSession, Long) => org.apache.spark.sql.DataFrame) =
+      if (spec.startsWith("synth:")) synth(spark, spec.stripPrefix("synth:").toLong)
+      else spark.read.parquet(spec)
+
+    val rawImages = load(opts("images"),
+      (s, n) => sources.SynthImages.images(s, n, 1024, 4.0 / 1024))
+    val labels = load(opts("labels"),
+      (s, n) => sources.SynthImages.labels(s, n, 1024))
+
+    // corrupt-row channel: bad rows to <out>_errors, good rows onward
+    val (images, errors) = sources.ErrorChannel.split(rawImages, sources.ErrorChannel.imageChecks)
+    val outDir = opts("out")
+    errors.write.mode("overwrite").parquet(s"${outDir}_errors")
+
+    val job = (in: org.apache.spark.sql.DataFrame) => {
+      val feats = FeaturePipeline.features(in, labels, cfg)
+      PostProcessor.ordered(
+        PostProcessor.dropHighNullColumns(feats, cfg.maxNullColumnRatio,
+          protect = Seq("entity", "window_start")),
+        Seq("entity", "window_start"))
+    }
+
+    if (opts.contains("resume")) {
+      Lineage.runResumable(spark, images, "phash", "ts", cfg.lineageBuckets,
+        outDir, s"${outDir}_lineage",
+        resultEntityCol = Some("entity"),
+        resultTsCol = Some("window_start")) { remaining => job(remaining) }
+    } else {
+      val out = job(images)
+      out.write.mode("overwrite").parquet(outDir)
+      Lineage.compute(spark.read.parquet(outDir), "entity", "window_start",
+          cfg.lineageBuckets)
+        .write.mode("overwrite").parquet(s"${outDir}_lineage")
+    }
+    println(s"[graft] features -> $outDir (+_lineage, +_errors)")
+    spark.stop()
+  }
+
+  @annotation.tailrec
+  private def parseArgs(args: List[String], acc: Map[String, String]): Map[String, String] =
+    args match {
+      case "--images" :: v :: rest => parseArgs(rest, acc + ("images" -> v))
+      case "--labels" :: v :: rest => parseArgs(rest, acc + ("labels" -> v))
+      case "--out" :: v :: rest    => parseArgs(rest, acc + ("out" -> v))
+      case "--config" :: v :: rest => parseArgs(rest, acc + ("config" -> v))
+      case "--set" :: v :: rest =>
+        parseArgs(rest, acc + ("set" -> (acc.get("set").map(_ + ";;").getOrElse("") + v)))
+      case "--resume" :: rest      => parseArgs(rest, acc + ("resume" -> "true"))
+      case Nil => acc
+      case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
+    }
+}

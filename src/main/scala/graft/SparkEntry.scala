@@ -25,10 +25,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
-      ShapeQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
-      EngineQueries.queries
+      ShapeQueries.queries ++ TheoryQueries.queries ++ TextQueries.queries ++
+      VectorQueries.queries ++ EngineQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
-      ShapeQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles
+      ShapeQueries.oracles ++ TheoryQueries.oracles ++ TextQueries.oracles ++
+      VectorQueries.oracles
 }

@@ -94,8 +94,14 @@ object ImageCodec {
   }
 
   def meanBrightness(bytes: Array[Byte]): Double = {
-    val px = decode(bytes)
-    if (px.isEmpty) 0.0 else px.map(_.toDouble).sum / px.length
+    val n = bytes.length - HeaderLen
+    if (n <= 0) return 0.0
+    // allocation-free: this runs once per row in the flagship hot path and
+    // per-row garbage is what throttles the 32-thread scaling run
+    var s = 0.0
+    var i = HeaderLen
+    while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
+    s / n
   }
 
   /** Nearest-neighbor resize to (nw, nh); returns a lossless payload. */

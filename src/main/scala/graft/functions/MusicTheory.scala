@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's key/scale/meter scalar families (SURVEY.md §2.7 F3-F5)
+  * re-expressed as pure pitch-class modular arithmetic over int/string
+  * columns — codegen'd `when` chains and expressions, no music library.
+  *
+  * References:
+  *  - scale degree of a pitch: `/root/reference/musif/musicxml/common.py:186-196`
+  *  - key signature encode ("sss"/"bb"/"n"): `musicxml/key.py:7-25`
+  *  - time-signature type classing: `musicxml/tempo.py:20-60`
+  *  - beats per time signature: `musicxml/tempo.py:247-280`
+  *  - numeral -> harmonic function (T/D/SD 2-level): `extract/features/harmony/utils.py:274-338`
+  */
+object MusicTheory {
+
+  /** Major-scale interval pattern in semitones from the tonic. */
+  private val MajorSteps = Seq(0, 2, 4, 5, 7, 9, 11)
+  /** Natural-minor pattern. */
+  private val MinorSteps = Seq(0, 2, 3, 5, 7, 8, 10)
+
+  /** Diatonic scale degree (1-7) of `pitchClass` in the key of `tonicPc`
+    * with `isMinor` mode; NULL for chromatic (out-of-scale) pitches.
+    * Pure mod-12 arithmetic — the analog of
+    * `getScaleDegreeAndAccidentalFromPitch` restricted to in-scale pitches. */
+  def scaleDegree(pitchClass: Column, tonicPc: Column, isMinor: Column): Column = {
+    val rel = pmod(pitchClass - tonicPc, lit(12))
+    val major = MajorSteps.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (semi, i)) => when(rel === semi && !isMinor, i + 1).otherwise(acc)
+    }
+    MinorSteps.zipWithIndex.foldLeft(major) {
+      case (acc, (semi, i)) => when(rel === semi && isMinor, i + 1).otherwise(acc)
+    }
+  }
+
+  /** Sharps(+)/flats(-) count of a major/minor key from the tonic pitch
+    * class, derived from the circle of fifths; range normalized to [-6, 6).
+    * Minor keys use the relative major (tonic + 3 semitones). */
+  def keySharps(tonicPc: Column, isMinor: Column): Column = {
+    val majTonic = when(isMinor, pmod(tonicPc + 3, lit(12))).otherwise(pitchMod(tonicPc))
+    // position on the circle of fifths: tonic = 7*sharps (mod 12)
+    // => sharps = 7*tonic (mod 12) since 7*7=49=1 (mod 12)
+    val s = pmod(majTonic * 7, lit(12))
+    when(s >= 6, s - 12).otherwise(s) // 6..11 -> flats -6..-1
+  }
+
+  private def pitchMod(c: Column): Column = pmod(c, lit(12))
+
+  /** musif's key-signature string encode: "s"*sharps, "b"*flats, "n". */
+  def keySignatureString(tonicPc: Column, isMinor: Column): Column = {
+    val s = keySharps(tonicPc, isMinor)
+    when(s > 0, repeatStr(lit("s"), s))
+      .when(s < 0, repeatStr(lit("b"), -s))
+      .otherwise(lit("n"))
+  }
+
+  private def repeatStr(s: Column, n: Column): Column =
+    call_function("repeat", s, n)
+
+  /** Time-signature type classing (exact table from tempo.py:20-60). */
+  def timeSignatureType(ts: Column): Column = {
+    val simpleDuple = Seq("1/2", "1/4", "1/8", "1/16", "2/2", "2/4", "2/8",
+      "2/16", "4/4", "C", "4/2", "4/8", "4/16", "8/2", "8/4", "8/8", "8/16")
+    val compoundDuple = Seq("6/8", "3/8", "12/2", "12/4", "12/8", "12/16")
+    val simpleTriple = Seq("3/2", "3/4", "3/16", "6/2", "6/4", "6/16")
+    val compoundTriple = Seq("9/2", "9/4", "9/8", "9/16")
+    when(ts.isin(simpleDuple: _*), "simple duple")
+      .when(ts.isin(compoundDuple: _*), "compound duple")
+      .when(ts.isin(simpleTriple: _*), "simple triple")
+      .when(ts.isin(compoundTriple: _*), "compound triple")
+      .otherwise("other")
+  }
+
+  /** Beats per measure for a `num/den` time signature: compound meters
+    * (num divisible by 3, > 3) group in threes (tempo.py:247-280). */
+  def beatsPerMeasure(num: Column, den: Column): Column =
+    when(num > 3 && pmod(num, lit(3)) === 0, num / 3).otherwise(num)
+
+  /** First-level harmonic function of a roman numeral in a mode ("M"/"m") —
+    * `get_function_first` (harmony/utils.py:274-338) over the plain-numeral
+    * domain (augmented-sixth It/Ger/Fr specials excluded). Control flow
+    * mirrors the reference exactly: vii/#vii return "D" early for ANY case,
+    * bII is the Neapolitan, bVII variants are mode-specific subtonics, and
+    * the core table (i->T, v->D, ii/iv/vi->SD, iii->MED) carries the
+    * numeral's case (upper = major quality, lower = minor). */
+  def harmonicFunction(numeral: Column, mode: Column): Column = {
+    val base = lower(numeral)
+    val isLower = numeral === base
+    val core = when(base === "i", "T")
+      .when(base === "v", "D")
+      .when(base.isin("ii", "iv", "vi"), "SD")
+      .when(base === "iii", "MED")
+    val cased = when(isLower, lower(core)).otherwise(core)
+    when(base.isin("vii", "#vii"), "D") // reference's early return
+      .when(base === "bii", "NAP")
+      .when(mode === "M" && numeral === "bVII", "ST")
+      .when(mode === "M" && numeral === "bvii", "st")
+      .when(mode === "m" && numeral === "bVII", "bST")
+      .when(mode === "m" && numeral === "bvii", "bst")
+      .otherwise(cased)
+  }
+}

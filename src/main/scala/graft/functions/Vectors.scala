@@ -66,6 +66,46 @@ object Vectors {
     bits.reduce(_ + _).as("bucket")
   }
 
+  /** Deterministic IVF "centroids": unit-less pseudo-random direction
+    * vectors seeded by (cell, coordinate). A real deployment would k-means
+    * them; the partition/probe shape — the part that matters at scale — is
+    * identical. */
+  def ivfCentroids(nCells: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nCells, dim) { (c, d) =>
+      ((ImageCodec.mix64(c * 7919L + d) & 0xffff) / 32768.0) - 1.0
+    }
+
+  /** Nearest-centroid cell id (argmax dot product over the literal centroid
+    * table — codegen'd, no UDF, no shuffle). */
+  def ivfCell(vecCol: Column, nCells: Int, dim: Int): Column = {
+    val cents = ivfCentroids(nCells, dim)
+    val scored: Seq[Column] = cents.zipWithIndex.toSeq.map { case (cvec, i) =>
+      struct(
+        aggregate(zip_with(vecCol, typedLit(cvec.toSeq), (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v).as("score"),
+        lit(i).as("cell"))
+    }
+    greatest(scored: _*).getField("cell")
+  }
+
+  /** ANN top-k via IVF cells: each vector lands in its nearest-centroid
+    * cell; candidates = same cell (single-probe), ranked by true cosine.
+    * The inverted-file alternative to [[lshTopK]] — same bucket-join shape,
+    * centroid-based partitioning instead of hyperplane signs. */
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCells: Int, dim: Int): DataFrame = {
+    val withCell = vectors.select(
+      col(idCol), toDoubleArray(col(vecCol)).as("__v"),
+      ivfCell(col(vecCol), nCells, dim).as("cell"))
+    val l = withCell.select(col(idCol).as("query_id"), col("__v").as("__qv"), col("cell"))
+    val r = withCell.select(col(idCol).as("neighbor_id"), col("__v").as("__cv"), col("cell"))
+    val scored = l.join(r, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("__qv"), col("__cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** ANN top-k via LSH buckets: candidates are restricted to the query's
     * bucket (plus the exact-dup check), then ranked by true cosine. Recall
     * is tunable via nPlanes; at 100 TB this is the path that avoids the

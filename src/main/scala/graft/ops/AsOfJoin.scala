@@ -101,4 +101,49 @@ object AsOfJoin {
     } ++ payloadCols.map(c => col(s"__asof.$c").as(c))
     filled.select(out: _*)
   }
+
+  /** The custom-exec formulation: a Catalyst sort-merge as-of join
+    * (graft.plans.AsOfMergeJoinExec) planned through an injected Strategy.
+    * Identical semantics to [[asOf]]; the physical shape is a single forward
+    * merge over co-partitioned (entity, ts)-sorted children — no union
+    * materialization, no window buffering, probe-side ordering preserved.
+    *
+    * Payload column names must not collide with probe column names. */
+  def asOfSortMerge(
+      probe: DataFrame,
+      build: DataFrame,
+      entityCol: String,
+      probeTs: String,
+      buildTs: String,
+      payloadCols: Seq[String],
+      dedupeLatest: Boolean = true): DataFrame = {
+    val spark = probe.sparkSession
+    graft.plans.AsOfStrategy.setup(spark)
+
+    val buildSel = build.select(
+      col(entityCol).cast(probe.schema(entityCol).dataType).as("__r_entity"),
+      col(buildTs).as("__r_ts"),
+      struct(payloadCols.map(col): _*).as("__payload"))
+    val buildFlat = (if (dedupeLatest)
+      buildSel.groupBy(col("__r_entity"), col("__r_ts"))
+        .agg(max(col("__payload")).as("__payload"))
+    else buildSel)
+      .select(col("__r_entity") +: col("__r_ts") +:
+        payloadCols.map(c => col(s"__payload.$c").as(c)): _*)
+
+    val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+    val lp = bridge.analyzed(probe)
+    val rp = bridge.analyzed(buildFlat)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(s"missing column $name"))
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]
+
+    bridge.ofRows(spark, graft.plans.AsOfJoinNode(
+      lp, rp,
+      attr(lp, entityCol), attr(lp, probeTs),
+      attr(rp, "__r_entity"), attr(rp, "__r_ts"),
+      payloadCols.map(attr(rp, _))))
+  }
 }

@@ -51,7 +51,13 @@ object Lineage {
       tsCol: String,
       nBuckets: Int,
       outDir: String,
-      lineageDir: String)(job: DataFrame => DataFrame): DataFrame = {
+      lineageDir: String,
+      resultEntityCol: Option[String] = None,
+      resultTsCol: Option[String] = None)(job: DataFrame => DataFrame): DataFrame = {
+    // the job may rename the entity/ts columns in its output (e.g. phash ->
+    // entity); bucket ids stay aligned because the VALUES are unchanged
+    val outEntity = resultEntityCol.getOrElse(entityCol)
+    val outTs = resultTsCol.getOrElse(tsCol)
 
     val withBucket = input.withColumn("__bucket", bucketOf(entityCol, nBuckets))
     val done: DataFrame =
@@ -66,7 +72,7 @@ object Lineage {
     result.write.mode("append").parquet(outDir)
 
     val out = spark.read.parquet(outDir)
-    compute(result, entityCol, tsCol, nBuckets)
+    compute(result, outEntity, outTs, nBuckets)
       .write.mode("append").parquet(lineageDir)
     out
   }

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, NumericType}
+
+/** Post-processing of the wide feature table — musif's `DataProcessor`
+  * (`/root/reference/musif/process/processor.py:50-140`) as a chain of pure
+  * DataFrame transforms:
+  *
+  *  - column deletion by name predicates (P4, `process/utils.py:78-126`)
+  *  - all-NaN / high-NaN-ratio column drop (P4, `processor.py:192-224`)
+  *  - high-NaN-ratio row drop (P5, `processor.py:217-222`)
+  *  - NaN->0 fill for matching columns (P6, `processor.py:226-237`)
+  *  - value recode (P7, `"NA"` -> NULL etc.)
+  *  - deterministic output ordering (O2, `processor.py:309-311`)
+  *  - resume-merge of two outputs (O6, `process/utils.py:234-254`)
+  *
+  * Column-level decisions are driver-side schema work plus ONE aggregate
+  * pass for null ratios (no per-column jobs); row filters and fills are
+  * narrow transforms.
+  */
+object PostProcessor {
+
+  final case class ColumnDropSpec(
+      exact: Seq[String] = Nil,
+      startsWith: Seq[String] = Nil,
+      endsWith: Seq[String] = Nil,
+      contains: Seq[String] = Nil,
+      regex: Seq[String] = Nil) {
+    def matches(name: String): Boolean =
+      exact.contains(name) ||
+        startsWith.exists(name.startsWith) ||
+        endsWith.exists(name.endsWith) ||
+        contains.exists(name.contains) ||
+        regex.exists(r => r.r.findFirstIn(name).isDefined)
+  }
+
+  /** P4: drop columns by name predicates — pure schema pruning. */
+  def dropColumns(df: DataFrame, spec: ColumnDropSpec): DataFrame = {
+    val keep = df.columns.filterNot(spec.matches)
+    df.select(keep.map(col).toSeq: _*)
+  }
+
+  /** Null ratio per column in ONE aggregate pass. */
+  def nullRatios(df: DataFrame): Map[String, Double] = {
+    val n = df.columns.length
+    val aggs = df.columns.map(c =>
+      avg(when(col(c).isNull, 1.0).otherwise(0.0)).as(c)).toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    df.columns.zipWithIndex.map { case (c, i) =>
+      c -> (if (row.isNullAt(i)) 1.0 else row.getDouble(i))
+    }.toMap
+  }
+
+  /** P4: drop columns whose null ratio exceeds `maxRatio` (1.0 drops only
+    * all-null columns, matching `dropna(axis=1, how='all')`). Protected
+    * columns (keys) are never dropped. */
+  def dropHighNullColumns(df: DataFrame, maxRatio: Double,
+                          protect: Seq[String] = Nil): DataFrame = {
+    val ratios = nullRatios(df)
+    // maxRatio >= 1.0 == pandas dropna(how='all'): drop only fully-null cols
+    val keep = df.columns.filter { c =>
+      protect.contains(c) ||
+        (if (maxRatio >= 1.0) ratios(c) < 1.0 else ratios(c) <= maxRatio)
+    }
+    df.select(keep.map(col).toSeq: _*)
+  }
+
+  /** P5: drop rows whose null ratio across `cols` exceeds `maxRatio`. */
+  def dropHighNullRows(df: DataFrame, maxRatio: Double,
+                       cols: Seq[String] = Nil): DataFrame = {
+    val use = if (cols.nonEmpty) cols else df.columns.toSeq
+    val nullCount = use.map(c => when(col(c).isNull, 1).otherwise(0): Column).reduce(_ + _)
+    df.filter(nullCount.cast(DoubleType) / use.length <= maxRatio)
+  }
+
+  /** P6: fill nulls with `value` in numeric columns whose name contains any
+    * of `substrings` (musif `replace_nans`). */
+  def fillNulls(df: DataFrame, substrings: Seq[String], value: Double = 0.0): DataFrame = {
+    val targets = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] &&
+        substrings.exists(f.name.contains) => f.name
+    }
+    if (targets.isEmpty) df else df.na.fill(value, targets)
+  }
+
+  /** P7: recode a sentinel string to NULL across string columns
+    * (musif's `"NA"` convention, `extract.py:367,373`). */
+  def sentinelToNull(df: DataFrame, sentinel: String = "NA"): DataFrame =
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if f.dataType.typeName == "string" =>
+        d.withColumn(f.name, when(col(f.name) === sentinel, lit(null)).otherwise(col(f.name)))
+      case (d, _) => d
+    }
+
+  /** O2: deterministic row + column order for stable file output. */
+  def ordered(df: DataFrame, sortCols: Seq[String]): DataFrame = {
+    val dataCols = df.columns.toSeq.filterNot(sortCols.contains).sorted
+    df.select((sortCols ++ dataCols).map(col): _*)
+      .orderBy(sortCols.map(col): _*)
+  }
+
+  /** O6/O7: resume-merge — rows of `fresh` win over `previous` on the key
+    * (anti-join old against new, then union). */
+  def resumeMerge(previous: DataFrame, fresh: DataFrame, keys: Seq[String]): DataFrame =
+    previous.join(fresh, keys, "left_anti").unionByName(fresh, allowMissingColumns = true)
+}

@@ -103,6 +103,15 @@ object EngineQueries {
         .where(col("query_id") < 50)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), r6(col("cos")).as("cos"))
+    }),
+
+    // ANN via IVF cells (inverted-file alternative to q57)
+    "q58_ivf_topk" -> ((s, dir) => {
+      Vectors.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 5, nCells = 16, dim = 64)
+        .where(col("query_id") < 50)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), r6(col("cos")).as("cos"))
     }))
 
   val oracles: Map[String, String] = Map.empty

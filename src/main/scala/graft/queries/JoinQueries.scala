@@ -25,6 +25,24 @@ object JoinQueries {
           col("o_orderkey"), r2(col("o_totalprice")).as("o_totalprice"))
     }),
 
+    // J1b: the same as-of join through the custom Catalyst
+    // AsOfMergeJoinExec (sort-merge with inequality pruning) — verified
+    // against the identical DuckDB ASOF oracle as the window formulation.
+    // Probe is pre-projected: the custom node is opaque to column pruning.
+    "q10b_asof_merge" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val orders = t(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+      AsOfJoin.asOfSortMerge(events, orders,
+          entityCol = "user_id", probeTs = "ts", buildTs = "o_orderdate",
+          payloadCols = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_sec"),
+          col("o_orderkey"), r2(col("o_totalprice")).as("o_totalprice"))
+    }),
+
     // J2: equi + range condition (ship window relative to order date)
     "q11_range_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -79,6 +97,18 @@ object JoinQueries {
 
   val oracles: Map[String, String] = Map(
     "q10_asof_join" ->
+      s"""WITH lab AS (
+         | SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM (
+         |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+         |   row_number() OVER (PARTITION BY o_custkey, o_orderdate
+         |     ORDER BY o_orderkey DESC, o_totalprice DESC) AS rn
+         |  FROM orders) WHERE rn = 1)
+         |SELECT e.event_id, e.user_id, ${sqlEpoch("e.ts")} AS ts_sec,
+         | l.o_orderkey, round(l.o_totalprice + 3.7e-10, 2) AS o_totalprice
+         |FROM events e ASOF LEFT JOIN lab l
+         | ON e.user_id = l.user_id AND e.ts >= l.o_orderdate""".stripMargin,
+
+    "q10b_asof_merge" ->
       s"""WITH lab AS (
          | SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM (
          |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,

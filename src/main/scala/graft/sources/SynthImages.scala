@@ -32,8 +32,17 @@ object SynthImages {
   private def mix(i: Long, salt: Long): Long = ImageCodec.mix64(i * 0x9e37L + salt)
 
   /** The images/events table. nEntities controls entity cardinality;
-    * rows per entity follow from the skewed assignment. */
-  def images(spark: SparkSession, nRows: Long, nEntities: Int = 64): DataFrame = {
+    * rows per entity follow from the skewed assignment.
+    *
+    * @param hotExtraFraction extra key-space mass EACH of the two hot
+    *   entities receives on top of the uniform share. The default 1/16
+    *   (~1.9x the mean at 16 entities) exercises the skew-handling paths;
+    *   scaling benchmarks pass a smaller value because at 10^12-row scale a
+    *   hot phash cluster is a tiny fraction of the total — a 6%-of-all-rows
+    *   entity is a small-sample artifact, not the scale regime. */
+  def images(spark: SparkSession, nRows: Long, nEntities: Int = 64,
+             hotExtraFraction: Double = 1.0 / 16): DataFrame = {
+    val hotSpan = math.max(1L, math.round(hotExtraFraction * 16 * nEntities))
     val enc = udf { (id: Long, w: Int, h: Int, lossy: Boolean) =>
       ImageCodec.encode(mix(id, 7L), w, h, lossy)
     }
@@ -47,8 +56,8 @@ object SynthImages {
       // skew: hash bucket, but 2/16 of the space collapses onto entities 0/1
       .withColumn("__hb", pmod(xxhash64(col("id") + 1), lit(16 * nEntities.toLong)))
       .withColumn("phash",
-        when(col("__hb") < nEntities, lit(0L))
-          .when(col("__hb") < 2L * nEntities, lit(1L))
+        when(col("__hb") < hotSpan, lit(0L))
+          .when(col("__hb") < 2L * hotSpan, lit(1L))
           .otherwise(pmod(col("__hb"), lit(nEntities.toLong))))
       .withColumn("w", (pmod(xxhash64(col("id") + 2), lit(25)) + 8).cast("int"))
       .withColumn("h", (pmod(xxhash64(col("id") + 3), lit(25)) + 8).cast("int"))

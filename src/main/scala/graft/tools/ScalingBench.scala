@@ -1,46 +1,73 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.Files
 
 /** Two-parallelism scaling evidence for the north rule's N -> 4N criterion
   * (no real cluster in the sandbox, per BASELINE.md's measurement plan):
   * run the IDENTICAL flagship job at local[N] and local[4N] on the same
-  * deterministic input and report rows/sec at both plus
+  * materialized input and report rows/sec at both plus
   * efficiency = throughput_4N / (4 * throughput_N).
   *
-  * Emits one JSON line:
-  * {"metric":"scaling_efficiency","value":E,"unit":"ratio",
-  *  "rows":R,"n_cores":N,"rows_per_sec_n":…,"rows_per_sec_4n":…,…}
+  * Methodology:
+  *  - input synthesized ONCE and written to parquet (content is a pure
+  *    function of row id — identical at any parallelism), so the measured
+  *    job is scan -> as-of join -> window features -> aggregate, i.e. the
+  *    engine, not the data generator;
+  *  - scan split size tuned per core count so the parquet read yields
+  *    ~3 waves of tasks at both levels (a 128MB-default scan would cap
+  *    local[32] at a handful of tasks);
+  *  - `passes` timed executions per level, minimum reported (steady-state;
+  *    JIT + shuffle-file warmup excluded), warm-up pass first;
+  *  - skew set to the scale regime (hot entity ~5x mean but <1% of rows,
+  *    see SynthImages.images scaladoc).
+  *
+  * Emits one JSON line {"metric":"scaling_efficiency",...}.
   */
 object ScalingBench {
 
   def main(args: Array[String]): Unit = {
-    val nRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "400000").toLong
-    val nEntities = 256
+    val nRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "2000000").toLong
+    val nEntities = 1024
     val nCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
-    val warmup = sys.env.getOrElse("SPARK_GRAFT_SCALE_WARMUP", "1").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "3").toInt
+    val hotExtra = 4.0 / nEntities
+
+    // SPARK_GRAFT_SCALE_INPUT reuses a previously materialized input dir
+    // (content is a pure function of row count — safe to share across runs)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_INPUT",
+      Files.createTempDirectory("graft-scale").toString)
+    val imgDir = s"$dir/images"; val lblDir = s"$dir/labels"
+
+    if (!Files.exists(java.nio.file.Paths.get(imgDir))) { // materialize once
+      val spark = session(4 * nCores, 4 * nCores)
+      try {
+        graft.sources.SynthImages.images(spark, nRows, nEntities, hotExtra)
+          .write.parquet(imgDir)
+        graft.sources.SynthImages.labels(spark, nRows, nEntities)
+          .write.parquet(lblDir)
+      } finally spark.stop()
+    }
+    val inputBytes = fileSize(imgDir) + fileSize(lblDir)
 
     def runAt(cores: Int): (Double, Long) = {
-      val spark = SparkSession.builder()
-        .master(s"local[$cores]")
-        .appName(s"graft-scaling-$cores")
-        .config("spark.sql.shuffle.partitions", cores.toString)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
+      // ~3 task waves over the scan at this core count
+      val split = math.max(4L << 20, inputBytes / (cores * 3L))
+      val spark = session(cores, cores, Map(
+        "spark.sql.files.maxPartitionBytes" -> split.toString))
       try {
+        val imgs = spark.read.parquet(imgDir)
+        val lbls = spark.read.parquet(lblDir)
+        def job() = graft.pipeline.FeaturePipeline.features(imgs, lbls).count()
+        job() // warm-up: JIT, codegen cache, shuffle dirs
+        var best = Double.MaxValue
         var rows = 0L
-        // warm-up pass populates code cache / JIT so the measured pass
-        // reflects steady-state throughput at both levels equally
-        (0 until warmup).foreach { _ =>
-          graft.pipeline.FeaturePipeline.runSynthetic(spark, nRows / 4, nEntities).count()
+        (1 to passes).foreach { _ =>
+          val t0 = System.nanoTime()
+          rows = job()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
         }
-        val t0 = System.nanoTime()
-        rows = graft.pipeline.FeaturePipeline
-          .runSynthetic(spark, nRows, nEntities).count()
-        val secs = (System.nanoTime() - t0) / 1e9
-        (secs, rows)
+        (best, rows)
       } finally spark.stop()
     }
 
@@ -53,8 +80,28 @@ object ScalingBench {
     val eff = thr4N / (4.0 * thrN)
     println(
       s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","rows":$nRows,""" +
-      s""""feature_rows":$outN,"n_cores":$nCores,""" +
+      s""""feature_rows":$outN,"n_cores":$nCores,"input_mb":${inputBytes / 1048576},""" +
       s""""sec_n":$tN,"sec_4n":$t4N,""" +
       s""""rows_per_sec_n":$thrN,"rows_per_sec_4n":$thr4N}""")
+  }
+
+  private def session(cores: Int, shufflePartitions: Int,
+                      extra: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    extra.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def fileSize(dir: String): Long = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) 0L
+    else d.listFiles().filter(_.isFile).map(_.length()).sum
   }
 }

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ImageCodec
+
+/** SQL-surface registration: the image expression family callable from
+  * spark.sql(...) and the as-of strategy injectable via the public
+  * SparkSessionExtensions hook. */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registerSql: expressions callable from SQL with codegen parity") {
+    GraftExtensions.registerSql(spark)
+    Seq((1L, ImageCodec.encode(5L, 6, 4, lossy = false)))
+      .toDF("id", "bytes").createOrReplaceTempView("imgs")
+    val r = spark.sql(
+      """SELECT mean_brightness(bytes) AS mb, size(decode_image(bytes)) AS n,
+        | psnr(bytes, bytes) AS p, length(resize_image(bytes, 3, 2)) AS rl,
+        | intensity_histogram(bytes)[0] AS h0
+        |FROM imgs""".stripMargin).collect()(0)
+    assert(math.abs(r.getAs[Double]("mb") -
+      ImageCodec.meanBrightness(ImageCodec.encode(5L, 6, 4, lossy = false))) < 1e-12)
+    assert(r.getAs[Int]("n") === 24)
+    assert(r.getAs[Double]("p") === 99.0)
+    assert(r.getAs[Int]("rl") === ImageCodec.HeaderLen + 6)
+  }
+
+  test("extensions object wires the strategy and all sql functions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; builders total
+    assert(GraftExtensions.sqlFunctions.map(_._1).toSet === Set(
+      "decode_image", "mean_brightness", "intensity_histogram", "psnr", "resize_image"))
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** End-to-end of the spark-submit entry's job body (run against the shared
+  * session rather than via Main.main, which builds its own session): synth
+  * input -> error split -> features -> post-process -> out + lineage, then
+  * a resumed run over the same lineage adds nothing. */
+class MainSpec extends SparkSpec {
+
+  test("full job: features + lineage written; resume is a no-op on complete output") {
+    val tmp = Files.createTempDirectory("graft-main").toString
+    val out = s"$tmp/features"
+    val cfg = pipeline.GraftConfig()
+    val images = sources.SynthImages.images(spark, 1500, 16)
+    val labels = sources.SynthImages.labels(spark, 1500, 16)
+    val (good, errors) = sources.ErrorChannel.split(images, sources.ErrorChannel.imageChecks)
+    assert(errors.count() === 0) // synthesized input is clean
+
+    pipeline.Lineage.runResumable(spark, good, "phash", "ts", cfg.lineageBuckets,
+      out, s"${out}_lineage",
+      resultEntityCol = Some("entity"), resultTsCol = Some("window_start")) { in =>
+      pipeline.PostProcessor.ordered(
+        pipeline.FeaturePipeline.features(in, labels, cfg),
+        Seq("entity", "window_start"))
+    }
+    val n1 = spark.read.parquet(out).count()
+    val lineage1 = spark.read.parquet(s"${out}_lineage")
+    assert(n1 > 0 && lineage1.count() > 0)
+    assert(lineage1.columns.toSet ===
+      Set("partition_id", "row_count", "min_ts", "max_ts", "digest"))
+
+    // resume over identical input: all buckets done -> nothing recomputed
+    pipeline.Lineage.runResumable(spark, good, "phash", "ts", cfg.lineageBuckets,
+      out, s"${out}_lineage",
+      resultEntityCol = Some("entity"), resultTsCol = Some("window_start")) { in =>
+      pipeline.FeaturePipeline.features(in, labels, cfg)
+    }
+    assert(spark.read.parquet(out).count() === n1)
+  }
+}

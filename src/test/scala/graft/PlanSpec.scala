@@ -50,11 +50,20 @@ class PlanSpec extends SparkSpec {
     // countDistinct would plan an Expand (3x the enriched stream) — the
     // algebraic rewrites must keep the agg a plain hash aggregate
     assert(!plan.contains("Expand"), s"Expand crept back into the agg:\n$plan")
+    // the flagship rides the custom sort-merge as-of exec
+    assert(plan.contains("AsOfMergeJoin"), s"custom as-of exec not planned:\n$plan")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    // one for the build-side dedupe, one for the union+window by entity; the
-    // lag/sessionize windows and the final (entity, window) agg must all
-    // reuse the entity partitioning (alias-aware propagation through as-of)
+    // probe exchange + build dedupe + build merge exchange; the module
+    // windows and the final (entity, window) agg must all reuse the probe
+    // partitioning the merge exec propagates
     assert(exchanges <= 3, s"shuffle budget blown ($exchanges exchanges):\n$plan")
+    // heavy-payload pruning: brightness must be computed BELOW the as-of
+    // join (pre-shuffle side) so raw bytes never cross the join exchange —
+    // in the top-down plan text the expression appears AFTER the join node
+    val idxJoin = plan.indexOf("AsOfMergeJoin")
+    val idxBright = plan.indexOf("meanbrightness")
+    assert(idxJoin >= 0 && idxBright > idxJoin,
+      s"brightness computed above the as-of join (bytes shuffled):\n$plan")
   }
 
   test("image expressions run inside whole-stage codegen") {

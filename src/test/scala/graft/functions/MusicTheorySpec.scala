@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MusicTheorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, rows: (Int, Int, Boolean)*) =
+    rows.toSeq.toDF("pc", "tonic", "minor").select(c).collect().map(r => Option(r.get(0))).toSeq
+
+  test("scaleDegree: C major degrees and chromatic nulls") {
+    // key C (tonic 0) major: C D E F G A B = degrees 1..7; C# chromatic
+    val got = one(MusicTheory.scaleDegree(col("pc"), col("tonic"), col("minor")),
+      (0, 0, false), (2, 0, false), (4, 0, false), (5, 0, false),
+      (7, 0, false), (9, 0, false), (11, 0, false), (1, 0, false))
+    assert(got === Seq(Some(1), Some(2), Some(3), Some(4), Some(5), Some(6), Some(7), None))
+  }
+
+  test("scaleDegree: A minor flat-3/6/7 pattern") {
+    // A minor (tonic 9): A B C D E F G = 1..7; G# (8) chromatic
+    val got = one(MusicTheory.scaleDegree(col("pc"), col("tonic"), col("minor")),
+      (9, 9, true), (0, 9, true), (4, 9, true), (8, 9, true))
+    assert(got === Seq(Some(1), Some(3), Some(5), None))
+  }
+
+  test("keySharps: circle of fifths, minor via relative major") {
+    // C=0 major -> 0; G=7 -> 1 sharp; F=5 -> 1 flat; A minor -> 0; E=4 -> 4 sharps
+    val got = one(MusicTheory.keySharps(col("tonic"), col("minor")).cast("int"),
+      (0, 0, false), (0, 7, false), (0, 5, false), (0, 9, true), (0, 4, false))
+    assert(got === Seq(Some(0), Some(1), Some(-1), Some(0), Some(4)))
+  }
+
+  test("keySignatureString: s/b/n encode (key.py:7-25)") {
+    val got = Seq((7, false), (5, false), (0, false), (4, false))
+      .toDF("tonic", "minor")
+      .select(MusicTheory.keySignatureString(col("tonic"), col("minor")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("s", "b", "n", "ssss"))
+  }
+
+  test("timeSignatureType: exact reference table") {
+    val got = Seq("4/4", "C", "6/8", "3/4", "9/8", "7/8").toDF("ts")
+      .select(MusicTheory.timeSignatureType(col("ts"))).collect().map(_.getString(0)).toSeq
+    assert(got === Seq("simple duple", "simple duple", "compound duple",
+      "simple triple", "compound triple", "other"))
+  }
+
+  test("beatsPerMeasure: compound meters group in threes") {
+    val got = Seq((4, 4), (6, 8), (3, 4), (12, 8), (2, 2)).toDF("num", "den")
+      .select(MusicTheory.beatsPerMeasure(col("num"), col("den")).cast("int"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(4, 2, 3, 4, 2))
+  }
+
+  test("harmonicFunction mirrors get_function_first control flow") {
+    def f(n: String, m: String) = Seq((n, m)).toDF("numeral", "mode")
+      .select(MusicTheory.harmonicFunction(col("numeral"), col("mode")))
+      .collect()(0).getString(0)
+    assert(f("I", "M") === "T" && f("i", "m") === "t")
+    assert(f("V", "M") === "D" && f("v", "m") === "d")
+    assert(f("vii", "m") === "D" && f("VII", "M") === "D" && f("#vii", "m") === "D")
+    assert(f("bII", "M") === "NAP" && f("bii", "m") === "NAP")
+    assert(f("IV", "M") === "SD" && f("vi", "m") === "sd")
+    assert(f("iii", "M") === "med" && f("III", "M") === "MED")
+    assert(f("bVII", "M") === "ST" && f("bVII", "m") === "bST")
+  }
+}

@@ -53,6 +53,26 @@ class VectorsSpec extends SparkSpec {
     assert(math.abs(r0.getAs[Double]("cos") - exact) < 1e-9)
   }
 
+  test("ivfTopK: bounded k, self excluded, cells deterministic") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((ImageCodec.mix64(i * 131L + d) & 0xff) / 128.0 - 1.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Vectors.ivfTopK(vecs, "vec_id", "embedding", k = 3, nCells = 4, dim = 8)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("rank") <= 3))
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    assert(Vectors.ivfCentroids(4, 8).map(_.toSeq).toSeq ===
+      Vectors.ivfCentroids(4, 8).map(_.toSeq).toSeq)
+    // an IVF neighbor's cos must equal the exact cosine for that pair
+    val m = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val r0 = rows.head
+    val (q, n) = (m(r0.getAs[Long]("query_id")), m(r0.getAs[Long]("neighbor_id")))
+    val exact = q.zip(n).map { case (x, y) => x * y }.sum /
+      (math.sqrt(q.map(x => x * x).sum) * math.sqrt(n.map(x => x * x).sum))
+    assert(math.abs(r0.getAs[Double]("cos") - exact) < 1e-9)
+  }
+
   test("hyperplanes are deterministic") {
     assert(Vectors.hyperplanes(4, 8).map(_.toSeq).toSeq ===
       Vectors.hyperplanes(4, 8).map(_.toSeq).toSeq)
