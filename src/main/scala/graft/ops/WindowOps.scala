@@ -110,6 +110,38 @@ object WindowOps {
       .withColumn("accel", (col("speed") - lag(col("speed"), 1).over(w)) / step)
   }
 
+  /** Tie-merge (P3): collapse chains of tied events into one event summing
+    * durations and keeping the chain head's attributes. A chain starts at a
+    * row whose `tieCol` is null or "start"; "continue"/"stop" rows extend
+    * the running chain. Reference: `set_ties`
+    * (`/root/reference/musif/extract/features/density/handler.py:175-197`),
+    * tie export `cache/utils.py:164-168`.
+    *
+    * Sessionize-shaped: chain id = running count of chain heads over the
+    * entity order, then one hash aggregate per chain. */
+  def tieMerge(df: DataFrame, entity: Seq[String], order: Seq[String],
+               tieCol: String, durationCol: String,
+               keepCols: Seq[String]): DataFrame = {
+    val wOrd = Window.partitionBy(entity.map(col): _*).orderBy(order.map(col): _*)
+    val isHead = when(col(tieCol).isNull || col(tieCol) === "start", 1).otherwise(0)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chained = df
+      .withColumn("__head", isHead)
+      .withColumn("__chain", sum(col("__head")).over(wRun))
+    // head attributes via the chain's unique head row (exactly one __head=1
+    // per chain) — deterministic, unlike first() in an unordered aggregate
+    val agged = chained
+      .groupBy((entity.map(col) :+ col("__chain").as("chain_id")): _*)
+      .agg(
+        max(when(col("__head") === 1, struct(keepCols.map(col): _*))).as("__h"),
+        sum(col(durationCol)).as(durationCol),
+        count(lit(1)).as("chain_len"))
+    agged.select(
+      entity.map(col) ++ Seq(col("chain_id")) ++
+        keepCols.map(c => col(s"__h.$c").as(c)) ++
+        Seq(col(durationCol), col("chain_len")): _*)
+  }
+
   /** Compress consecutive duplicates: keep rows whose value differs from the
     * previous row's (reference: `harmony/utils.py:23`). */
   def compressRuns(df: DataFrame, entity: Seq[String], order: Seq[String],

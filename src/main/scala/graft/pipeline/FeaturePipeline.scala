@@ -92,6 +92,34 @@ object FeaturePipeline {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** musif's native windowed mode (W2): feature row per sliding window of
+    * `size` events with `overlap` per entity, hop = size - overlap —
+    * `number_windows = (n - overlap) // hop`
+    * (`/root/reference/musif/extract/extract.py:416-464`). The event
+    * sequence axis (row_number per entity) stands in for measure numbers;
+    * rows belonging to several windows are exploded (generator shape, no
+    * extra shuffle — the groupBy reuses the entity partitioning).
+    * Emits `window_id` and `window_range` like the reference's
+    * WindowId/WindowRange columns. */
+  def featuresSliding(images: DataFrame, labels: DataFrame,
+                      size: Int, overlap: Int,
+                      moduleNames: Seq[String] = FeatureModules.All.map(_.name)): DataFrame = {
+    val modules = FeatureModules.resolve(moduleNames)
+    val enriched = enrich(images, labels, modules)
+    val wEnt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("phash")).orderBy(col("ts"), col("image_id"))
+    val seqd = enriched.withColumn("__seq", (row_number().over(wEnt) - 1).cast("long"))
+    val exploded = graft.ops.WindowOps.slidingWindowIds(seqd, "__seq", size, overlap)
+    val aggs: Seq[Column] = modules.flatMap(_.aggregates)
+    val hop = size - overlap
+    exploded
+      .groupBy(col("phash").as("entity"), col("window_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_range",
+        concat(lit("["), col("window_id") * hop, lit(", "),
+          col("window_id") * hop + size, lit(")")))
+  }
+
   /** Convenience entry over synthesized data. */
   def runSynthetic(spark: org.apache.spark.sql.SparkSession, nRows: Long,
                    nEntities: Int = 64,
