@@ -34,13 +34,9 @@ object Main {
       opts.getOrElse("set", "").split(";;").filter(_.contains("="))
         .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
 
-    def load(spec: String, synth: (SparkSession, Long) => org.apache.spark.sql.DataFrame) =
-      if (spec.startsWith("synth:")) synth(spark, spec.stripPrefix("synth:").toLong)
-      else spark.read.parquet(spec)
-
-    val rawImages = load(opts("images"),
+    val rawImages = sources.TableSource.load(spark, opts("images"),
       (s, n) => sources.SynthImages.images(s, n, 1024, 4.0 / 1024))
-    val labels = load(opts("labels"),
+    val labels = sources.TableSource.load(spark, opts("labels"),
       (s, n) => sources.SynthImages.labels(s, n, 1024))
 
     // corrupt-row channel: bad rows to <out>_errors, good rows onward

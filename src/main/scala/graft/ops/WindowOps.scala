@@ -30,6 +30,17 @@ object WindowOps {
     }
   }
 
+  /** Shared chunk-id pattern: a 0-based id per entity that increments where
+    * `headFlag` (evaluated against the lag-accessible frame) is 1. All three
+    * chunking operators (sessions, runs, tie chains) are this one idiom. */
+  private def runningId(df: DataFrame, entity: Seq[String], order: Seq[String],
+                        headFlag: Column, outCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(entity.map(col): _*).orderBy(order.map(col): _*)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__head", headFlag)
+      .withColumn(outCol, sum(col("__head")).over(wRun) - 1)
+  }
+
   /** Gap-based sessionization: a new session starts when the time delta from
     * the previous event exceeds `gapSeconds` (or at the entity head). Emits
     * `session_id` (0-based per entity). Reference pattern: run detection via
@@ -47,10 +58,7 @@ object WindowOps {
     val isNew = when(prev.isNull, 1)
       .when(unix_timestamp(col(tsCol)) - unix_timestamp(prev) > gapSeconds, 1)
       .otherwise(0)
-    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__new", isNew)
-      .withColumn(sessionCol, sum(col("__new")).over(wRun) - 1)
-      .drop("__new")
+    runningId(df, entity, tsCol +: tieBreak, isNew, sessionCol).drop("__head")
   }
 
   /** Run-length segmentation: consecutive rows with the same `valueCol` get
@@ -64,10 +72,7 @@ object WindowOps {
     val changed = when(
       lag(col(valueCol), 1).over(wOrd).isNull ||
         lag(col(valueCol), 1).over(wOrd) =!= col(valueCol), 1).otherwise(0)
-    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__chg", changed)
-      .withColumn(segmentCol, sum(col("__chg")).over(wRun) - 1)
-      .drop("__chg")
+    runningId(df, entity, order, changed, segmentCol).drop("__head")
   }
 
   /** Sliding windows over a discrete sequence axis (musif's measure windows):
@@ -111,25 +116,27 @@ object WindowOps {
   }
 
   /** Tie-merge (P3): collapse chains of tied events into one event summing
-    * durations and keeping the chain head's attributes. A chain starts at a
-    * row whose `tieCol` is null or "start"; "continue"/"stop" rows extend
-    * the running chain. Reference: `set_ties`
-    * (`/root/reference/musif/extract/features/density/handler.py:175-197`),
-    * tie export `cache/utils.py:164-168`.
+    * durations and keeping the chain head's attributes. Reference rule
+    * (`set_ties`, `/root/reference/musif/extract/features/density/handler.py:175-197`):
+    * a row HEADS a chain unless its tie marker is "continue" or "stop" —
+    * null, "start", the "-" untied sentinel of the tie export
+    * (`cache/utils.py:164-168`) and any other marker all start fresh.
+    * Defensively, the first row of an entity always heads (input sliced
+    * mid-chain must not produce a headless, null-attributed chain).
     *
-    * Sessionize-shaped: chain id = running count of chain heads over the
-    * entity order, then one hash aggregate per chain. */
+    * Sessionize-shaped: 0-based chain id per entity = running count of
+    * heads, then one hash aggregate per chain. */
   def tieMerge(df: DataFrame, entity: Seq[String], order: Seq[String],
                tieCol: String, durationCol: String,
                keepCols: Seq[String]): DataFrame = {
     val wOrd = Window.partitionBy(entity.map(col): _*).orderBy(order.map(col): _*)
-    val isHead = when(col(tieCol).isNull || col(tieCol) === "start", 1).otherwise(0)
-    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val chained = df
-      .withColumn("__head", isHead)
-      .withColumn("__chain", sum(col("__head")).over(wRun))
+    val isHead = when(
+      col(tieCol).isNull || !col(tieCol).isin("continue", "stop") ||
+        row_number().over(wOrd) === 1, 1).otherwise(0)
+    val chained = runningId(df, entity, order, isHead, "__chain")
     // head attributes via the chain's unique head row (exactly one __head=1
-    // per chain) — deterministic, unlike first() in an unordered aggregate
+    // per chain by construction) — deterministic, unlike first() in an
+    // unordered aggregate
     val agged = chained
       .groupBy((entity.map(col) :+ col("__chain").as("chain_id")): _*)
       .agg(

@@ -57,7 +57,7 @@ object FeaturePipeline {
 
     // Stage 3 (post-shuffle): order-dependent columns over the
     // entity-partitioned stream (lag, sessions) — exchange reused.
-    modules.foldLeft(withLabel)((df, m) => m.enrich(df))
+    modules.foldLeft(withLabel)((df, m) => m.enrich(df, Seq("phash")))
   }
 
   /** One wide feature row per (entity, tumbling window) from the requested
@@ -104,15 +104,44 @@ object FeaturePipeline {
   def featuresSliding(images: DataFrame, labels: DataFrame,
                       size: Int, overlap: Int,
                       moduleNames: Seq[String] = FeatureModules.All.map(_.name)): DataFrame = {
+    require(size > overlap && overlap >= 0, s"need size > overlap >= 0, got $size/$overlap")
     val modules = FeatureModules.resolve(moduleNames)
-    val enriched = enrich(images, labels, modules)
+    val hop = size - overlap
+
+    // prepare + prune + as-of label join (entity-partitioned), NO module
+    // window enrichment yet — order-dependent state must not cross window
+    // boundaries, so enrichment runs per (entity, window) after the explode
+    val prepared = modules.foldLeft(images)((df, m) => m.prepare(df))
+    val keep = (Seq("phash", "ts", "image_id") ++
+      modules.flatMap(_.preparedCols) ++ modules.flatMap(_.rawCols)).distinct
+    val withLabel = AsOfJoin.asOfSortMerge(
+      prepared.select(keep.map(col): _*), labels,
+      entityCol = "phash", probeTs = "ts", buildTs = "label_ts",
+      payloadCols = Seq("label", "weight"))
+
     val wEnt = org.apache.spark.sql.expressions.Window
       .partitionBy(col("phash")).orderBy(col("ts"), col("image_id"))
-    val seqd = enriched.withColumn("__seq", (row_number().over(wEnt) - 1).cast("long"))
+    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))
+    val seqd = withLabel
+      .withColumn("__seq", (row_number().over(wEnt) - 1).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wCnt))
+
+    // musif's window count: number_windows = (n - overlap) // hop — trailing
+    // partial windows are NOT emitted (`extract/extract.py:429-431`); since
+    // size = hop + overlap every emitted window holds exactly `size` rows
+    // Column `/` is double division — floor() matches Python's // exactly
+    val nWindows = greatest(
+      floor((col("__n") - overlap).cast("double") / hop).cast("long"), lit(0L))
     val exploded = graft.ops.WindowOps.slidingWindowIds(seqd, "__seq", size, overlap)
+      .where(col("window_id") < nWindows)
+
+    // per-(entity, window) enrichment: lag/session state scoped to the slice
+    val enriched = modules.foldLeft(exploded)((df, m) =>
+      m.enrich(df, Seq("phash", "window_id")))
+
     val aggs: Seq[Column] = modules.flatMap(_.aggregates)
-    val hop = size - overlap
-    exploded
+    require(aggs.nonEmpty, "no aggregates from requested modules")
+    enriched
       .groupBy(col("phash").as("entity"), col("window_id"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("window_range",

@@ -34,16 +34,21 @@ trait FeatureModule {
   /** Raw input columns still needed after the join (kept in the shuffle). */
   def rawCols: Seq[String] = Nil
   /** Post-shuffle row-level stage: order-dependent columns (lag, sessions)
-    * over the entity-partitioned stream. */
-  def enrich(df: DataFrame): DataFrame = df
+    * over the `entityCols`-partitioned stream. The time-window pipeline
+    * passes the entity alone; the sliding-measure-window mode passes
+    * (entity, window_id) so state never crosses a window boundary — musif
+    * re-extracts every window slice independently
+    * (`extract/extract.py:416-464`). */
+  def enrich(df: DataFrame, entityCols: Seq[String]): DataFrame = df
   /** Window-level: aggregates over the enriched columns. */
   def aggregates: Seq[Column] = Nil
 }
 
 object FeatureModules {
 
-  /** Per-entity event order shared by all module window functions. */
-  val entityWindow = Window.partitionBy(col("phash")).orderBy(col("ts"), col("image_id"))
+  /** Per-chunk event order shared by all module window functions. */
+  def entityWindow(entityCols: Seq[String]) =
+    Window.partitionBy(entityCols.map(col): _*).orderBy(col("ts"), col("image_id"))
 
   object CoreModule extends FeatureModule {
     val name = "core"
@@ -58,9 +63,9 @@ object FeatureModules {
     override def prepare(df: DataFrame): DataFrame = df
       .withColumn("brightness", ImageFunctions.mean_brightness(col("bytes")))
     override val preparedCols = Seq("brightness")
-    override def enrich(df: DataFrame): DataFrame = df
+    override def enrich(df: DataFrame, entityCols: Seq[String]): DataFrame = df
       .withColumn("brightness_delta",
-        col("brightness") - lag(col("brightness"), 1).over(entityWindow))
+        col("brightness") - lag(col("brightness"), 1).over(entityWindow(entityCols)))
     override def aggregates = Seq(
       avg(col("brightness")).as("brightness_mean"),
       when(count(col("brightness")) > 1, stddev_samp(col("brightness"))).as("brightness_std"),
@@ -98,8 +103,8 @@ object FeatureModules {
   /** Sessionization — the W4 gap-session analog. */
   object SessionModule extends FeatureModule {
     val name = "session"
-    override def enrich(df: DataFrame): DataFrame =
-      WindowOps.sessionize(df, Seq("phash"), "ts",
+    override def enrich(df: DataFrame, entityCols: Seq[String]): DataFrame =
+      WindowOps.sessionize(df, entityCols, "ts",
         FeaturePipeline.SessionGapSeconds, tieBreak = Seq("image_id"))
     override def aggregates = Seq(
       (max(col("session_id")) - min(col("session_id")) + 1).as("n_sessions"))

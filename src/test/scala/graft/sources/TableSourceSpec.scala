@@ -1,0 +1,32 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class TableSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def synthFn = (s: org.apache.spark.sql.SparkSession, n: Long) =>
+    SynthImages.images(s, n, 4)
+
+  test("spec routing: synth, parquet dir, catalog table") {
+    assert(TableSource.load(spark, "synth:50", synthFn).count() === 50L)
+
+    val dir = Files.createTempDirectory("graft-ts").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/t")
+    assert(TableSource.load(spark, s"$dir/t", synthFn).count() === 2L)
+
+    Seq((9L, "x")).toDF("id", "v").createOrReplaceTempView("ts_view")
+    assert(TableSource.load(spark, "table:ts_view", synthFn).count() === 1L)
+  }
+
+  test("option: prefixes are parsed and forwarded without breaking the path") {
+    val dir = Files.createTempDirectory("graft-ts2").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/t")
+    // mergeSchema is a real parquet reader option; the load must succeed
+    val df = TableSource.load(spark, s"option:mergeSchema=true;$dir/t", synthFn)
+    assert(df.count() === 1L)
+    intercept[IllegalArgumentException](
+      TableSource.load(spark, "option:badformat;x", synthFn))
+  }
+}
