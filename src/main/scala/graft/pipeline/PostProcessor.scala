@@ -94,6 +94,19 @@ object PostProcessor {
       case (d, _) => d
     }
 
+  /** Instrumentation one-hot explode (`processor.py:174-190`): a
+    * delimiter-joined set-valued string column becomes one 0/1 presence
+    * column per category. The category domain is explicit (bounded, fixed
+    * schema) — no distinct-scan. */
+  def oneHotExplode(df: DataFrame, column: String, categories: Seq[String],
+                    sep: String = ",", prefix: String = ""): DataFrame = {
+    val toks = split(col(column), java.util.regex.Pattern.quote(sep))
+    categories.foldLeft(df) { (d, c) =>
+      d.withColumn(s"$prefix$c",
+        when(array_contains(toks, c), 1).otherwise(0))
+    }
+  }
+
   /** O2: deterministic row + column order for stable file output. */
   def ordered(df: DataFrame, sortCols: Seq[String]): DataFrame = {
     val dataCols = df.columns.toSeq.filterNot(sortCols.contains).sorted

@@ -56,6 +56,15 @@ class PostProcessorSpec extends SparkSpec {
     assert(out.select("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("oneHotExplode: presence columns over a fixed category domain") {
+    val df2 = Seq((1L, "ob,vn"), (2L, "vn"), (3L, "")).toDF("id", "instr")
+    val out = oneHotExplode(df2, "instr", Seq("ob", "vn", "fl"), prefix = "has_")
+      .orderBy("id")
+      .select("has_ob", "has_vn", "has_fl")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(out === Seq((1, 1, 0), (0, 1, 0), (0, 0, 0)))
+  }
+
   test("resumeMerge: fresh rows win on key") {
     val prev = Seq((1L, "old"), (2L, "old")).toDF("id", "v")
     val fresh = Seq((2L, "new"), (3L, "new")).toDF("id", "v")
