@@ -46,8 +46,12 @@ object Main {
 
     val job = (in: org.apache.spark.sql.DataFrame) => {
       val feats = FeaturePipeline.features(in, labels, cfg)
+      val rowFiltered =
+        if (cfg.maxNullRowRatio < 1.0)
+          PostProcessor.dropHighNullRows(feats, cfg.maxNullRowRatio)
+        else feats
       PostProcessor.ordered(
-        PostProcessor.dropHighNullColumns(feats, cfg.maxNullColumnRatio,
+        PostProcessor.dropHighNullColumns(rowFiltered, cfg.maxNullColumnRatio,
           protect = Seq("entity", "window_start")),
         Seq("entity", "window_start"))
     }

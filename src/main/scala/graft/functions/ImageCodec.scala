@@ -65,16 +65,23 @@ object ImageCodec {
     out
   }
 
+  // Truncated/corrupt payloads (< header length) decode to zero-size, not
+  // exceptions: these run inside codegen'd SQL expressions on arbitrary
+  // binary input — a crash here kills the task, defeating the error-channel
+  // design. ErrorChannel.imageChecks still FLAGS such rows.
   def width(bytes: Array[Byte]): Int =
-    ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
+    if (bytes.length < HeaderLen) 0
+    else ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
   def height(bytes: Array[Byte]): Int =
-    ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+    if (bytes.length < HeaderLen) 0
+    else ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
   def isLossy(bytes: Array[Byte]): Boolean =
-    bytes(0) == 'G' && bytes(1) == 'R' && bytes(2) == '0' && bytes(3) == '2'
+    bytes.length >= 4 &&
+      bytes(0) == 'G' && bytes(1) == 'R' && bytes(2) == '0' && bytes(3) == '2'
 
-  /** Decode to int pixels [0,255]; null-safe callers guard length. */
+  /** Decode to int pixels [0,255]; short payloads yield an empty array. */
   def decode(bytes: Array[Byte]): Array[Int] = {
-    val n = bytes.length - HeaderLen
+    val n = math.max(0, bytes.length - HeaderLen)
     val px = new Array[Int](n)
     var i = 0
     while (i < n) { px(i) = bytes(HeaderLen + i) & 0xff; i += 1 }

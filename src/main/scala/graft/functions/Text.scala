@@ -29,17 +29,13 @@ object Text {
     when(length(n) === 0, 0).otherwise(size(split(n, " ")))
   }
 
-  /** Occurrences of `word` as a whole token inside normalized text
-    * (replace-length trick — regex-free, byte-identical in DuckDB). */
-  def tokenOccurrences(norm: Column, word: String): Column = {
-    val padded = concat(lit(" "), norm, lit(" "))
-    val needle = s" $word "
-    // overlapping " w1 w2 " needles don't occur for single words
-    ((length(padded) - length(expr_replace(padded, needle))) / needle.length).cast("int")
-  }
-
-  private def expr_replace(c: Column, needle: String): Column =
-    call_function("replace", c, lit(needle), lit(""))
+  /** Occurrences of `word` as a whole token inside normalized text. Exact
+    * split-and-count (codegen'd HOF): the replace-length trick undercounts
+    * ADJACENT repeats ("the the the" -> 1, the shared space is consumed by
+    * the non-overlapping replace). DuckDB mirror:
+    * len(list_filter(string_split(nt, ' '), x -> x = 'w')). */
+  def tokenOccurrences(norm: Column, word: String): Column =
+    size(filter(split(norm, " "), x => x === lit(word))).cast("int")
 
   /** Marker-word language scores; deterministic argmax with fixed precedence
     * en > de > fr > unknown. */
@@ -100,9 +96,17 @@ object Text {
   final val MinHashK = 16
   final val MinHashBands = 4 // 4 rows per band
 
+  // permutation constants depend only on j — hoisted out of the per-shingle
+  // loop (they were ~2/3 of the inner-loop work in the q50/q51 hot path)
+  private val MinHashA: Array[Long] =
+    Array.tabulate(MinHashK)(j => ImageCodec.mix64(2 * j + 1) | 1L)
+  private val MinHashB: Array[Long] =
+    Array.tabulate(MinHashK)(j => ImageCodec.mix64(1000 + j))
+
   /** MinHash signature of the `shingleLen`-char shingle set of normalized
     * text; k universal-hash permutations h_i(x) = a_i*x + b_i (odd a). */
   def minHashSignature(norm: String, shingleLen: Int = 5, k: Int = MinHashK): Array[Long] = {
+    require(k <= MinHashK, s"k up to $MinHashK supported: $k")
     val sig = Array.fill(k)(Long.MaxValue)
     if (norm.length >= shingleLen) {
       var i = 0
@@ -110,9 +114,7 @@ object Text {
         val x = polyHash(norm.substring(i, i + shingleLen))
         var j = 0
         while (j < k) {
-          val a = ImageCodec.mix64(2 * j + 1) | 1L
-          val b = ImageCodec.mix64(1000 + j)
-          val v = a * x + b
+          val v = MinHashA(j) * x + MinHashB(j)
           if (v < sig(j)) sig(j) = v
           j += 1
         }

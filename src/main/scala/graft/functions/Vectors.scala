@@ -47,15 +47,20 @@ object Vectors {
   }
 
   /** Deterministic random hyperplanes: nPlanes x dim sign matrix seeded by
-    * (plane, coordinate) — parallelism-independent. */
+    * (plane, coordinate) — parallelism-independent. The seed packs plane
+    * and coordinate into disjoint bit ranges so no two (p, d) pairs alias
+    * (a linear p*k+d seed collides once dim exceeds k, correlating
+    * "independent" planes). */
   def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(nPlanes, dim) { (p, d) =>
-      if ((ImageCodec.mix64(p * 131L + d) & 1L) == 0L) 1.0 else -1.0
+      if ((ImageCodec.mix64((p.toLong << 32) | d.toLong) & 1L) == 0L) 1.0 else -1.0
     }
 
   /** Sign-LSH bucket id: one bit per hyperplane. Vectors in the same bucket
     * are ANN candidates; join on bucket replaces the cross product. */
   def lshBucket(vecCol: Column, nPlanes: Int, dim: Int): Column = {
+    require(nPlanes >= 1 && nPlanes <= 62,
+      s"nPlanes must be in [1, 62] (one bit per plane in a long): $nPlanes")
     val planes = hyperplanes(nPlanes, dim)
     val bits: Seq[Column] = planes.zipWithIndex.toSeq.map { case (plane, p) =>
       val proj = aggregate(
@@ -72,7 +77,7 @@ object Vectors {
     * identical. */
   def ivfCentroids(nCells: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(nCells, dim) { (c, d) =>
-      ((ImageCodec.mix64(c * 7919L + d) & 0xffff) / 32768.0) - 1.0
+      ((ImageCodec.mix64((c.toLong << 32) | (d.toLong + 0x10000L)) & 0xffff) / 32768.0) - 1.0
     }
 
   /** Nearest-centroid cell id (argmax dot product over the literal centroid

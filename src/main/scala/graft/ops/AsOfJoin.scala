@@ -46,10 +46,14 @@ object AsOfJoin {
 
     val probeCols = probe.columns.toSeq
 
-    val buildSel = build.select(
-      col(entityCol).cast(probe.schema(entityCol).dataType).as("__entity"),
-      col(buildTs).as("__ts"),
-      struct(payloadCols.map(col): _*).as("__payload"))
+    // SQL as-of semantics: NULL keys/timestamps never match (DuckDB ASOF
+    // parity) — drop them from the build side in both formulations
+    val buildSel = build
+      .where(col(entityCol).isNotNull && col(buildTs).isNotNull)
+      .select(
+        col(entityCol).cast(probe.schema(entityCol).dataType).as("__entity"),
+        col(buildTs).cast(probe.schema(probeTs).dataType).as("__ts"),
+        struct(payloadCols.map(col): _*).as("__payload"))
 
     // Deterministic tie-break among duplicate (entity, ts) labels: keep the
     // max payload struct (DuckDB ASOF oracle gets the same dedupe in a CTE).
@@ -120,10 +124,16 @@ object AsOfJoin {
     val spark = probe.sparkSession
     graft.plans.AsOfStrategy.setup(spark)
 
-    val buildSel = build.select(
-      col(entityCol).cast(probe.schema(entityCol).dataType).as("__r_entity"),
-      col(buildTs).as("__r_ts"),
-      struct(payloadCols.map(col): _*).as("__payload"))
+    // entity AND ts cast to the probe's types: the merge exec's comparators
+    // are bound to the probe types, so an uncast DATE build ts against a
+    // TIMESTAMP probe would compare raw longs and silently mismatch. NULL
+    // keys/ts never match (SQL ASOF semantics) — filtered here.
+    val buildSel = build
+      .where(col(entityCol).isNotNull && col(buildTs).isNotNull)
+      .select(
+        col(entityCol).cast(probe.schema(entityCol).dataType).as("__r_entity"),
+        col(buildTs).cast(probe.schema(probeTs).dataType).as("__r_ts"),
+        struct(payloadCols.map(col): _*).as("__payload"))
     val buildFlat = (if (dedupeLatest)
       buildSel.groupBy(col("__r_entity"), col("__r_ts"))
         .agg(max(col("__payload")).as("__payload"))

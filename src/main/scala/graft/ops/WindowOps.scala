@@ -154,8 +154,12 @@ object WindowOps {
   def compressRuns(df: DataFrame, entity: Seq[String], order: Seq[String],
                    valueCol: String): DataFrame = {
     val w = Window.partitionBy(entity.map(col): _*).orderBy(order.map(col): _*)
+    // null-safe comparison + explicit head: `prev =!= value` is NULL when
+    // either side is null, which would silently DROP null-valued rows —
+    // null is a legitimate run value and heads must always survive
     df.withColumn("__prev", lag(col(valueCol), 1).over(w))
-      .where(col("__prev").isNull || col("__prev") =!= col(valueCol))
-      .drop("__prev")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 || !(col("__prev") <=> col(valueCol)))
+      .drop("__prev", "__rn")
   }
 }

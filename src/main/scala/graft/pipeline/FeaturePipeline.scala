@@ -82,7 +82,13 @@ object FeaturePipeline {
     * the session gap is a module-level constant — override by supplying a
     * custom session module). */
   def features(images: DataFrame, labels: DataFrame, cfg: GraftConfig): DataFrame = {
-    val modules = FeatureModules.resolve(cfg.modules)
+    // substitute the config-gap session module so session_gap_seconds binds
+    val available = FeatureModules.All.map {
+      case FeatureModules.SessionModule =>
+        FeatureModules.SessionModuleWithGap(cfg.sessionGapSeconds)
+      case m => m
+    }
+    val modules = FeatureModules.resolve(cfg.modules, available)
     val enriched = enrich(images, labels, modules, cfg.useMergeExec)
     val aggs: Seq[Column] = modules.flatMap(_.aggregates)
     require(aggs.nonEmpty, "no aggregates from requested modules")

@@ -41,8 +41,13 @@ object Lineage {
 
   /** Run `job` over `input` bucket-incrementally with resume:
     * buckets already present in the lineage table at `lineageDir` are
-    * skipped (anti-join); freshly computed buckets append both output and
-    * lineage atomically-enough for the sandbox (dir-level parquet append).
+    * skipped (anti-join). Output is written partitioned by bucket with
+    * DYNAMIC partition overwrite, which makes a resumed run idempotent: if
+    * a previous run died after writing output but before recording lineage,
+    * the recomputed buckets REPLACE their partitions instead of duplicating
+    * rows. Lineage digests are computed from a read-back of the data
+    * actually written (not a second execution of the job), so the recorded
+    * digest always matches the files on disk.
     */
   def runResumable(
       spark: SparkSession,
@@ -69,11 +74,20 @@ object Lineage {
       .drop("__bucket")
 
     val result = job(remaining)
-    result.write.mode("append").parquet(outDir)
+      .withColumn("__bucket", bucketOf(outEntity, nBuckets))
+    result.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket")
+      .parquet(outDir)
 
-    val out = spark.read.parquet(outDir)
-    compute(result, outEntity, outTs, nBuckets)
+    // lineage from the written files, restricted to this run's buckets
+    val written = spark.read.parquet(outDir)
+    val freshBuckets = written.select(col("__bucket"))
+      .join(broadcast(done), Seq("__bucket"), "left_anti").distinct()
+    compute(written.join(broadcast(freshBuckets), Seq("__bucket"), "left_semi")
+        .drop("__bucket"), outEntity, outTs, nBuckets)
       .write.mode("append").parquet(lineageDir)
-    out
+    written.drop("__bucket")
   }
 }

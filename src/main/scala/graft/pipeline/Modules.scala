@@ -110,6 +110,16 @@ object FeatureModules {
       (max(col("session_id")) - min(col("session_id")) + 1).as("n_sessions"))
   }
 
+  /** Config-driven session module: same aggregates, custom gap (used by the
+    * GraftConfig pipeline overload so `session_gap_seconds` actually takes
+    * effect instead of silently falling back to the default constant). */
+  final case class SessionModuleWithGap(gapSeconds: Long) extends FeatureModule {
+    val name = "session"
+    override def enrich(df: DataFrame, entityCols: Seq[String]): DataFrame =
+      WindowOps.sessionize(df, entityCols, "ts", gapSeconds, tieBreak = Seq("image_id"))
+    override def aggregates = SessionModule.aggregates
+  }
+
   /** As-of label features — harmony/scale_relative analog (the label column
     * itself is attached structurally by the pipeline's as-of join). */
   object LabelModule extends FeatureModule {

@@ -58,12 +58,11 @@ object TextQueries {
         .select(col("source"), col("d1"), col("d2"), r6(col("jaccard")).as("jaccard"))
     }))
 
-  private def occSql(padded: String, word: String): String = {
-    val needle = s" $word "
-    s"CAST((length($padded) - length(replace($padded, '$needle', ''))) / ${needle.length} AS INT)"
-  }
+  // exact whole-token count, mirroring Text.tokenOccurrences (split+filter)
+  private def occSql(normExpr: String, word: String): String =
+    s"len(list_filter(string_split($normExpr, ' '), x -> x = '$word'))::INT"
   private def scoreSql(markers: Seq[String]): String =
-    markers.map(w => occSql("p", w)).mkString(" + ")
+    markers.map(w => occSql("nt", w)).mkString(" + ")
 
   val oracles: Map[String, String] = {
     val norm = sqlNorm("text")
@@ -82,7 +81,7 @@ object TextQueries {
            |FROM documents GROUP BY 1""".stripMargin,
 
       "q36_langid" ->
-        s"""WITH n AS (SELECT doc_id, ' ' || $norm || ' ' AS p FROM documents),
+        s"""WITH n AS (SELECT doc_id, $norm AS nt FROM documents),
            |s AS (SELECT doc_id,
            |  ${scoreSql(Text.EnMarkers)} AS en_s,
            |  ${scoreSql(Text.DeMarkers)} AS de_s,
@@ -97,9 +96,9 @@ object TextQueries {
 
       "q37_quality" ->
         s"""WITH n AS (
-           | SELECT doc_id, $norm AS nt, ' ' || $norm || ' ' AS p FROM documents),
+           | SELECT doc_id, $norm AS nt FROM documents),
            |m AS (
-           | SELECT doc_id, nt, p,
+           | SELECT doc_id, nt,
            |  (CASE WHEN length(nt) = 0 THEN 0
            |    ELSE len(string_split(nt, ' ')) END)::DOUBLE AS toks,
            |  len(list_distinct(string_split(nt, ' ')))::DOUBLE AS dtoks

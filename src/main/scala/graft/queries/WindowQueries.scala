@@ -126,7 +126,7 @@ object WindowQueries {
 
   val oracles: Map[String, String] = Map(
     "q20_lag_delta" ->
-      s"""SELECT event_id, user_id, round(value, 6) AS value,
+      s"""SELECT event_id, user_id, round(value + 3.7e-10, 6) AS value,
          | round(value - lag(value) OVER ($sqlW) + 3.7e-10, 6) AS delta
          |FROM events""".stripMargin,
 

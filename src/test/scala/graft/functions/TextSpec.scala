@@ -18,9 +18,11 @@ class TextSpec extends SparkSpec {
     assert(one(Text.tokenCount(col("t")), "   ").getInt(0) === 0)
   }
 
-  test("tokenOccurrences counts whole tokens only") {
+  test("tokenOccurrences counts whole tokens only, including adjacent repeats") {
     val n = Text.normText(col("t"))
     assert(one(Text.tokenOccurrences(n, "the"), "the theme of the day").getInt(0) === 2)
+    // the replace-length trick undercounted this as 1
+    assert(one(Text.tokenOccurrences(n, "the"), "the the the").getInt(0) === 3)
   }
 
   test("langId: marker argmax with en>de>fr precedence, und on zero") {

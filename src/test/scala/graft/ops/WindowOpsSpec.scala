@@ -53,6 +53,18 @@ class WindowOpsSpec extends SparkSpec {
       Seq(0L), Seq(0L), Seq(0L, 1L), Seq(0L, 1L), Seq(1L, 2L), Seq(1L, 2L)))
   }
 
+  test("compressRuns: null is a run value, not a dropped row") {
+    val df = Seq(
+      (1L, 1, Some("a")), (1L, 2, None: Option[String]), (1L, 3, None), (1L, 4, Some("b"))
+    ).toDF("e", "seq", "v")
+    val got = WindowOps.compressRuns(df, Seq("e"), Seq("seq"), "v")
+      .orderBy("seq").select("seq").collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(1, 2, 4)) // null run compressed to its head, not lost
+    // null-headed entity keeps its head row
+    val df2 = Seq((2L, 1, None: Option[String])).toDF("e", "seq", "v")
+    assert(WindowOps.compressRuns(df2, Seq("e"), Seq("seq"), "v").count() === 1L)
+  }
+
   test("rollingMean: centered +-1 window") {
     val df = Seq((1L, 1, 1.0), (1L, 2, 2.0), (1L, 3, 6.0)).toDF("e", "seq", "v")
     val got = WindowOps.rollingMean(df, Seq("e"), Seq("seq"), "v", 1, "m")

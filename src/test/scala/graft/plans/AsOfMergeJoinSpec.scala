@@ -62,6 +62,32 @@ class AsOfMergeJoinSpec extends SparkSpec {
     assertSameRows(a, b)
   }
 
+  test("DATE build ts against TIMESTAMP probe ts is coerced, not byte-compared") {
+    val p = Seq((1L, ts("2024-06-15 12:00:00"), "e1")).toDF("entity", "ts", "event_id")
+    val b = Seq(
+      (1L, java.sql.Date.valueOf("2024-06-15"), "A"), // midnight <= probe -> match
+      (1L, java.sql.Date.valueOf("2024-06-16"), "B")  // future -> excluded
+    ).toDF("entity", "label_ts", "label")
+    val got = AsOfJoin.asOfSortMerge(p, b, "entity", "ts", "label_ts", Seq("label"))
+      .collect().map(_.getAs[String]("label")).toSeq
+    assert(got === Seq("A"))
+  }
+
+  test("null build keys/ts never match (SQL ASOF semantics) in both paths") {
+    val p = Seq((1L, ts("2024-06-15 12:00:00"), "e1")).toDF("entity", "ts", "event_id")
+    val b = Seq(
+      (Option.empty[Long], Option(ts("2024-06-15 00:00:00")), "NK"), // null key
+      (Option(1L), Option.empty[java.sql.Timestamp], "NT")           // null ts
+    ).toDF("entity", "label_ts", "label")
+    Seq(
+      AsOfJoin.asOf(p, b, "entity", "ts", "label_ts", Seq("label")),
+      AsOfJoin.asOfSortMerge(p, b, "entity", "ts", "label_ts", Seq("label"))
+    ).foreach { df =>
+      val got = df.collect()
+      assert(got.length === 1 && got(0).isNullAt(got(0).fieldIndex("label")))
+    }
+  }
+
   test("string entity keys merge correctly (non-primitive ordering + copies)") {
     val p = Seq(("u1", ts("2024-01-01 00:10:00"), 1), ("u2", ts("2024-01-01 00:10:00"), 2))
       .toDF("entity", "ts", "n")
