@@ -1,5 +1,17 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the full query battery on SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON line. The line is printed to stdout AND written to the
+  * file named by SPARK_GRAFT_BENCH_OUT (default ./bench_out.json) — sbt
+  * prefixes stdout with [info], which breaks line-oriented parsers, so the
+  * file is the canonical artifact.
+  *
+  * Failures are first-class: a query that throws is recorded under
+  * "failed" with its error (never a fake tiny wall time), and the process
+  * exits non-zero so a broken battery can't masquerade as a fast one.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,20 +28,37 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     catch { case _: Throwable => () }
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val timed = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
       // min over passes = steady-state (first pass may pay page-cache and
       // codegen-cache misses that say nothing about the plan's cost)
-      val times = (1 to passes).map { _ =>
+      val times = (1 to passes).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          None
+        }
       }
-      name -> times.min
+      if (times.nonEmpty) timed(name) = times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = timed.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val fs = failed.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = timed.values.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$fs,"n_ok":${timed.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
+    println(line)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    Files.writeString(Paths.get(outPath), line + "\n")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import graft.pipeline._
+import scala.jdk.CollectionConverters._
 
 /** The spark-submit entry point (north rule: "the same spark-submit job must
   * run on multi-executor clusters at N and 4N executors"):
@@ -44,32 +45,59 @@ object Main {
     val outDir = opts("out")
     errors.write.mode("overwrite").parquet(s"${outDir}_errors")
 
+    // ONE on-disk layout for both modes (bucket-partitioned, dynamic
+    // overwrite, via runResumable): running once without --resume and later
+    // with it must never mix flat and partitioned files in outDir. A fresh
+    // (non-resume) run clears previous output/lineage/column-pin first.
+    val resume = opts.contains("resume")
+    val pinPath = java.nio.file.Paths.get(s"${outDir}_columns.txt")
+    if (!resume) {
+      deleteRecursively(outDir)
+      deleteRecursively(s"${outDir}_lineage")
+      java.nio.file.Files.deleteIfExists(pinPath)
+    }
+
+    // Ratio-based column drops are decided ONCE (first run, whole current
+    // dataset) and pinned: a resumed run recomputes ratios over only the
+    // remaining buckets, which would write partitions with a different
+    // column set into the same outDir (schema drift on read-back).
+    val pinned: Option[Seq[String]] =
+      if (resume && java.nio.file.Files.exists(pinPath))
+        Some(java.nio.file.Files.readAllLines(pinPath).asScala.toSeq.filter(_.nonEmpty))
+      else None
+
     val job = (in: org.apache.spark.sql.DataFrame) => {
       val feats = FeaturePipeline.features(in, labels, cfg)
       val rowFiltered =
         if (cfg.maxNullRowRatio < 1.0)
           PostProcessor.dropHighNullRows(feats, cfg.maxNullRowRatio)
         else feats
-      PostProcessor.ordered(
-        PostProcessor.dropHighNullColumns(rowFiltered, cfg.maxNullColumnRatio,
-          protect = Seq("entity", "window_start")),
-        Seq("entity", "window_start"))
+      val kept = pinned match {
+        case Some(cols) =>
+          rowFiltered.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        case None =>
+          val d = PostProcessor.dropHighNullColumns(rowFiltered, cfg.maxNullColumnRatio,
+            protect = Seq("entity", "window_start"))
+          java.nio.file.Files.writeString(pinPath, d.columns.mkString("\n"))
+          d
+      }
+      PostProcessor.ordered(kept, Seq("entity", "window_start"))
     }
 
-    if (opts.contains("resume")) {
-      Lineage.runResumable(spark, images, "phash", "ts", cfg.lineageBuckets,
-        outDir, s"${outDir}_lineage",
-        resultEntityCol = Some("entity"),
-        resultTsCol = Some("window_start")) { remaining => job(remaining) }
-    } else {
-      val out = job(images)
-      out.write.mode("overwrite").parquet(outDir)
-      Lineage.compute(spark.read.parquet(outDir), "entity", "window_start",
-          cfg.lineageBuckets)
-        .write.mode("overwrite").parquet(s"${outDir}_lineage")
-    }
+    Lineage.runResumable(spark, images, "phash", "ts", cfg.lineageBuckets,
+      outDir, s"${outDir}_lineage",
+      resultEntityCol = Some("entity"),
+      resultTsCol = Some("window_start")) { remaining => job(remaining) }
     println(s"[graft] features -> $outDir (+_lineage, +_errors)")
     spark.stop()
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
   }
 
   @annotation.tailrec

@@ -39,7 +39,12 @@ object BatchTransform {
           val bytes = row.getAs[Array[Byte]](bytesIdx)
           val w = ImageCodec.width(bytes)
           val h = ImageCodec.height(bytes)
-          (0 until h by stride).map { y =>
+          // trust the actual payload, not the declared dims: a truncated
+          // payload whose header claims more strips than the bytes carry
+          // would otherwise throw in arraycopy and kill the task
+          val avail = math.max(0, bytes.length - ImageCodec.HeaderLen)
+          val hEff = if (w > 0) math.min(h, avail / w) else 0
+          (0 until hEff by stride).map { y =>
             val frame = new Array[Byte](ImageCodec.HeaderLen + w)
             System.arraycopy(bytes, 0, frame, 0, 4)
             frame(4) = ((w >> 8) & 0xff).toByte; frame(5) = (w & 0xff).toByte

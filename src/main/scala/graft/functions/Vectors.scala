@@ -83,6 +83,8 @@ object Vectors {
   /** Nearest-centroid cell id (argmax dot product over the literal centroid
     * table — codegen'd, no UDF, no shuffle). */
   def ivfCell(vecCol: Column, nCells: Int, dim: Int): Column = {
+    require(nCells >= 1, s"nCells must be positive: $nCells")
+    if (nCells == 1) return lit(0) // greatest() needs >= 2 args
     val cents = ivfCentroids(nCells, dim)
     val scored: Seq[Column] = cents.zipWithIndex.toSeq.map { case (cvec, i) =>
       struct(

@@ -64,6 +64,20 @@ object Lineage {
     val outEntity = resultEntityCol.getOrElse(entityCol)
     val outTs = resultTsCol.getOrElse(tsCol)
 
+    // refuse a pre-existing FLAT (unpartitioned) output layout: dynamic
+    // partition overwrite would leave the flat files in place and the
+    // read-back would double-count rows / mix schemas
+    val outPath = Paths.get(outDir)
+    if (Files.isDirectory(outPath)) {
+      val flat = Files.list(outPath).iterator()
+      val hasFlatData = Iterator.continually(flat)
+        .takeWhile(_.hasNext).map(_.next())
+        .exists(p => p.getFileName.toString.endsWith(".parquet"))
+      require(!hasFlatData,
+        s"$outDir holds unpartitioned parquet (no __bucket= dirs); resuming " +
+          "over a flat layout would double-count rows — clear it or use a fresh dir")
+    }
+
     val withBucket = input.withColumn("__bucket", bucketOf(entityCol, nBuckets))
     val done: DataFrame =
       if (Files.exists(Paths.get(lineageDir)))

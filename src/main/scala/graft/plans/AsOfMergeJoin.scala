@@ -125,7 +125,12 @@ case class AsOfMergeJoinExec(
       val payloadProj = UnsafeProjection.create(payloadAttrs, rightOut)
       val nullPayload: InternalRow = new GenericInternalRow(payloadAttrs.length)
       val joined = new JoinedRow
-      val resultProj = UnsafeProjection.create(outAttrs, leftOut ++ payloadAttrs)
+      // bind against nullable payload attrs: the output is left-outer, so an
+      // unmatched probe row projects from an all-null GenericInternalRow —
+      // binding at the build side's original (possibly non-null) nullability
+      // would elide the null check and project garbage instead of NULL
+      val resultProj = UnsafeProjection.create(outAttrs,
+        leftOut ++ payloadAttrs.map(_.withNullability(true)))
 
       val build = buildIter.buffered
       var lastKey: UnsafeRow = null      // copy of the matched build key

@@ -25,6 +25,17 @@ class BatchTransformSpec extends SparkSpec {
     assert(ImageCodec.decode(f0).toSeq === srcPixels.toSeq)
   }
 
+  test("frameSample survives a truncated payload (header claims more strips)") {
+    // header declares 8 strips but only 3 are present: sample from the real
+    // payload instead of throwing in arraycopy
+    val full = ImageCodec.encode(42L, 4, 8, lossy = false)
+    val truncated = full.take(ImageCodec.HeaderLen + 3 * 4)
+    import spark.implicits._
+    val df = Seq(("img-t", truncated)).toDF("image_id", "bytes")
+    val frames = BatchTransform.frameSample(df, stride = 1).collect()
+    assert(frames.length === 3)
+  }
+
   test("frameSample plan is narrow (no shuffle)") {
     val imgs = SynthImages.images(spark, 10, 2)
     val afterSynthesis = imgs.queryExecution.executedPlan.toString.count(_ == '\n')

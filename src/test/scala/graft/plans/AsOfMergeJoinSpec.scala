@@ -46,6 +46,19 @@ class AsOfMergeJoinSpec extends SparkSpec {
     assertSameRows(win, smj)
   }
 
+  test("dedupeLatest=false: unmatched probes project NULL for non-nullable payloads") {
+    // regression: without the dedupe max() agg nothing forces payload
+    // nullability, so the result projection must re-bind the payload attrs
+    // as nullable or unmatched rows project garbage (0.0) instead of NULL
+    val got = AsOfJoin.asOfSortMerge(probe, build, "entity", "ts", "label_ts",
+        Seq("label", "weight"), dedupeLatest = false)
+      .select("event_id", "label", "weight")
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2))).toSet
+    assert(got === Set(
+      ("e1", "A", 1.0), ("e2", "B", 2.0), ("e3", "B", 2.0),
+      ("e4", null, null), ("e5", null, null)))
+  }
+
   test("physical plan: AsOfMergeJoin over sorted co-partitioned exchanges") {
     val df = AsOfJoin.asOfSortMerge(probe, build, "entity", "ts", "label_ts", Seq("label"))
     val plan = df.queryExecution.executedPlan.toString
