@@ -82,6 +82,16 @@ object Text {
       when(den =!= 0 && den.isNotNull, num / den).otherwise(lit(0.0))
   }
 
+  /** Distinct character n-gram (shingle) set of an already-normalized text
+    * column — the exact-Jaccard ground truth the MinHash estimate
+    * approximates. DuckDB mirror:
+    * list_distinct(list_transform(range(1, length(nt)-(n-2)), i -> nt[i:i+(n-1)])). */
+  def charShingles(norm: Column, n: Int = 5): Column =
+    when(length(norm) >= n,
+      array_distinct(transform(sequence(lit(0), length(norm) - n),
+        i => norm.substr(i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
   // ---------------------------------------------------------------- MinHash
 
   /** Deterministic polynomial hash of a string (engine-internal; verified by
@@ -95,18 +105,22 @@ object Text {
 
   final val MinHashK = 16
   final val MinHashBands = 4 // 4 rows per band
+  /** Longest supported signature: precision-sensitive callers (e.g. the
+    * exactness-gated q59) use k=32 with 16x2 banding for ~1e-4 miss odds at
+    * j=0.6, while the default pipeline stays at k=16. */
+  final val MinHashMaxK = 32
 
   // permutation constants depend only on j — hoisted out of the per-shingle
   // loop (they were ~2/3 of the inner-loop work in the q50/q51 hot path)
   private val MinHashA: Array[Long] =
-    Array.tabulate(MinHashK)(j => ImageCodec.mix64(2 * j + 1) | 1L)
+    Array.tabulate(MinHashMaxK)(j => ImageCodec.mix64(2 * j + 1) | 1L)
   private val MinHashB: Array[Long] =
-    Array.tabulate(MinHashK)(j => ImageCodec.mix64(1000 + j))
+    Array.tabulate(MinHashMaxK)(j => ImageCodec.mix64(1000 + j))
 
   /** MinHash signature of the `shingleLen`-char shingle set of normalized
     * text; k universal-hash permutations h_i(x) = a_i*x + b_i (odd a). */
   def minHashSignature(norm: String, shingleLen: Int = 5, k: Int = MinHashK): Array[Long] = {
-    require(k <= MinHashK, s"k up to $MinHashK supported: $k")
+    require(k <= MinHashMaxK, s"k up to $MinHashMaxK supported: $k")
     val sig = Array.fill(k)(Long.MaxValue)
     if (norm.length >= shingleLen) {
       var i = 0
@@ -159,6 +173,13 @@ object Text {
 
   val minhashUdf = udf { (t: String) => minHashSignature(if (t == null) "" else t) }
   val lshBucketsUdf = udf { (sig: Seq[Long]) => lshBuckets(sig.toArray) }
+  /** Band count as a parameter: more bands (fewer rows each) = higher
+    * candidate recall at a given Jaccard — 8x2 catches j>=0.6 pairs with
+    * P ~ 1-(1-j^2)^8 ~ 0.97+, vs ~0.43 for the default 4x4. */
+  def lshBucketsBandsUdf(bands: Int) =
+    udf { (sig: Seq[Long]) => lshBuckets(sig.toArray, bands) }
+  def minhashKUdf(k: Int) =
+    udf { (t: String) => minHashSignature(if (t == null) "" else t, k = k) }
   val simhashUdf = udf { (t: String) => simHash64(if (t == null) "" else t) }
   val hammingUdf = udf { (a: Long, b: Long) => hamming64(a, b) }
 }

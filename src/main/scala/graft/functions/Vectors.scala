@@ -95,38 +95,126 @@ object Vectors {
     greatest(scored: _*).getField("cell")
   }
 
-  /** ANN top-k via IVF cells: each vector lands in its nearest-centroid
-    * cell; candidates = same cell (single-probe), ranked by true cosine.
-    * The inverted-file alternative to [[lshTopK]] — same bucket-join shape,
-    * centroid-based partitioning instead of hyperplane signs. */
-  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
-              k: Int, nCells: Int, dim: Int): DataFrame = {
-    val withCell = vectors.select(
-      col(idCol), toDoubleArray(col(vecCol)).as("__v"),
-      ivfCell(col(vecCol), nCells, dim).as("cell"))
-    val l = withCell.select(col(idCol).as("query_id"), col("__v").as("__qv"), col("cell"))
-    val r = withCell.select(col(idCol).as("neighbor_id"), col("__v").as("__cv"), col("cell"))
-    val scored = l.join(r, Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("__qv"), col("__cv")).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  // -------------------------------------------------- scale-honest sizing
+
+  /** Hyperplane count scaled to the corpus: buckets ~ n / targetBucketSize,
+    * so within-bucket candidate work stays O(n * targetBucketSize) instead
+    * of O(n^2 / constant). Clamped to [4, 20] (one bit per plane). */
+  def planesForCorpus(n: Long, targetBucketSize: Int = 64): Int = {
+    require(targetBucketSize > 0, s"targetBucketSize must be positive: $targetBucketSize")
+    val buckets = math.max(2.0, n.toDouble / targetBucketSize)
+    math.min(20, math.max(4, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
   }
 
-  /** ANN top-k via LSH buckets: candidates are restricted to the query's
-    * bucket (plus the exact-dup check), then ranked by true cosine. Recall
-    * is tunable via nPlanes; at 100 TB this is the path that avoids the
-    * O(Q*N) scan. */
+  /** IVF cell count scaled to the corpus (~ n / targetCellSize). Capped at
+    * 1024 because cell assignment is O(nCells * dim) per row with literal
+    * centroids; a production deployment would train centroids and assign
+    * via a BLAS GEMM, keeping the same bucket-join shape. */
+  def cellsForCorpus(n: Long, targetCellSize: Int = 256): Int = {
+    require(targetCellSize > 0, s"targetCellSize must be positive: $targetCellSize")
+    math.min(1024, math.max(2, math.ceil(n.toDouble / targetCellSize).toInt))
+  }
+
+  /** Big-bucket split: rows whose bucket exceeds `cap` are salted into
+    * ceil(size/cap) sub-buckets keyed on xxhash64(id). Joining on
+    * (bucket, __salt) then bounds per-group fan-out at ~cap regardless of
+    * skew — a degenerate bucket (boilerplate dups, identical vectors) costs
+    * O(size * cap) instead of O(size^2). `sizes` defaults to df's own bucket
+    * histogram; pass the BUILD side's histogram when salting a probe side so
+    * both sides agree on each bucket's split factor. */
+  def saltBuckets(df: DataFrame, bucketCol: String, idCol: String, cap: Int,
+                  sizes: Option[DataFrame] = None): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val szDf = sizes.getOrElse(
+      df.groupBy(col(bucketCol)).agg(count(lit(1)).as("__bsz")))
+    df.join(szDf, Seq(bucketCol))
+      .withColumn("__salt",
+        pmod(xxhash64(col(idCol)),
+          greatest(lit(1L), ceil(col("__bsz") / lit(cap.toDouble))).cast("long")).cast("int"))
+      .drop("__bsz")
+  }
+
+  /** Per-bucket size histogram (shared between build and probe salting). */
+  def bucketSizes(df: DataFrame, bucketCol: String): DataFrame =
+    df.groupBy(col(bucketCol)).agg(count(lit(1)).as("__bsz"))
+
+  /** Centroid scores best-first: array of (score, cell) structs sorted by
+    * score descending — element 1 is the nearest cell, a prefix slice is the
+    * multiprobe set. Centroids ride ONE array literal evaluated by a
+    * codegen'd HOF loop (no when-chain explosion at large nCells). */
+  private def cellsRanked(vec: Column, nCells: Int, dim: Int): Column = {
+    val cents = typedLit(ivfCentroids(nCells, dim).map(_.toSeq).toSeq)
+    reverse(array_sort(transform(cents, (c, i) =>
+      struct(
+        aggregate(zip_with(vec, c, (x, y) => x * y), lit(0.0), (acc, v) => acc + v).as("score"),
+        i.as("cell")))))
+  }
+
+  /** ANN top-k via IVF cells, scale-honest: candidates are the query's
+    * `probes` nearest cells (multiprobe recovers recall lost at cell
+    * boundaries), oversized cells are salt-split at `cap`, and results are
+    * ranked by true cosine. Candidate work per query is O(probes * cap) —
+    * linear in corpus size overall, never quadratic-in-N. */
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCells: Int, dim: Int,
+              cap: Int = 1024, probes: Int = 2): DataFrame = {
+    require(nCells >= 2, s"nCells must be >= 2: $nCells")
+    require(probes >= 1 && probes <= nCells, s"probes must be in [1, $nCells]: $probes")
+    val ranked = vectors.select(
+      col(idCol), toDoubleArray(col(vecCol)).as("__v"),
+      cellsRanked(toDoubleArray(col(vecCol)), nCells, dim).as("__ranked"))
+    val build0 = ranked
+      .withColumn("cell", element_at(col("__ranked"), 1).getField("cell"))
+      .drop("__ranked")
+    val sizes = bucketSizes(build0, "cell")
+    val build = saltBuckets(build0, "cell", idCol, cap, Some(sizes))
+      .select(col("cell"), col("__salt"), col(idCol).as("neighbor_id"), col("__v").as("__cv"))
+    val probe0 = ranked
+      .withColumn("cell",
+        explode(transform(slice(col("__ranked"), 1, probes), _.getField("cell"))))
+      .drop("__ranked")
+    val probe = saltBuckets(probe0, "cell", idCol, cap, Some(sizes))
+      .select(col("cell"), col("__salt"), col(idCol).as("query_id"), col("__v").as("__qv"))
+    rankCandidates(probe.join(build, Seq("cell", "__salt")), k)
+  }
+
+  /** ANN top-k via sign-LSH, scale-honest: the plane count should come from
+    * [[planesForCorpus]] so bucket count tracks corpus size; queries probe
+    * their own bucket plus every hamming-1 neighbor (multiprobe — recovers
+    * vectors that land one sign-flip away); oversized buckets (identical
+    * vectors) are salt-split at `cap`. Per-query candidate work is
+    * O((nPlanes+1) * cap); total work is linear in N. */
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
-              k: Int, nPlanes: Int, dim: Int): DataFrame = {
+              k: Int, nPlanes: Int, dim: Int,
+              cap: Int = 1024, multiprobe: Boolean = true): DataFrame = {
     val withBucket = vectors.select(
       col(idCol), toDoubleArray(col(vecCol)).as("__v"),
       lshBucket(col(vecCol), nPlanes, dim))
-    val l = withBucket.select(col(idCol).as("query_id"), col("__v").as("__qv"), col("bucket"))
-    val r = withBucket.select(col(idCol).as("neighbor_id"), col("__v").as("__cv"), col("bucket"))
-    val scored = l.join(r, Seq("bucket"))
+    val sizes = bucketSizes(withBucket, "bucket")
+    val build = saltBuckets(withBucket, "bucket", idCol, cap, Some(sizes))
+      .select(col("bucket"), col("__salt"), col(idCol).as("neighbor_id"), col("__v").as("__cv"))
+    val probeBuckets =
+      if (multiprobe)
+        array((col("bucket") +: (0 until nPlanes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p)))): _*)
+      else array(col("bucket"))
+    // inner join against the build histogram drops probes into empty buckets
+    val probe = saltBuckets(
+        withBucket.withColumn("bucket", explode(probeBuckets)),
+        "bucket", idCol, cap, Some(sizes))
+      .select(col("bucket"), col("__salt"), col(idCol).as("query_id"), col("__v").as("__qv"))
+    rankCandidates(probe.join(build, Seq("bucket", "__salt")), k)
+  }
+
+  /** Score candidate pairs by true cosine, dedupe pairs surfaced by several
+    * probe buckets (slim (q, n, cos) triple — vectors never re-shuffle), and
+    * keep each query's top-k. */
+  private def rankCandidates(cand: DataFrame, k: Int): DataFrame = {
+    val scored = cand
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("__qv"), col("__cv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cos"))
+      .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

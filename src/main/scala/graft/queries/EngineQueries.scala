@@ -35,9 +35,15 @@ object EngineQueries {
       val all = docs.unionByName(dups)
         .withColumn("sig", Text.minhashUdf(Text.normText(col("text"))))
         .withColumn("bucket", explode(Text.lshBucketsUdf(col("sig"))))
-      val a = all.select(col("bucket"), col("doc_id").as("d1"), col("sig").as("s1"))
-      val b = all.select(col("bucket"), col("doc_id").as("d2"), col("sig").as("s2"))
-      a.join(b, Seq("bucket"))
+      // big-bucket split: a degenerate bucket (empty/boilerplate texts all
+      // sharing one band signature) is salted into ~cap-sized sub-buckets so
+      // the self-join never goes quadratic on it
+      val salted = Vectors.saltBuckets(all, "bucket", "doc_id", cap = 256)
+      val a = salted.select(col("bucket"), col("__salt"),
+        col("doc_id").as("d1"), col("sig").as("s1"))
+      val b = salted.select(col("bucket"), col("__salt"),
+        col("doc_id").as("d2"), col("sig").as("s2"))
+      a.join(b, Seq("bucket", "__salt"))
         .where(col("d1") < col("d2"))
         .select(col("d1"), col("d2"),
           (size(filter(zip_with(col("s1"), col("s2"), _ === _), x => x))
@@ -96,19 +102,25 @@ object EngineQueries {
       Lineage.compute(FeaturePipeline.runSynthetic(s, 20000, 64),
         "entity", "window_start", 32)),
 
-    // ANN via sign-LSH buckets (scale path vs q40's exact baseline)
+    // ANN via sign-LSH buckets (scale path vs q40's exact baseline): plane
+    // count scales with corpus size, hamming-1 multiprobe, capped buckets
     "q57_lsh_topk" -> ((s, dir) => {
-      Vectors.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 5, nPlanes = 8, dim = 64)
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count() // production: table row-count statistic
+      Vectors.lshTopK(emb, "vec_id", "embedding",
+          k = 5, nPlanes = Vectors.planesForCorpus(n), dim = 64, cap = 512)
         .where(col("query_id") < 50)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), r6(col("cos")).as("cos"))
     }),
 
-    // ANN via IVF cells (inverted-file alternative to q57)
+    // ANN via IVF cells (inverted-file alternative to q57): cell count
+    // scales with corpus size, 2-cell multiprobe, capped cells
     "q58_ivf_topk" -> ((s, dir) => {
-      Vectors.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 5, nCells = 16, dim = 64)
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      Vectors.ivfTopK(emb, "vec_id", "embedding",
+          k = 5, nCells = Vectors.cellsForCorpus(n), dim = 64, cap = 512, probes = 2)
         .where(col("query_id") < 50)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), r6(col("cos")).as("cos"))

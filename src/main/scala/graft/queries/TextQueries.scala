@@ -56,6 +56,41 @@ object TextQueries {
           col("inter") / (size(col("t1")) + size(col("t2")) - col("inter")))
         .where(col("jaccard") >= 0.6)
         .select(col("source"), col("d1"), col("d2"), r6(col("jaccard")).as("jaccard"))
+    }),
+
+    // LSH-candidate near-dup pairs VERIFIED by exact shingle Jaccard — the
+    // DuckDB oracle computes ALL pairs >= threshold, so a hash match proves
+    // the banded-LSH candidate stage has 100% recall at the threshold on
+    // this corpus (k=32, 16 bands x 2 rows: P[miss | j=0.6] ~ 1.6e-4 per
+    // pair, exact on this deterministic data — verified at sf0.01/sf0.001).
+    // Bounded corpus (doc_id < 300 + injected dups) keeps the oracle's
+    // all-pairs side feasible; the Spark side stays the bucket join.
+    "q59_near_dup_verified" -> ((s, dir) => {
+      val base = t(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), Text.normText(col("text")).as("nt"))
+      val dups = t(s, dir, "documents")
+        .where(col("doc_id") < 300 && pmod(col("doc_id"), lit(25)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          Text.normText(concat(col("text"), lit(" near duplicate suffix"))).as("nt"))
+      val all = base.unionByName(dups)
+        .withColumn("sh", Text.charShingles(col("nt")))
+        .withColumn("sig", Text.minhashKUdf(32)(col("nt")))
+        .withColumn("bucket", explode(Text.lshBucketsBandsUdf(16)(col("sig"))))
+      // cap can't activate at this corpus size; it rides along so the SAME
+      // formulation is the one that holds at scale
+      val salted = graft.functions.Vectors.saltBuckets(all, "bucket", "doc_id", cap = 1024)
+      val a = salted.select(col("bucket"), col("__salt"),
+        col("doc_id").as("d1"), col("sh").as("sh1"))
+      val b = salted.select(col("bucket"), col("__salt"),
+        col("doc_id").as("d2"), col("sh").as("sh2"))
+      a.join(b, Seq("bucket", "__salt"))
+        .where(col("d1") < col("d2"))
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+        .withColumn("jaccard",
+          col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+        .where(col("jaccard") >= 0.6)
+        .select(col("d1"), col("d2"), r6(col("jaccard")).as("jaccard"))
+        .distinct()
     }))
 
   // exact whole-token count, mirroring Text.tokenOccurrences (split+filter)
@@ -124,6 +159,28 @@ object TextQueries {
            | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
            |SELECT source, d1, d2,
            | round(inter / (la + lb - inter) + 3.7e-10, 6) AS jaccard
+           |FROM p WHERE inter / (la + lb - inter) >= 0.6""".stripMargin,
+
+      // ALL pairs at exact shingle Jaccard >= 0.6 — the Spark side must
+      // surface every one of them through the LSH candidate stage
+      "q59_near_dup_verified" ->
+        s"""WITH base AS (
+           | SELECT doc_id, $norm AS nt FROM documents WHERE doc_id < 300
+           | UNION ALL
+           | SELECT doc_id + 1000000 AS doc_id,
+           |  ${sqlNorm("(text || ' near duplicate suffix')")} AS nt
+           | FROM documents WHERE doc_id < 300 AND doc_id % 25 = 0),
+           |d AS (
+           | SELECT doc_id,
+           |  list_distinct(list_transform(range(1, length(nt) - 3),
+           |    i -> nt[i:i+4])) AS sh
+           | FROM base),
+           |p AS (
+           | SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |  len(list_intersect(a.sh, b.sh))::DOUBLE AS inter,
+           |  len(a.sh) AS la, len(b.sh) AS lb
+           | FROM d a JOIN d b ON a.doc_id < b.doc_id)
+           |SELECT d1, d2, round(inter / (la + lb - inter) + 3.7e-10, 6) AS jaccard
            |FROM p WHERE inter / (la + lb - inter) >= 0.6""".stripMargin)
   }
 }

@@ -62,6 +62,23 @@ class TextSpec extends SparkSpec {
     assert(Text.lshBuckets(a).intersect(Text.lshBuckets(near)).nonEmpty)
   }
 
+  test("near-dup bucket join stays bounded under boilerplate collapse") {
+    // 500 identical docs share EVERY band bucket — the q51 shape that would
+    // go quadratic; the big-bucket salt must keep groups ~cap-sized
+    import spark.implicits._
+    val docs = (0 until 500).map(i =>
+      (i.toLong, "the same boilerplate footer text appears on every page"))
+      .toDF("doc_id", "text")
+    val all = docs
+      .withColumn("sig", Text.minhashUdf(Text.normText(col("text"))))
+      .withColumn("bucket", explode(Text.lshBucketsUdf(col("sig"))))
+    val salted = Vectors.saltBuckets(all, "bucket", "doc_id", cap = 50)
+    val maxGroup = salted.groupBy("bucket", "__salt").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxGroup <= 100, s"max salted group $maxGroup exceeds 2*cap")
+    assert(salted.count() === all.count())
+  }
+
   test("simhash: hamming 0 to self; closer for near-dup than for unrelated") {
     val a = Text.simHash64("alpha beta gamma delta epsilon zeta eta theta")
     val near = Text.simHash64("alpha beta gamma delta epsilon zeta eta iota")

@@ -77,4 +77,86 @@ class VectorsSpec extends SparkSpec {
     assert(Vectors.hyperplanes(4, 8).map(_.toSeq).toSeq ===
       Vectors.hyperplanes(4, 8).map(_.toSeq).toSeq)
   }
+
+  test("bucket sizing scales with corpus size") {
+    assert(Vectors.planesForCorpus(100) === 4)            // floor
+    assert(Vectors.planesForCorpus(64_000, 64) === 10)    // ~1000 buckets
+    assert(Vectors.planesForCorpus(100_000_000_000L) === 20) // ceiling
+    assert(Vectors.cellsForCorpus(100) === 2)
+    assert(Vectors.cellsForCorpus(25_600, 256) === 100)
+    assert(Vectors.cellsForCorpus(100_000_000_000L) === 1024)
+  }
+
+  /** Deterministic clustered corpus: `n` vectors around `nClusters` centers
+    * with bounded noise — the structure ANN recall is measured on. */
+  private def clustered(n: Int, nClusters: Int, dim: Int, noise: Double) = {
+    val centers = Array.tabulate(nClusters, dim) { (c, d) =>
+      ((ImageCodec.mix64(c * 7919L + d) & 0xffff) / 32768.0) - 1.0
+    }
+    (0 until n).map { i =>
+      val c = i % nClusters
+      (i.toLong, Array.tabulate(dim) { d =>
+        (centers(c)(d) +
+          (((ImageCodec.mix64(i * 104729L + d) & 0xffff) / 65536.0) - 0.5) * 2 * noise).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def recallVsExact(approx: org.apache.spark.sql.DataFrame,
+                            exact: org.apache.spark.sql.DataFrame): Double = {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (a, e) = (pairs(approx), pairs(exact))
+    a.intersect(e).size.toDouble / e.size
+  }
+
+  test("lshTopK recall >= 0.9 vs brute force on a clustered corpus (auto-sized, multiprobe)") {
+    val n = 1000
+    val vecs = clustered(n, nClusters = 20, dim = 16, noise = 0.1)
+    val exact = Vectors.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 10)
+    val approx = Vectors.lshTopK(vecs, "vec_id", "embedding",
+      k = 10, nPlanes = Vectors.planesForCorpus(n), dim = 16)
+    val r = recallVsExact(approx, exact)
+    assert(r >= 0.9, s"LSH recall $r < 0.9")
+  }
+
+  test("ivfTopK recall >= 0.9 vs brute force on a clustered corpus (auto-sized, multiprobe)") {
+    val n = 1000
+    val vecs = clustered(n, nClusters = 20, dim = 16, noise = 0.1)
+    val exact = Vectors.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 10)
+    val approx = Vectors.ivfTopK(vecs, "vec_id", "embedding",
+      k = 10, nCells = Vectors.cellsForCorpus(n, 128), dim = 16, probes = 3)
+    val r = recallVsExact(approx, exact)
+    assert(r >= 0.9, s"IVF recall $r < 0.9")
+  }
+
+  test("saltBuckets bounds fan-out on a degenerate bucket (skew-injected)") {
+    // 900 identical vectors collapse into ONE bucket; salting must split it
+    // into ~cap-sized groups so the self-join can't go quadratic
+    val cap = 50
+    val skewed = ((0 until 900).map(i => (i.toLong, 7L)) ++
+      (900 until 1000).map(i => (i.toLong, i.toLong % 13))).toDF("id", "bucket")
+    val salted = Vectors.saltBuckets(skewed, "bucket", "id", cap)
+    val maxGroup = salted.groupBy("bucket", "__salt").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxGroup <= 2L * cap, s"max (bucket, salt) group $maxGroup exceeds 2*cap")
+    assert(salted.count() === 1000) // salting drops/duplicates nothing
+  }
+
+  test("lshTopK stays correct and bounded under an identical-vector cluster") {
+    // 400 copies of one vector + 100 distinct: top-k for copies are other
+    // copies (cos = 1.0); bucket cap keeps candidate groups bounded
+    val base = Array.tabulate(8)(d => (d + 1).toFloat)
+    val vecs = ((0 until 400).map(i => (i.toLong, base)) ++
+      (400 until 500).map { i =>
+        (i.toLong, Array.tabulate(8)(d =>
+          ((ImageCodec.mix64(i * 31L + d) & 0xff) / 128.0 - 1.0).toFloat))
+      }).toDF("vec_id", "embedding")
+    val out = Vectors.lshTopK(vecs, "vec_id", "embedding",
+      k = 3, nPlanes = 4, dim = 8, cap = 32)
+    val dupRows = out.where(col("query_id") < 400).collect()
+    assert(dupRows.nonEmpty)
+    assert(dupRows.forall(r => math.abs(r.getAs[Double]("cos") - 1.0) < 1e-9),
+      "an identical-cluster query must rank other copies (cos=1) on top")
+  }
 }
