@@ -67,7 +67,11 @@ object Main {
       else None
 
     val job = (in: org.apache.spark.sql.DataFrame) => {
-      val feats = FeaturePipeline.features(in, labels, cfg)
+      val raw = FeaturePipeline.features(in, labels, cfg)
+      // group_columns analog (musif processor.py:160-172): merge the
+      // label-share family into aggregate tonal-function shares, keeping
+      // the member columns
+      val feats = PostProcessor.groupColumnFamilies(raw, labelShareFamilies(raw.columns))
       val rowFiltered =
         if (cfg.maxNullRowRatio < 1.0)
           PostProcessor.dropHighNullRows(feats, cfg.maxNullRowRatio)
@@ -90,6 +94,17 @@ object Main {
       resultTsCol = Some("window_start")) { remaining => job(remaining) }
     println(s"[graft] features -> $outDir (+_lineage, +_errors)")
     spark.stop()
+  }
+
+  /** The flagship table's family grouping: per-label share columns roll up
+    * by chord quality (the analog of musif's Key_* -> SD/T/rel families). */
+  def labelShareFamilies(columns: Seq[String]): Seq[PostProcessor.ColumnFamily] = {
+    def byQuality(q: String) = columns.filter(c =>
+      c.startsWith("label_share_") && c.endsWith(s"_$q")).sorted
+    Seq(
+      PostProcessor.ColumnFamily("label_share_major", byQuality("maj")),
+      PostProcessor.ColumnFamily("label_share_minor", byQuality("min")),
+      PostProcessor.ColumnFamily("label_share_dim", byQuality("dim")))
   }
 
   private def deleteRecursively(dir: String): Unit = {

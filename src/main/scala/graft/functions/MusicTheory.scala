@@ -78,6 +78,65 @@ object MusicTheory {
   def beatsPerMeasure(num: Column, den: Column): Column =
     when(num > 3 && pmod(num, lit(3)) === 0, num / 3).otherwise(num)
 
+  /** Perfect/major reference semitones for the generic interval implied by
+    * `steps` diatonic steps (0 steps = unison): simple-interval table plus
+    * 12 per octave. */
+  def perfectMajorSemitones(steps: Column): Column = {
+    val g = abs(steps) + 1
+    val simple0 = pmod(g - 1, lit(7))
+    val octaves = floor((g - 1) / 7).cast("int")
+    val ref = MajorSteps.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (semi, i)) => when(simple0 === i, semi).otherwise(acc)
+    }
+    ref + octaves * 12
+  }
+
+  /** Directed interval name from (signed semitones, signed diatonic steps) —
+    * the music21 `Interval.directedName` the reference's melody battery keys
+    * on (`/root/reference/musif/musicxml/common.py:199-203`): quality token
+    * (dd/d/m/M/P/A/AA from the semitone offset vs the perfect/major
+    * reference) + "-" for descending + generic number. NULL when the offset
+    * falls outside the dd..AA range. */
+  def intervalName(semitones: Column, steps: Column): Column = {
+    val g = abs(steps) + 1
+    val simple0 = pmod(g - 1, lit(7))
+    val isPerfect = simple0.isin(0, 3, 4) // unison/4th/5th class
+    val diff = abs(semitones) - perfectMajorSemitones(steps)
+    val qual = when(isPerfect,
+        when(diff === 0, "P").when(diff === 1, "A").when(diff === 2, "AA")
+          .when(diff === -1, "d").when(diff === -2, "dd"))
+      .otherwise(
+        when(diff === 0, "M").when(diff === -1, "m").when(diff === 1, "A")
+          .when(diff === 2, "AA").when(diff === -2, "d").when(diff === -3, "dd"))
+    val desc = (steps < 0) || (steps === 0 && semitones < 0)
+    when(qual.isNull, lit(null).cast("string"))
+      .otherwise(concat(qual, when(desc, "-").otherwise(""), g.cast("string")))
+  }
+
+  /** Quality classing of a directed interval name — control flow mirrors the
+    * reference exactly (`extract/features/melody/handler.py:342-372`):
+    * AA before A, case-sensitive M vs m, case-INsensitive perfect, dd
+    * before d. */
+  def intervalQualityClass(name: Column): Column =
+    when(name.isNull, lit(null).cast("string"))
+      .when(name.startsWith("AA"), "double_augmented")
+      .when(name.startsWith("A"), "augmented")
+      .when(name.startsWith("M"), "major")
+      .when(lower(name).startsWith("p"), "perfect")
+      .when(name.startsWith("m"), "minor")
+      .when(name.startsWith("dd"), "double_diminished")
+      .when(name.startsWith("d"), "diminished")
+
+  /** Interval size classing (`melody/handler.py:344-349`): generic number
+    * 1 = repeated note, 2 = stepwise, >= 3 = leap. */
+  def intervalSizeClass(steps: Column): Column = {
+    val g = abs(steps) + 1
+    when(g === 1, "repeated").when(g === 2, "stepwise").otherwise("leap")
+  }
+
+  /** |semitones| <= 12 — within vs beyond the octave (`handler.py:351-354`). */
+  def withinOctave(semitones: Column): Column = abs(semitones) <= 12
+
   /** First-level harmonic function of a roman numeral in a mode ("M"/"m") —
     * `get_function_first` (harmony/utils.py:274-338) over the plain-numeral
     * domain (augmented-sixth It/Ger/Fr specials excluded). Control flow

@@ -94,6 +94,111 @@ object PostProcessor {
       case (d, _) => d
     }
 
+  /** One column family to merge: `target` = row-wise sum of `members`
+    * (missing members are skipped; nulls count as 0 — the reference
+    * fillna(0)s the family before summing). Originals are kept. */
+  final case class ColumnFamily(target: String, members: Seq[String])
+
+  /** musif `DataProcessor.group_columns` (`process/processor.py:160-172`,
+    * `process/utils.py:129-225`): append per-family aggregate sum columns
+    * while keeping the member columns. Families are applied in order, so a
+    * later family may sum earlier targets (the reference's
+    * `Key_SubD = Key_sd + Key_SD`). With `zeroFillMembers` the member
+    * columns themselves are 0-filled in the output, matching the
+    * reference's in-place `update(fillna(0))` before summation. */
+  def groupColumnFamilies(df: DataFrame, families: Seq[ColumnFamily],
+                          zeroFillMembers: Boolean = true): DataFrame = {
+    val filled =
+      if (zeroFillMembers) {
+        val members = families.flatMap(_.members).distinct.filter(df.columns.contains)
+        val numeric = df.schema.fields
+          .filter(f => members.contains(f.name) && f.dataType.isInstanceOf[NumericType])
+          .map(_.name)
+        if (numeric.isEmpty) df else df.na.fill(0.0, numeric)
+      } else df
+    families.foldLeft(filled) { (d, fam) =>
+      val present = fam.members.filter(d.columns.contains)
+      val sumExpr =
+        if (present.isEmpty) lit(0.0) // pandas df[[]].sum(axis=1) == 0.0
+        else present.map(m => coalesce(col(m).cast(DoubleType), lit(0.0)): Column).reduce(_ + _)
+      d.withColumn(fam.target, sumExpr)
+    }
+  }
+
+  /** The reference's concrete family tables, derived from the actual column
+    * set exactly like `join_keys` / `join_keys_modulatory` /
+    * `join_part_degrees` (`process/utils.py:129-225`). NOTE: musif column
+    * names distinguish degree case (`Key_IV` vs `Key_iv`); Spark resolves
+    * names case-insensitively by default, so a table carrying both needs
+    * `spark.sql.caseSensitive=true` for these families. Constants:
+    * KEY_PREFIX="Harmony_Key_", KEY_PERCENTAGE="_PercentageMeasures",
+    * KEY_MODULATORY="Modulatory_", DEGREE_PREFIX="Degree"
+    * (`extract/features/harmony/constants.py:15-19`,
+    * `extract/features/scale/constants.py:10`). */
+  object MusifFamilies {
+    val KeyPrefix = "Harmony_Key_"
+    val KeyPct = "_PercentageMeasures"
+    val Modulatory = "Modulatory_"
+
+    /** `join_keys`: SD/sd/SubD/T/rel/Other over Key_*_PercentageMeasures. */
+    def keys(columns: Seq[String]): Seq[ColumnFamily] = {
+      def k(n: String) = s"$KeyPrefix$n$KeyPct"
+      val sd = Seq("IV", "II", "VI").map(k)
+      val sdMin = Seq("iv", "ii").map(k)
+      val tonic = Seq("I", "i").map(k)
+      val rel = Seq("III", "vi").map(k)
+      val total = (rel ++ tonic ++ sdMin ++ sd).filter(columns.contains)
+      val others = columns.filter(c =>
+        c.contains(KeyPrefix) && !total.contains(c) && !c.contains(Modulatory))
+      Seq(
+        ColumnFamily(k("SD"), sd),
+        ColumnFamily(k("sd"), sdMin),
+        ColumnFamily(k("SubD"), Seq(k("sd"), k("SD"))),
+        ColumnFamily(k("T"), tonic),
+        ColumnFamily(k("rel"), rel),
+        ColumnFamily(k("Other"), others))
+    }
+
+    /** `join_keys_modulatory`: the same shapes over Key_Modulatory_*. */
+    def keysModulatory(columns: Seq[String]): Seq[ColumnFamily] = {
+      def k(n: String) = s"$KeyPrefix$Modulatory$n"
+      val sd = Seq("IV", "II", "VI").map(k)
+      val sdMin = Seq("iv", "ii").map(k)
+      val tonic = Seq("I", "i").map(k)
+      val rel = Seq("III", "vi").map(k)
+      val total = (rel ++ tonic ++ sdMin ++ sd).filter(columns.contains)
+      val others = columns.filter(c =>
+        c.contains(KeyPrefix + Modulatory) && !total.contains(c))
+      Seq(
+        ColumnFamily(k("SD"), sd),
+        ColumnFamily(k("sd"), sdMin),
+        ColumnFamily(k("SubD"), Seq(k("sd"), k("SD"))),
+        ColumnFamily(k("T"), tonic),
+        ColumnFamily(k("rel"), rel),
+        ColumnFamily(k("Other"), others))
+    }
+
+    /** `join_part_degrees` for one part prefix (e.g. "PartVnI_"):
+      * Asc(#) / Desc(b not bb) / Dasc(x) / Ddesc(bb) / Nat / Nonat. */
+    def partDegrees(columns: Seq[String], part: String,
+                    suffix: String = ""): Seq[ColumnFamily] = {
+      val totalDegrees = columns.filter(c => c.contains("_Degree") &&
+        (if (suffix.isEmpty) !c.contains("relative") else c.contains("relative")))
+      val partDegrees = totalDegrees.filter(_.contains(part))
+      val natRe = ("^" + java.util.regex.Pattern.quote(part) + "Degree[0-9].*").r
+      val nat = partDegrees.filter(c => natRe.findFirstIn(c).isDefined)
+      def fam(n: String, ms: Seq[String]) =
+        ColumnFamily(s"${part}Degree_$n$suffix", ms)
+      Seq(
+        fam("Asc", partDegrees.filter(_.contains("#"))),
+        fam("Desc", partDegrees.filter(c => c.contains("b") && !c.contains("bb"))),
+        fam("Dasc", partDegrees.filter(_.contains("x"))),
+        fam("Ddesc", partDegrees.filter(_.contains("bb"))),
+        fam("Nat", nat),
+        fam("Nonat", partDegrees.filterNot(nat.contains)))
+    }
+  }
+
   /** Instrumentation one-hot explode (`processor.py:174-190`): a
     * delimiter-joined set-valued string column becomes one 0/1 presence
     * column per category. The category domain is explicit (bounded, fixed

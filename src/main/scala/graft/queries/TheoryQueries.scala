@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.MusicTheory
+import graft.functions.{Dims, MusicTheory}
 import Q._
 
 /** F3-F5 scalar families (key/scale/meter/harmonic-function arithmetic)
@@ -14,6 +14,14 @@ object TheoryQueries {
 
   private val Numerals = Seq("I", "v", "vii", "bII", "IV", "iii", "bVII")
   private val TimeSigs = Seq("4/4", "6/8", "3/4", "9/8", "7/8")
+
+  /** Deterministic mark/tempo-word domains for q31: every dynamic mark plus
+    * a tempo-word mix covering base words, derivatives, the "A tempo"/"Con
+    * brio"/"Giusto" specials, and an unmatched word (left-join null path). */
+  private val MarkDomain = Dims.DynamicLevels.map(_._1)
+  private val TempoWordDomain = Seq("allegro", "adagietto", "andante",
+    "largo", "presto", "vivacissimo", "tempo", "brio", "giusto",
+    "sostenuto", "cantabile", "marcia_funebre")
 
   val queries: Map[String, QueryFn] = Map(
     "q42_music_theory" -> ((s, dir) => {
@@ -32,6 +40,49 @@ object TheoryQueries {
         MusicTheory.timeSignatureType(col("tsig")).as("ts_type"),
         MusicTheory.harmonicFunction(col("numeral"),
           when(col("minor"), "m").otherwise("M")).as("hfunc"))
+    }),
+
+    // A7 extension: tempo/dynamics BROADCAST dimension lookups (J6 shape)
+    // feeding the ordered-dynamics aggregate — the reference's
+    // DYNAMIC_VALUES + tempo-word grouping as literal dim tables
+    "q31_tempo_dynamics" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("user_id"),
+        element_at(typedLit(MarkDomain),
+          (pmod(col("event_id"), lit(MarkDomain.size)) + 1).cast("int")).as("mark"),
+        element_at(typedLit(TempoWordDomain),
+          (pmod(col("event_id"), lit(TempoWordDomain.size)) + 1).cast("int")).as("tempo_word"))
+      val joined = e
+        .join(broadcast(Dims.dynamicsDim(s)), Seq("mark"), "left")
+        .join(broadcast(Dims.tempoDim(s)), Seq("tempo_word"), "left")
+      joined.groupBy(col("user_id")).agg(
+        r6(avg(col("level"))).as("dyn_mean"),
+        sum(when(col("tempo_group_2") === "Slow", 1).otherwise(0)).cast("bigint").as("n_slow"),
+        sum(when(col("tempo_group_2") === "Moderate", 1).otherwise(0)).cast("bigint").as("n_moderate"),
+        sum(when(col("tempo_group_2") === "Fast", 1).otherwise(0)).cast("bigint").as("n_fast"),
+        sum(when(col("tempo_group_2").isNull || col("tempo_group_2") === "NA", 1)
+          .otherwise(0)).cast("bigint").as("n_other"))
+    }),
+
+    // W1/F1 second half: directed interval names + quality/size classes
+    // from (semitones, steps) pairs derived deterministically from events —
+    // the offset domain (-3..3) sweeps dd..AA for major-type intervals and
+    // overflows the perfect range (-> NULL) at the edges
+    "q43_interval_names" -> ((s, dir) => {
+      val base = t(s, dir, "events").select(
+        col("event_id"),
+        (pmod(col("event_id"), lit(17)) - 8).cast("int").as("steps"),
+        (pmod(col("user_id"), lit(7)) - 3).cast("int").as("qoff"))
+      val withSemis = base.withColumn("semitones",
+        (when(col("steps") < 0, lit(-1)).otherwise(lit(1)) *
+          (MusicTheory.perfectMajorSemitones(col("steps")) + col("qoff"))).cast("int"))
+      val named = withSemis.withColumn("iname",
+        MusicTheory.intervalName(col("semitones"), col("steps")))
+      named.select(
+        col("event_id"), col("steps"), col("semitones"), col("iname"),
+        MusicTheory.intervalQualityClass(col("iname")).as("quality_class"),
+        MusicTheory.intervalSizeClass(col("steps")).as("size_class"),
+        MusicTheory.withinOctave(col("semitones")).as("within_octave"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -70,5 +121,67 @@ object TheoryQueries {
         | CASE ni WHEN 0 THEN 'T' WHEN 1 THEN 'd' WHEN 2 THEN 'D' WHEN 3 THEN 'NAP'
         |   WHEN 4 THEN 'SD' WHEN 5 THEN 'med'
         |   WHEN 6 THEN (CASE WHEN minor THEN 'bST' ELSE 'ST' END) END AS hfunc
-        |FROM e""".stripMargin)
+        |FROM e""".stripMargin,
+
+    "q31_tempo_dynamics" -> {
+      val marks = MarkDomain.map(m => "'" + m.replace("'", "''") + "'").mkString(", ")
+      val words = TempoWordDomain.map(w => s"'$w'").mkString(", ")
+      s"""WITH dyn(mark, level) AS (VALUES ${Dims.dynamicsValuesSql}),
+         |tempo(tempo_word, tempo_group_1, tempo_group_2) AS (VALUES ${Dims.tempoValuesSql}),
+         |e AS (
+         | SELECT user_id,
+         |  ([$marks])[(event_id % ${MarkDomain.size})::INT + 1] AS mark,
+         |  ([$words])[(event_id % ${TempoWordDomain.size})::INT + 1] AS tempo_word
+         | FROM events),
+         |j AS (
+         | SELECT e.user_id, d.level, t.tempo_group_2
+         | FROM e LEFT JOIN dyn d ON e.mark = d.mark
+         |  LEFT JOIN tempo t ON e.tempo_word = t.tempo_word)
+         |SELECT user_id, round(avg(level) + 3.7e-10, 6) AS dyn_mean,
+         | sum(CASE WHEN tempo_group_2 = 'Slow' THEN 1 ELSE 0 END)::BIGINT AS n_slow,
+         | sum(CASE WHEN tempo_group_2 = 'Moderate' THEN 1 ELSE 0 END)::BIGINT AS n_moderate,
+         | sum(CASE WHEN tempo_group_2 = 'Fast' THEN 1 ELSE 0 END)::BIGINT AS n_fast,
+         | sum(CASE WHEN tempo_group_2 IS NULL OR tempo_group_2 = 'NA' THEN 1 ELSE 0 END)::BIGINT AS n_other
+         |FROM j GROUP BY 1""".stripMargin
+    },
+
+    "q43_interval_names" ->
+      """WITH base AS (
+        | SELECT event_id,
+        |  ((event_id % 17) - 8)::INT AS steps,
+        |  ((user_id % 7) - 3)::INT AS qoff
+        | FROM events),
+        |d AS (SELECT *, (abs(steps) + 1)::INT AS g FROM base),
+        |e AS (SELECT *, ((g - 1) % 7) AS s0, ((g - 1) // 7) AS oct FROM d),
+        |f AS (SELECT *,
+        |  (CASE s0 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 5
+        |    WHEN 4 THEN 7 WHEN 5 THEN 9 WHEN 6 THEN 11 END) + 12 * oct AS expected
+        | FROM e),
+        |h AS (SELECT *,
+        |  (CASE WHEN steps < 0 THEN -(expected + qoff)
+        |    ELSE (expected + qoff) END)::INT AS semitones
+        | FROM f),
+        |i AS (SELECT *, abs(semitones) - expected AS diff,
+        |  (s0 IN (0, 3, 4)) AS perf FROM h),
+        |j AS (SELECT *,
+        |  CASE WHEN perf THEN
+        |    CASE diff WHEN 0 THEN 'P' WHEN 1 THEN 'A' WHEN 2 THEN 'AA'
+        |      WHEN -1 THEN 'd' WHEN -2 THEN 'dd' END
+        |  ELSE
+        |    CASE diff WHEN 0 THEN 'M' WHEN -1 THEN 'm' WHEN 1 THEN 'A'
+        |      WHEN 2 THEN 'AA' WHEN -2 THEN 'd' WHEN -3 THEN 'dd' END
+        |  END AS qual
+        | FROM i)
+        |SELECT event_id, steps, semitones,
+        | CASE WHEN qual IS NULL THEN NULL
+        |   ELSE qual || (CASE WHEN steps < 0 OR (steps = 0 AND semitones < 0)
+        |     THEN '-' ELSE '' END) || g::VARCHAR END AS iname,
+        | CASE qual WHEN 'AA' THEN 'double_augmented' WHEN 'A' THEN 'augmented'
+        |   WHEN 'M' THEN 'major' WHEN 'P' THEN 'perfect' WHEN 'm' THEN 'minor'
+        |   WHEN 'dd' THEN 'double_diminished' WHEN 'd' THEN 'diminished'
+        |   END AS quality_class,
+        | CASE WHEN g = 1 THEN 'repeated' WHEN g = 2 THEN 'stepwise'
+        |   ELSE 'leap' END AS size_class,
+        | (abs(semitones) <= 12) AS within_octave
+        |FROM j""".stripMargin)
 }

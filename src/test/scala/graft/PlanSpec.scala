@@ -21,6 +21,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("l_comment"), "scan reads unprojected columns")
   }
 
+  test("q31 tempo/dynamics dims are broadcast, not shuffled") {
+    val plan = planOf(SparkEntry.queries("q31_tempo_dynamics")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dim lookup shuffled:\n$plan")
+  }
+
   test("q12 dimension joins are broadcast, not shuffled") {
     val plan = planOf(SparkEntry.queries("q12_broadcast_dim")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")

@@ -65,4 +65,32 @@ class MusicTheorySpec extends SparkSpec {
     assert(f("iii", "M") === "med" && f("III", "M") === "MED")
     assert(f("bVII", "M") === "ST" && f("bVII", "m") === "bST")
   }
+
+  test("intervalName: music21 directedName on hand-checked pairs") {
+    def n(semis: Int, steps: Int): String = Seq((semis, steps)).toDF("s", "st")
+      .select(MusicTheory.intervalName(col("s"), col("st"))).collect()(0).getString(0)
+    assert(n(0, 0) === "P1")
+    assert(n(1, 0) === "A1" && n(-1, 0) === "A-1")
+    assert(n(4, 2) === "M3" && n(3, 2) === "m3")
+    assert(n(-4, -2) === "M-3")
+    assert(n(7, 4) === "P5" && n(-7, -4) === "P-5")
+    assert(n(6, 3) === "A4" && n(6, 4) === "d5")
+    assert(n(12, 7) === "P8" && n(13, 7) === "A8")
+    assert(n(10, 6) === "m7" && n(9, 6) === "d7" && n(8, 6) === "dd7")
+    assert(n(16, 9) === "M10") // compound: 3rd + octave
+    assert(n(20, 9) == null)   // offset out of dd..AA range
+  }
+
+  test("interval quality/size classes mirror handler.py branch order") {
+    def q(name: String): String = Seq(Tuple1(name)).toDF("n")
+      .select(MusicTheory.intervalQualityClass(col("n"))).collect()(0).getString(0)
+    assert(q("AA4") === "double_augmented" && q("A4") === "augmented")
+    assert(q("M3") === "major" && q("m3") === "minor")
+    assert(q("P5") === "perfect" && q("P-5") === "perfect")
+    assert(q("dd7") === "double_diminished" && q("d5") === "diminished")
+    def sz(steps: Int): String = Seq(Tuple1(steps)).toDF("st")
+      .select(MusicTheory.intervalSizeClass(col("st"))).collect()(0).getString(0)
+    assert(sz(0) === "repeated" && sz(1) === "stepwise" && sz(-1) === "stepwise")
+    assert(sz(2) === "leap" && sz(-7) === "leap")
+  }
 }
