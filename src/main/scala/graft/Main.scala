@@ -88,10 +88,13 @@ object Main {
       PostProcessor.ordered(kept, Seq("entity", "window_start"))
     }
 
-    Lineage.runResumable(spark, images, "phash", "ts", cfg.lineageBuckets,
+    val result = Lineage.runResumable(spark, images, "phash", "ts", cfg.lineageBuckets,
       outDir, s"${outDir}_lineage",
       resultEntityCol = Some("entity"),
       resultTsCol = Some("window_start")) { remaining => job(remaining) }
+    // S6: CSV export through the same writer API (musif's to_csv analog)
+    if (opts.get("format").contains("csv"))
+      sources.CsvSink.write(result, s"${outDir}_csv")
     println(s"[graft] features -> $outDir (+_lineage, +_errors)")
     spark.stop()
   }
@@ -122,6 +125,7 @@ object Main {
       case "--labels" :: v :: rest => parseArgs(rest, acc + ("labels" -> v))
       case "--out" :: v :: rest    => parseArgs(rest, acc + ("out" -> v))
       case "--config" :: v :: rest => parseArgs(rest, acc + ("config" -> v))
+      case "--format" :: v :: rest => parseArgs(rest, acc + ("format" -> v))
       case "--set" :: v :: rest =>
         parseArgs(rest, acc + ("set" -> (acc.get("set").map(_ + ";;").getOrElse("") + v)))
       case "--resume" :: rest      => parseArgs(rest, acc + ("resume" -> "true"))

@@ -53,6 +53,7 @@ object Stats {
     val ranked = df
       .withColumn("__rn", row_number().over(wOrd))
       .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__mean_all", avg(col(valueCol)).over(wAll))
       .withColumn("__k", floor(col("__n") * frac))
     ranked
       .where(col("__rn") > col("__k") && col("__rn") <= col("__n") - col("__k"))
@@ -60,6 +61,16 @@ object Stats {
       .agg(
         avg(col(valueCol)).as("trimmed_mean"),
         stddev_samp(col(valueCol)).as("trimmed_std"),
-        count(lit(1)).as("trimmed_n"))
+        count(lit(1)).as("trimmed_n"),
+        // constant within the group — first() just carries it through
+        first(col("__mean_all")).as("__untrimmed_mean"))
+      // TrimDiff / TrimRatio (`melody/handler.py:187-194`): how much the
+      // tails moved the mean, absolute and relative (x/0 -> 0 convention)
+      .withColumn("trim_diff", col("__untrimmed_mean") - col("trimmed_mean"))
+      .withColumn("trim_ratio",
+        when(col("__untrimmed_mean") =!= 0.0,
+          (col("__untrimmed_mean") - col("trimmed_mean")) / col("__untrimmed_mean"))
+          .otherwise(lit(0.0)))
+      .drop("__untrimmed_mean")
   }
 }

@@ -64,7 +64,9 @@ object CoreQueries {
       out.select(col("l_returnflag"),
         r6(col("trimmed_mean")).as("trimmed_mean"),
         r6(col("trimmed_std")).as("trimmed_std"),
-        col("trimmed_n"))
+        col("trimmed_n"),
+        r6(col("trim_diff")).as("trim_diff"),
+        r6(col("trim_ratio")).as("trim_ratio"))
     }),
 
     // A6/O4: deterministic argmax via ranked window
@@ -146,12 +148,17 @@ object CoreQueries {
         | SELECT l_returnflag, l_extendedprice,
         |  row_number() OVER (PARTITION BY l_returnflag
         |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
-        |  count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  count(*) OVER (PARTITION BY l_returnflag) AS cnt,
+        |  avg(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mean_all
         | FROM lineitem)
         |SELECT l_returnflag,
         | round(avg(l_extendedprice) + 3.7e-10, 6) AS trimmed_mean,
         | round(stddev(l_extendedprice) + 3.7e-10, 6) AS trimmed_std,
-        | count(*)::BIGINT AS trimmed_n
+        | count(*)::BIGINT AS trimmed_n,
+        | round(any_value(mean_all) - avg(l_extendedprice) + 3.7e-10, 6) AS trim_diff,
+        | round(CASE WHEN any_value(mean_all) <> 0
+        |   THEN (any_value(mean_all) - avg(l_extendedprice)) / any_value(mean_all)
+        |   ELSE 0 END + 3.7e-10, 6) AS trim_ratio
         |FROM ranked
         |WHERE rn > floor(cnt * 0.1) AND rn <= cnt - floor(cnt * 0.1)
         |GROUP BY l_returnflag""".stripMargin,

@@ -39,4 +39,15 @@ class MainSpec extends SparkSpec {
     }
     assert(spark.read.parquet(out).count() === n1)
   }
+
+  test("CSV sink round-trips the feature table exactly (S6)") {
+    val tmp = Files.createTempDirectory("graft-csv").toString
+    val feats = pipeline.FeaturePipeline.runSynthetic(spark, 800, 8)
+    sources.CsvSink.write(feats, s"$tmp/csv")
+    val back = sources.CsvSink.read(spark, s"$tmp/csv", feats.schema)
+    // CSV read-back is always nullable — compare names + types
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      feats.schema.map(f => (f.name, f.dataType)))
+    assertSameRows(feats, back)
+  }
 }
