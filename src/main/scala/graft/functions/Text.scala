@@ -171,15 +171,9 @@ object Text {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  val minhashUdf = udf { (t: String) => minHashSignature(if (t == null) "" else t) }
-  val lshBucketsUdf = udf { (sig: Seq[Long]) => lshBuckets(sig.toArray) }
-  /** Band count as a parameter: more bands (fewer rows each) = higher
-    * candidate recall at a given Jaccard — 8x2 catches j>=0.6 pairs with
-    * P ~ 1-(1-j^2)^8 ~ 0.97+, vs ~0.43 for the default 4x4. */
-  def lshBucketsBandsUdf(bands: Int) =
-    udf { (sig: Seq[Long]) => lshBuckets(sig.toArray, bands) }
-  def minhashKUdf(k: Int) =
-    udf { (t: String) => minHashSignature(if (t == null) "" else t, k = k) }
-  val simhashUdf = udf { (t: String) => simHash64(if (t == null) "" else t) }
-  val hammingUdf = udf { (a: Long, b: Long) => hamming64(a, b) }
+  // Column-level signature API lives in TextFunctions (TextExpressions.scala)
+  // as codegen'd Catalyst expressions — no Scala UDF in the q50-q52/q59 hot
+  // paths. Band-count note: more bands (fewer rows each) = higher candidate
+  // recall at a given Jaccard — 16x2 catches j>=0.6 pairs with
+  // P ~ 1-(1-j^2)^16, vs ~0.43 for the default 4x4.
 }

@@ -31,12 +31,20 @@ object FeaturePipeline {
     * leakage-freedom. */
   def enrich(images: DataFrame, labels: DataFrame,
              modules: Seq[FeatureModule] = FeatureModules.All,
-             useMergeExec: Boolean = true): DataFrame = {
+             useMergeExec: Boolean = true,
+             preHooks: Seq[DataFrame => DataFrame] = Nil): DataFrame = {
+    // Stage 0: user pre-pipeline hooks — musif's `precache_hooks`
+    // (`extract/extract.py:613-617`): arbitrary DataFrame => DataFrame
+    // transforms over the validated input BEFORE any module sees it
+    // (filtering, payload normalization, column rewrites). Narrow unless
+    // the user shuffles; runs below the payload prune so hooks still see
+    // the raw bytes/caption columns.
+    val hooked = preHooks.foldLeft(images)((df, h) => h(df))
     // Stage 1 (pre-shuffle, narrow): per-row pure features, then prune the
     // heavy payload columns — the entity exchange moves derived features
     // (~80 B/row), not raw bytes/captions. At 100 TB this is the difference
     // between shuffling the corpus and shuffling a feature table.
-    val prepared = modules.foldLeft(images)((df, m) => m.prepare(df))
+    val prepared = modules.foldLeft(hooked)((df, m) => m.prepare(df))
     val keep = (Seq("phash", "ts", "image_id") ++
       modules.flatMap(_.preparedCols) ++ modules.flatMap(_.rawCols)).distinct
     val slim = prepared.select(keep.map(col): _*)
@@ -89,7 +97,7 @@ object FeaturePipeline {
       case m => m
     }
     val modules = FeatureModules.resolve(cfg.modules, available)
-    val enriched = enrich(images, labels, modules, cfg.useMergeExec)
+    val enriched = enrich(images, labels, modules, cfg.useMergeExec, cfg.preHooks)
     val aggs: Seq[Column] = modules.flatMap(_.aggregates)
     require(aggs.nonEmpty, "no aggregates from requested modules")
     enriched

@@ -13,7 +13,12 @@ final case class GraftConfig(
     useMergeExec: Boolean = true,
     maxNullColumnRatio: Double = 1.0,
     maxNullRowRatio: Double = 1.0,
-    lineageBuckets: Int = 64) {
+    lineageBuckets: Int = 64,
+    /** musif `precache_hooks` analog (`extract/extract.py:613-617`,
+      * docs/source/Hooks.md): user transforms applied to the validated
+      * input stream BEFORE any module runs — programmatic only (functions
+      * don't load from a properties file). */
+    preHooks: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Nil) {
 
   def withOverrides(overrides: Map[String, String]): GraftConfig =
     overrides.foldLeft(this) { case (c, (k, v)) =>

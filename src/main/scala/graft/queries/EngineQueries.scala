@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.{ImageFunctions, Text, Vectors}
+import graft.functions.{ImageFunctions, Text, TextFunctions, Vectors}
 import graft.pipeline.{FeaturePipeline, Lineage}
 import graft.sources.SynthImages
 import Q._
@@ -16,8 +16,8 @@ object EngineQueries {
     // MinHash signatures + LSH band buckets per document
     "q50_minhash_signatures" -> ((s, dir) => {
       t(s, dir, "documents")
-        .withColumn("sig", Text.minhashUdf(Text.normText(col("text"))))
-        .withColumn("buckets", Text.lshBucketsUdf(col("sig")))
+        .withColumn("sig", TextFunctions.minhash(Text.normText(col("text"))))
+        .withColumn("buckets", TextFunctions.lsh_bands(col("sig")))
         .select(col("doc_id"), col("sig").getItem(0).as("minhash_0"),
           col("sig").getItem(1).as("minhash_1"),
           col("buckets").getItem(0).as("bucket_0"),
@@ -33,8 +33,8 @@ object EngineQueries {
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" near duplicate suffix")).as("text"))
       val all = docs.unionByName(dups)
-        .withColumn("sig", Text.minhashUdf(Text.normText(col("text"))))
-        .withColumn("bucket", explode(Text.lshBucketsUdf(col("sig"))))
+        .withColumn("sig", TextFunctions.minhash(Text.normText(col("text"))))
+        .withColumn("bucket", explode(TextFunctions.lsh_bands(col("sig"))))
       // big-bucket split: a degenerate bucket (empty/boilerplate texts all
       // sharing one band signature) is salted into ~cap-sized sub-buckets so
       // the self-join never goes quadratic on it
@@ -55,14 +55,14 @@ object EngineQueries {
     // SimHash fingerprints + hamming distance to the injected near-copy
     "q52_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .withColumn("simhash", Text.simhashUdf(Text.normText(col("text"))))
+        .withColumn("simhash", TextFunctions.simhash(Text.normText(col("text"))))
       val dups = t(s, dir, "documents").where(pmod(col("doc_id"), lit(25)) === 0)
         .select(col("doc_id"),
-          Text.simhashUdf(Text.normText(concat(col("text"), lit(" tail")))).as("dup_simhash"))
+          TextFunctions.simhash(Text.normText(concat(col("text"), lit(" tail")))).as("dup_simhash"))
       docs.join(dups, Seq("doc_id"), "left")
         .select(col("doc_id"), col("simhash"),
           when(col("dup_simhash").isNotNull,
-            Text.hammingUdf(col("simhash"), col("dup_simhash"))).as("hamming_to_dup"))
+            TextFunctions.hamming(col("simhash"), col("dup_simhash"))).as("hamming_to_dup"))
     }),
 
     // Image decode + per-image features over the synthesized input table

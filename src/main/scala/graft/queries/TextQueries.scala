@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.Text
+import graft.functions.{Text, TextFunctions}
 import Q._
 
 /** Text-analysis + dedup family over `documents`: token counting,
@@ -74,8 +74,8 @@ object TextQueries {
           Text.normText(concat(col("text"), lit(" near duplicate suffix"))).as("nt"))
       val all = base.unionByName(dups)
         .withColumn("sh", Text.charShingles(col("nt")))
-        .withColumn("sig", Text.minhashKUdf(32)(col("nt")))
-        .withColumn("bucket", explode(Text.lshBucketsBandsUdf(16)(col("sig"))))
+        .withColumn("sig", TextFunctions.minhash(col("nt"), k = 32))
+        .withColumn("bucket", explode(TextFunctions.lsh_bands(col("sig"), bands = 16)))
       // cap can't activate at this corpus size; it rides along so the SAME
       // formulation is the one that holds at scale
       val salted = graft.functions.Vectors.saltBuckets(all, "bucket", "doc_id", cap = 1024)

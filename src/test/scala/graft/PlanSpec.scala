@@ -21,6 +21,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("l_comment"), "scan reads unprojected columns")
   }
 
+  test("q50 signature stage is a codegen'd expression, not a Scala UDF") {
+    val plan = planOf(SparkEntry.queries("q50_minhash_signatures")(spark, sfDir))
+    // "*(n)" prefixes mark whole-stage-codegen spans; the signature
+    // projection must sit inside one
+    assert("\\*\\(\\d+\\) Project \\[doc_id".r.findFirstIn(plan).isDefined
+      && plan.contains("minhashsig"), s"signature stage not codegen'd:\n$plan")
+    assert(!plan.contains("UDF"), s"Scala UDF survives in the signature path:\n$plan")
+  }
+
   test("q31 tempo/dynamics dims are broadcast, not shuffled") {
     val plan = planOf(SparkEntry.queries("q31_tempo_dynamics")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")

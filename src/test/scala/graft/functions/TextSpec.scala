@@ -70,8 +70,8 @@ class TextSpec extends SparkSpec {
       (i.toLong, "the same boilerplate footer text appears on every page"))
       .toDF("doc_id", "text")
     val all = docs
-      .withColumn("sig", Text.minhashUdf(Text.normText(col("text"))))
-      .withColumn("bucket", explode(Text.lshBucketsUdf(col("sig"))))
+      .withColumn("sig", TextFunctions.minhash(Text.normText(col("text"))))
+      .withColumn("bucket", explode(TextFunctions.lsh_bands(col("sig"))))
     val salted = Vectors.saltBuckets(all, "bucket", "doc_id", cap = 50)
     val maxGroup = salted.groupBy("bucket", "__salt").count()
       .agg(max("count")).collect()(0).getLong(0)

@@ -29,6 +29,27 @@ class ModulesSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("pre-pipeline hook mutates the stream before any module runs (precache_hooks analog)") {
+    val imgs = SynthImages.images(spark, 1000, 8)
+    val lbls = SynthImages.labels(spark, 1000, 8)
+    val hook: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.withColumn("caption", org.apache.spark.sql.functions.lit("one two three"))
+    val out = FeaturePipeline.features(imgs, lbls,
+      GraftConfig(preHooks = Seq(hook)))
+    // every window's caption_tokens_mean is exactly 3 -> the hook rewrote
+    // the caption BEFORE CaptionModule.prepare tokenized it
+    val mm = out.agg(
+      org.apache.spark.sql.functions.min("caption_tokens_mean"),
+      org.apache.spark.sql.functions.max("caption_tokens_mean")).collect()(0)
+    assert(mm.getDouble(0) === 3.0 && mm.getDouble(1) === 3.0)
+    // and without the hook the captions vary
+    val base = FeaturePipeline.features(imgs, lbls, GraftConfig())
+    val bm = base.agg(
+      org.apache.spark.sql.functions.min("caption_tokens_mean"),
+      org.apache.spark.sql.functions.max("caption_tokens_mean")).collect()(0)
+    assert(bm.getDouble(0) !== bm.getDouble(1))
+  }
+
   test("full module set matches the one-shot pipeline columns") {
     val imgs = SynthImages.images(spark, 300, 8)
     val lbls = SynthImages.labels(spark, 300, 8)
