@@ -123,10 +123,16 @@ object Vectors {
     * histogram; pass the BUILD side's histogram when salting a probe side so
     * both sides agree on each bucket's split factor. */
   def saltBuckets(df: DataFrame, bucketCol: String, idCol: String, cap: Int,
-                  sizes: Option[DataFrame] = None): DataFrame = {
+                  sizes: Option[DataFrame] = None,
+                  broadcastSizes: Boolean = false): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
-    val szDf = sizes.getOrElse(
+    val szDf0 = sizes.getOrElse(
       df.groupBy(col(bucketCol)).agg(count(lit(1)).as("__bsz")))
+    // the sign-LSH/IVF bucket domain is bounded (2^nPlanes <= 1M cells /
+    // nCells <= 1024), so the histogram broadcasts and the salting stays
+    // narrow; text band-hash buckets are UNbounded (distinct buckets grow
+    // with the corpus) and must keep the shuffle join — caller's choice
+    val szDf = if (broadcastSizes) broadcast(szDf0) else szDf0
     df.join(szDf, Seq(bucketCol))
       .withColumn("__salt",
         pmod(xxhash64(col(idCol)),
@@ -167,13 +173,13 @@ object Vectors {
       .withColumn("cell", element_at(col("__ranked"), 1).getField("cell"))
       .drop("__ranked")
     val sizes = bucketSizes(build0, "cell")
-    val build = saltBuckets(build0, "cell", idCol, cap, Some(sizes))
+    val build = saltBuckets(build0, "cell", idCol, cap, Some(sizes), broadcastSizes = true)
       .select(col("cell"), col("__salt"), col(idCol).as("neighbor_id"), col("__v").as("__cv"))
     val probe0 = ranked
       .withColumn("cell",
         explode(transform(slice(col("__ranked"), 1, probes), _.getField("cell"))))
       .drop("__ranked")
-    val probe = saltBuckets(probe0, "cell", idCol, cap, Some(sizes))
+    val probe = saltBuckets(probe0, "cell", idCol, cap, Some(sizes), broadcastSizes = true)
       .select(col("cell"), col("__salt"), col(idCol).as("query_id"), col("__v").as("__qv"))
     rankCandidates(probe.join(build, Seq("cell", "__salt")), k)
   }
@@ -191,7 +197,7 @@ object Vectors {
       col(idCol), toDoubleArray(col(vecCol)).as("__v"),
       lshBucket(col(vecCol), nPlanes, dim))
     val sizes = bucketSizes(withBucket, "bucket")
-    val build = saltBuckets(withBucket, "bucket", idCol, cap, Some(sizes))
+    val build = saltBuckets(withBucket, "bucket", idCol, cap, Some(sizes), broadcastSizes = true)
       .select(col("bucket"), col("__salt"), col(idCol).as("neighbor_id"), col("__v").as("__cv"))
     val probeBuckets =
       if (multiprobe)
@@ -201,7 +207,7 @@ object Vectors {
     // inner join against the build histogram drops probes into empty buckets
     val probe = saltBuckets(
         withBucket.withColumn("bucket", explode(probeBuckets)),
-        "bucket", idCol, cap, Some(sizes))
+        "bucket", idCol, cap, Some(sizes), broadcastSizes = true)
       .select(col("bucket"), col("__salt"), col(idCol).as("query_id"), col("__v").as("__qv"))
     rankCandidates(probe.join(build, Seq("bucket", "__salt")), k)
   }
