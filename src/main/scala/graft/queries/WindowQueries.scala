@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.MusicTheory
 import graft.ops.{Stats, WindowOps}
 import Q._
 
@@ -9,6 +10,9 @@ import Q._
   * backfill, sessionization, rolling means, diff chains, run-length
   * segmentation, sliding/tumbling windows, ordered scans, positional ranks. */
 object WindowQueries {
+
+  /** Per-measure time-signature domain for the harmonic-rhythm analog. */
+  private val HrTimeSigs = Seq("4/4", "6/8", "3/4", "9/8", "12/8")
 
   private val entOrder = Seq("ts", "event_id") // total order within user
 
@@ -120,6 +124,54 @@ object WindowQueries {
           r6(avg(col("grad"))).as("dyn_grad"),
           r6(Stats.safeDiv(sum(col("value") * col("dur_next")), sum(col("dur_next")))).as("dyn_mean_weighted"),
           r6(avg(col("value"))).as("dyn_mean"))
+    }),
+
+    // A9: dotted-rhythm detection — the reference's lead-compare
+    // (`extract/features/rhythm/handler.py:46-63`: a dotted element whose
+    // NEXT element sits on the same beat with a smaller duration), with its
+    // two denominators: sounding units for dotted, full span for
+    // double-dotted. Minute buckets stand in for beats.
+    "q32_dotted_rhythm" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e = t(s, dir, "events")
+        .withColumn("minute", date_trunc("minute", col("ts")))
+        .withColumn("next_minute", lead(col("minute"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+      val flagged = e
+        .withColumn("dotted",
+          (pmod(col("event_id"), lit(4)) === 0) &&
+            col("next_minute") === col("minute") && col("next_value") < col("value"))
+        .withColumn("double_dotted",
+          col("dotted") && pmod(col("event_id"), lit(8)) === 0)
+      val perMinute = flagged.groupBy(col("user_id"), col("minute"))
+        .agg(sum(when(col("dotted"), 1).otherwise(0)).as("n_dot"),
+          sum(when(col("double_dotted"), 1).otherwise(0)).as("n_ddot"))
+      perMinute.groupBy(col("user_id"))
+        .agg(
+          r6(sum(col("n_dot")).cast("double") / count(lit(1)))
+            .as("dotted_per_active_minute"),
+          r6(sum(col("n_ddot")).cast("double") /
+            ((unix_timestamp(max(col("minute"))) - unix_timestamp(min(col("minute")))) / 60 + 1))
+            .as("ddot_per_span_minute"))
+    }),
+
+    // A11: harmonic rhythm — chords per compressed measure and the
+    // beats-normalized variant weighting each measure by its own time
+    // signature (`extract/features/harmony/utils.py:19-60`). Minute buckets
+    // = measures, events = chords, a derived per-measure tsig = the
+    // (possibly changing) time signature.
+    "q33_harmonic_rhythm" -> ((s, dir) => {
+      val perMeasure = t(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("measure"))
+        .agg(count(lit(1)).as("n_chords"))
+        .withColumn("tsig", element_at(typedLit(HrTimeSigs),
+          (pmod((unix_timestamp(col("measure")) / 60).cast("long"), lit(HrTimeSigs.size)) + 1).cast("int")))
+        .withColumn("num", split(col("tsig"), "/").getItem(0).cast("int"))
+        .withColumn("beats", MusicTheory.beatsPerMeasure(col("num"), lit(4)).cast("int"))
+      perMeasure.groupBy(col("user_id"))
+        .agg(
+          r6(sum(col("n_chords")).cast("double") / count(lit(1))).as("harmonic_rhythm"),
+          r6(sum(col("n_chords")).cast("double") / sum(col("beats"))).as("harmonic_rhythm_beats"))
     }))
 
   private val sqlW = "PARTITION BY user_id ORDER BY ts, event_id"
@@ -245,5 +297,43 @@ object WindowQueries {
          | round(CASE WHEN sum(dur_next) <> 0 AND sum(dur_next) IS NOT NULL
          |   THEN sum(value * dur_next) / sum(dur_next) ELSE 0 END + 3.7e-10, 6) AS dyn_mean_weighted,
          | round(avg(value) + 3.7e-10, 6) AS dyn_mean
-         |FROM e GROUP BY user_id""".stripMargin)
+         |FROM e GROUP BY user_id""".stripMargin,
+
+    "q32_dotted_rhythm" ->
+      s"""WITH e AS (
+         | SELECT user_id, event_id, value, date_trunc('minute', ts) AS minute,
+         |  lead(date_trunc('minute', ts)) OVER ($sqlW) AS next_minute,
+         |  lead(value) OVER ($sqlW) AS next_value
+         | FROM events),
+         |f AS (
+         | SELECT user_id, minute,
+         |  CASE WHEN (event_id % 4 = 0) AND next_minute = minute
+         |    AND next_value < value THEN 1 ELSE 0 END AS dot,
+         |  CASE WHEN (event_id % 4 = 0) AND next_minute = minute
+         |    AND next_value < value AND (event_id % 8 = 0) THEN 1 ELSE 0 END AS ddot
+         | FROM e),
+         |m AS (
+         | SELECT user_id, minute, sum(dot) AS n_dot, sum(ddot) AS n_ddot
+         | FROM f GROUP BY 1, 2)
+         |SELECT user_id,
+         | round(sum(n_dot)::DOUBLE / count(*) + 3.7e-10, 6) AS dotted_per_active_minute,
+         | round(sum(n_ddot)::DOUBLE /
+         |   (date_diff('minute', min(minute), max(minute)) + 1) + 3.7e-10, 6) AS ddot_per_span_minute
+         |FROM m GROUP BY 1""".stripMargin,
+
+    "q33_harmonic_rhythm" ->
+      s"""WITH m AS (
+         | SELECT user_id, date_trunc('minute', ts) AS measure, count(*) AS n_chords
+         | FROM events GROUP BY 1, 2),
+         |t AS (
+         | SELECT *,
+         |  (['4/4','6/8','3/4','9/8','12/8'])[((${sqlEpoch("measure")} // 60) % 5)::INT + 1] AS tsig
+         | FROM m),
+         |b AS (
+         | SELECT *, CASE WHEN num > 3 AND num % 3 = 0 THEN num // 3 ELSE num END AS beats
+         | FROM (SELECT *, string_split(tsig, '/')[1]::INT AS num FROM t))
+         |SELECT user_id,
+         | round(sum(n_chords)::DOUBLE / count(*) + 3.7e-10, 6) AS harmonic_rhythm,
+         | round(sum(n_chords)::DOUBLE / sum(beats) + 3.7e-10, 6) AS harmonic_rhythm_beats
+         |FROM b GROUP BY 1""".stripMargin)
 }
