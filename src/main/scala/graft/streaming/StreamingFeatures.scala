@@ -38,6 +38,23 @@ object StreamingFeatures {
       .select(col(entityCol), col("window.start").as("window_start"),
         col("n_events"), col("value_mean"), col("value_min"), col("value_max"))
 
+  /** Streaming exact dedup on the content fingerprint — the training-data
+    * pipeline's O5/exact-dedup stage under Structured Streaming. State is
+    * bounded by the watermark (`dropDuplicatesWithinWatermark`): a duplicate
+    * arriving within the watermark horizon of its first occurrence is
+    * dropped; state for older fingerprints is evicted, so memory is
+    * O(arrival rate x horizon), not O(corpus). */
+  def dedupStream(
+      docs: DataFrame,
+      contentCol: String = "caption",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes"): DataFrame =
+    docs
+      .withColumn("__fp", graft.functions.Text.fingerprint(col(contentCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Gap-based sessions via the native session_window — the streaming
     * counterpart of WindowOps.sessionize (state is per open session, bounded
     * by the watermark instead of unbounded per-entity history). */

@@ -80,4 +80,26 @@ class StreamingFeaturesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got === Seq((2L, 2.0), (1L, 5.0)))
   }
+
+  test("streaming exact dedup drops within-watermark duplicates, keeps distinct content") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingFeatures.dedupStream(
+      in.toDF.toDF("doc_id", "ts", "caption"),
+      contentCol = "caption", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 00:01:00"), "alpha beta"),
+        (2L, ts("2024-01-01 00:02:00"), " Alpha   BETA "), // same normalized fp
+        (3L, ts("2024-01-01 00:03:00"), "gamma delta"))
+      q.processAllAvailable()
+      in.addData((4L, ts("2024-01-01 00:05:00"), "alpha beta")) // dup again
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
 }
