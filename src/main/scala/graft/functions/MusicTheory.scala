@@ -113,6 +113,26 @@ object MusicTheory {
       .otherwise(concat(qual, when(desc, "-").otherwise(""), g.cast("string")))
   }
 
+  /** Canonical interval spelling from a bare semitone count — music21's
+    * `Interval(int)` convention the reference uses for the mean interval
+    * (`melody/handler.py:171`): 0->P1, 1->m2, 2->M2, 3->m3, 4->M3, 5->P4,
+    * 6->d5, 7->P5, 8->m6, 9->M6, 10->m7, 11->M7, +7 per octave;
+    * descending carries "-" before the number. */
+  def intervalNameFromSemitones(semitones: Column): Column = {
+    val canon = Seq("P" -> 1, "m" -> 2, "M" -> 2, "m" -> 3, "M" -> 3, "P" -> 4,
+      "d" -> 5, "P" -> 5, "m" -> 6, "M" -> 6, "m" -> 7, "M" -> 7)
+    val a = abs(semitones)
+    val simple = pmod(a, lit(12))
+    val oct = floor(a / 12).cast("int")
+    val qual = canon.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((q, _), i)) => when(simple === i, q).otherwise(acc)
+    }
+    val num = canon.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, ((_, n), i)) => when(simple === i, n).otherwise(acc)
+    } + oct * 7
+    concat(qual, when(semitones < 0, "-").otherwise(""), num.cast("string"))
+  }
+
   /** Quality classing of a directed interval name — control flow mirrors the
     * reference exactly (`extract/features/melody/handler.py:342-372`):
     * AA before A, case-sensitive M vs m, case-INsensitive perfect, dd

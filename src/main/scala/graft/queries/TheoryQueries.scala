@@ -15,6 +15,20 @@ object TheoryQueries {
   private val Numerals = Seq("I", "v", "vii", "bII", "IV", "iii", "bVII")
   private val TimeSigs = Seq("4/4", "6/8", "3/4", "9/8", "7/8")
 
+  /** Canonical undirected interval-name domain for q44's per-name counts
+    * (0..12 semitones; wider leaps fall into "other"). */
+  private val IntervalNameDomain = Seq("P1", "m2", "M2", "m3", "M3", "P4",
+    "d5", "P5", "m6", "M6", "m7", "M7", "P8", "other")
+
+  /** Count-column name per interval name — m/M differ only by case, which
+    * collides under Spark's case-insensitive resolution, so minor -> min,
+    * major -> maj. */
+  private def ivCol(nm: String): String = nm.head match {
+    case 'm' if nm != "other" => s"iv_min${nm.tail}"
+    case 'M'                  => s"iv_maj${nm.tail}"
+    case _                    => s"iv_$nm"
+  }
+
   /** Deterministic mark/tempo-word domains for q31: every dynamic mark plus
     * a tempo-word mix covering base words, derivatives, the "A tempo"/"Con
     * brio"/"Giusto" specials, and an unmatched word (left-join null path). */
@@ -64,6 +78,43 @@ object TheoryQueries {
           .otherwise(0)).cast("bigint").as("n_other"))
     }),
 
+    // A14: the melody-battery interval analysis over the event stream —
+    // per-user interval taxonomy (repeated/stepwise/leap, asc/desc with
+    // percentages), per-name counts over the canonical spelling domain,
+    // largest/smallest semitones, and the reference's
+    // Interval(round(mean(abs)))-style mean-interval name
+    // (`melody/handler.py:129-230`)
+    "q44_melody_battery" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val iv = t(s, dir, "events")
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .withColumn("st", round(col("value") - col("prev"), 0).cast("int"))
+        .withColumn("iname",
+          when(abs(col("st")) <= 12,
+            MusicTheory.intervalNameFromSemitones(abs(col("st")))).otherwise("other"))
+      val nameCounts = IntervalNameDomain.map(nm =>
+        sum(when(col("iname") === nm, 1).otherwise(0)).cast("bigint").as(ivCol(nm)))
+      val n = count(lit(1)).cast("double")
+      val aggs: Seq[org.apache.spark.sql.Column] = Seq(
+        count(lit(1)).cast("bigint").as("n_intervals"),
+        sum(when(col("st") > 0, 1).otherwise(0)).cast("bigint").as("n_asc"),
+        sum(when(col("st") < 0, 1).otherwise(0)).cast("bigint").as("n_desc"),
+        sum(when(col("st") === 0, 1).otherwise(0)).cast("bigint").as("n_repeated"),
+        sum(when(abs(col("st")).isin(1, 2), 1).otherwise(0)).cast("bigint").as("n_stepwise"),
+        sum(when(abs(col("st")) >= 3, 1).otherwise(0)).cast("bigint").as("n_leaps"),
+        r6(sum(when(col("st") > 0, 1).otherwise(0)) / n).as("pct_asc"),
+        r6(sum(when(col("st") < 0, 1).otherwise(0)) / n).as("pct_desc"),
+        max(col("st")).as("largest_st"),
+        min(col("st")).as("smallest_st"),
+        avg(abs(col("st"))).as("__mean_abs")) ++ nameCounts
+      iv.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+        .withColumn("mean_interval",
+          MusicTheory.intervalNameFromSemitones(round(col("__mean_abs"), 0).cast("int")))
+        .drop("__mean_abs")
+    }),
+
     // W1/F1 second half: directed interval names + quality/size classes
     // from (semitones, steps) pairs derived deterministically from events —
     // the offset domain (-3..3) sweeps dd..AA for major-type intervals and
@@ -85,7 +136,53 @@ object TheoryQueries {
         MusicTheory.withinOctave(col("semitones")).as("within_octave"))
     }))
 
+  // canonical-spelling CASE fragments for the q44 oracle, generated from the
+  // same tables as MusicTheory.intervalNameFromSemitones
+  private val CanonQ = Seq("P", "m", "M", "m", "M", "P", "d", "P", "m", "M", "m", "M")
+  private val CanonN = Seq(1, 2, 2, 3, 3, 4, 5, 5, 6, 6, 7, 7)
+  private def canonNameSql(e: String): String = {
+    val q = "CASE (" + e + " % 12) " +
+      CanonQ.zipWithIndex.map { case (c, i) => s"WHEN $i THEN '$c'" }.mkString(" ") + " END"
+    val n = "(CASE (" + e + " % 12) " +
+      CanonN.zipWithIndex.map { case (c, i) => s"WHEN $i THEN $c" }.mkString(" ") +
+      s" END) + ($e // 12) * 7"
+    s"($q) || (($n)::VARCHAR)"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q44_melody_battery" -> {
+      val nameCountSql = IntervalNameDomain.map(nm =>
+        s"sum(CASE WHEN iname = '$nm' THEN 1 ELSE 0 END)::BIGINT AS ${ivCol(nm)}").mkString(",\n ")
+      s"""WITH iv0 AS (
+         | SELECT user_id, value,
+         |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         | FROM events),
+         |iv AS (
+         | SELECT user_id, round(value - prev)::INT AS st
+         | FROM iv0 WHERE prev IS NOT NULL),
+         |named AS (
+         | SELECT *, CASE WHEN abs(st) > 12 THEN 'other'
+         |   ELSE ${canonNameSql("abs(st)")} END AS iname
+         | FROM iv),
+         |g AS (
+         | SELECT user_id,
+         |  count(*)::BIGINT AS n_intervals,
+         |  sum(CASE WHEN st > 0 THEN 1 ELSE 0 END)::BIGINT AS n_asc,
+         |  sum(CASE WHEN st < 0 THEN 1 ELSE 0 END)::BIGINT AS n_desc,
+         |  sum(CASE WHEN st = 0 THEN 1 ELSE 0 END)::BIGINT AS n_repeated,
+         |  sum(CASE WHEN abs(st) IN (1, 2) THEN 1 ELSE 0 END)::BIGINT AS n_stepwise,
+         |  sum(CASE WHEN abs(st) >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_leaps,
+         |  round(sum(CASE WHEN st > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*) + 3.7e-10, 6) AS pct_asc,
+         |  round(sum(CASE WHEN st < 0 THEN 1 ELSE 0 END)::DOUBLE / count(*) + 3.7e-10, 6) AS pct_desc,
+         |  max(st) AS largest_st,
+         |  min(st) AS smallest_st,
+         |  round(avg(abs(st)))::INT AS mabs,
+         |  $nameCountSql
+         | FROM named GROUP BY 1)
+         |SELECT * EXCLUDE (mabs), ${canonNameSql("mabs")} AS mean_interval
+         |FROM g""".stripMargin
+    },
+
     "q42_music_theory" ->
       """WITH base AS (
         | SELECT event_id,

@@ -81,6 +81,16 @@ class MusicTheorySpec extends SparkSpec {
     assert(n(20, 9) == null)   // offset out of dd..AA range
   }
 
+  test("intervalNameFromSemitones: music21 canonical spelling") {
+    def n(st: Int): String = Seq(Tuple1(st)).toDF("st")
+      .select(MusicTheory.intervalNameFromSemitones(col("st"))).collect()(0).getString(0)
+    assert(n(0) === "P1" && n(1) === "m2" && n(2) === "M2" && n(3) === "m3")
+    assert(n(4) === "M3" && n(5) === "P4" && n(6) === "d5" && n(7) === "P5")
+    assert(n(8) === "m6" && n(9) === "M6" && n(10) === "m7" && n(11) === "M7")
+    assert(n(12) === "P8" && n(13) === "m9" && n(14) === "M9")
+    assert(n(-7) === "P-5" && n(-12) === "P-8")
+  }
+
   test("interval quality/size classes mirror handler.py branch order") {
     def q(name: String): String = Seq(Tuple1(name)).toDF("n")
       .select(MusicTheory.intervalQualityClass(col("n"))).collect()(0).getString(0)
