@@ -11,7 +11,8 @@ import scala.jdk.CollectionConverters._
   *     --conf spark.sql.extensions=graft.GraftExtensions \
   *     musifspark.jar \
   *     --images <dir|synth:N> --labels <dir|synth:N> --out <dir> \
-  *     [--config <properties>] [--set k=v ...] [--resume]
+  *     [--config <properties>] [--set k=v ...] [--resume] \
+  *     [--format csv] [--sliding <size>,<overlap>]
   *
   * Reads the image+caption table (any Spark source — parquet in the
   * sandbox, an Iceberg catalog table in production via
@@ -66,8 +67,20 @@ object Main {
         Some(java.nio.file.Files.readAllLines(pinPath).asScala.toSeq.filter(_.nonEmpty))
       else None
 
+    // musif's native windowed mode from the CLI: --sliding <size>,<overlap>
+    // emits one feature row per sliding event-window instead of per time
+    // window (extract.py:416-464); lineage then keys on (entity, window_id)
+    val sliding: Option[(Int, Int)] = opts.get("sliding").map { v =>
+      val Array(sz, ov) = v.split(",").map(_.trim.toInt); (sz, ov)
+    }
+
     val job = (in: org.apache.spark.sql.DataFrame) => {
-      val raw = FeaturePipeline.features(in, labels, cfg)
+      val raw = sliding match {
+        case Some((sz, ov)) =>
+          FeaturePipeline.featuresSliding(in, labels, sz, ov, cfg.modules)
+            .withColumnRenamed("window_id", "window_start") // lineage ts key
+        case None => FeaturePipeline.features(in, labels, cfg)
+      }
       // group_columns analog (musif processor.py:160-172): merge the
       // label-share family into aggregate tonal-function shares, keeping
       // the member columns
@@ -126,6 +139,7 @@ object Main {
       case "--out" :: v :: rest    => parseArgs(rest, acc + ("out" -> v))
       case "--config" :: v :: rest => parseArgs(rest, acc + ("config" -> v))
       case "--format" :: v :: rest => parseArgs(rest, acc + ("format" -> v))
+      case "--sliding" :: v :: rest => parseArgs(rest, acc + ("sliding" -> v))
       case "--set" :: v :: rest =>
         parseArgs(rest, acc + ("set" -> (acc.get("set").map(_ + ";;").getOrElse("") + v)))
       case "--resume" :: rest      => parseArgs(rest, acc + ("resume" -> "true"))

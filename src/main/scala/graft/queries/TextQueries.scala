@@ -77,8 +77,11 @@ object TextQueries {
         .withColumn("sig", TextFunctions.minhash(col("nt"), k = 32))
         .withColumn("bucket", explode(TextFunctions.lsh_bands(col("sig"), bands = 16)))
       // cap can't activate at this corpus size; it rides along so the SAME
-      // formulation is the one that holds at scale
-      val salted = graft.functions.Vectors.saltBuckets(all, "bucket", "doc_id", cap = 1024)
+      // formulation is the one that holds at scale (histogram broadcast is
+      // safe here because the corpus — hence the bucket domain — is bounded
+      // by construction; the unbounded q51 path keeps the shuffle join)
+      val salted = graft.functions.Vectors.saltBuckets(all, "bucket", "doc_id",
+        cap = 1024, broadcastSizes = true)
       val a = salted.select(col("bucket"), col("__salt"),
         col("doc_id").as("d1"), col("sh").as("sh1"))
       val b = salted.select(col("bucket"), col("__salt"),
