@@ -17,6 +17,26 @@ object VectorQueries {
           col("rank").cast("long").as("rank"), r6(col("cos")).as("cos"))
     }),
 
+    // embedding-cosine near-dup: exact bounded baseline (brute-force pairs
+    // at cos >= 0.9 with injected perturbed dups; organic pairs max ~0.50 on
+    // this corpus) — the scale path is Vectors.lshTopK, recall-gated in
+    // VectorsSpec; this query pins the SEMANTICS against DuckDB's
+    // list_cosine_similarity
+    "q45_embedding_near_dup" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings").where(col("vec_id") < 400)
+        .select(col("vec_id"), Vectors.toDoubleArray(col("embedding")).as("e"))
+      val dups = v.where(pmod(col("vec_id"), lit(20)) === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("e"), (x, i) => when(i === 0, x + 0.05).otherwise(x)).as("e"))
+      val all = v.unionByName(dups)
+      val a = all.select(col("vec_id").as("v1"), col("e").as("e1"))
+      val b = all.select(col("vec_id").as("v2"), col("e").as("e2"))
+      a.join(broadcast(b), col("v1") < col("v2"))
+        .select(col("v1"), col("v2"), Vectors.cosine(col("e1"), col("e2")).as("cos"))
+        .where(col("cos") >= 0.9)
+        .select(col("v1"), col("v2"), r6(col("cos")).as("cos"))
+    }),
+
     "q41_vector_norms" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .select(col("label"), Vectors.norm(Vectors.toDoubleArray(col("embedding"))).as("nrm"))
@@ -39,6 +59,22 @@ object VectorQueries {
         |   ORDER BY cos DESC, neighbor_id) AS rank FROM s)
         |SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cos + 3.7e-10, 6) AS cos
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    // DuckDB list_transform index is 1-based (Spark's is 0-based): i = 1
+    // here perturbs the same first coordinate as i === 0 on the Spark side
+    "q45_embedding_near_dup" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 400),
+        |d AS (
+        | SELECT vec_id + 1000000 AS vec_id,
+        |  list_transform(e, (x, i) -> CASE WHEN i = 1 THEN x + 0.05 ELSE x END) AS e
+        | FROM v WHERE vec_id % 20 = 0),
+        |a AS (SELECT * FROM v UNION ALL SELECT * FROM d),
+        |p AS (
+        | SELECT x.vec_id AS v1, y.vec_id AS v2,
+        |  list_cosine_similarity(x.e, y.e) AS cos
+        | FROM a x JOIN a y ON x.vec_id < y.vec_id)
+        |SELECT v1, v2, round(cos + 3.7e-10, 6) AS cos FROM p WHERE cos >= 0.9""".stripMargin,
 
     "q41_vector_norms" ->
       """WITH n AS (
