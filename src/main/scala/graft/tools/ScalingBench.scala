@@ -71,7 +71,21 @@ object ScalingBench {
       } finally spark.stop()
     }
 
+    // external load poisons the comparison (a burst during one level skews
+    // the ratio — observed 0.87 -> 0.76 from a load-avg-5 burst): wait for
+    // the host to go quiet before each level, and record the load actually
+    // seen so a contaminated number is at least visibly contaminated
+    def waitQuiet(maxWaitSec: Int = 300): Double = {
+      val deadline = System.nanoTime() + maxWaitSec * 1e9
+      var load = loadAvg()
+      while (load > 2.0 && System.nanoTime() < deadline) {
+        Thread.sleep(15000); load = loadAvg()
+      }
+      load
+    }
+    val loadN = waitQuiet()
     val (tN, outN) = runAt(nCores)
+    val load4N = waitQuiet()
     val (t4N, out4N) = runAt(4 * nCores)
     require(outN == out4N, s"non-deterministic output: $outN vs $out4N")
 
@@ -82,7 +96,8 @@ object ScalingBench {
       s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","rows":$nRows,""" +
       s""""feature_rows":$outN,"n_cores":$nCores,"input_mb":${inputBytes / 1048576},""" +
       s""""sec_n":$tN,"sec_4n":$t4N,""" +
-      s""""rows_per_sec_n":$thrN,"rows_per_sec_4n":$thr4N}""")
+      s""""rows_per_sec_n":$thrN,"rows_per_sec_4n":$thr4N,""" +
+      s""""loadavg_before_n":$loadN,"loadavg_before_4n":$load4N}""")
   }
 
   private def session(cores: Int, shufflePartitions: Int,
@@ -98,6 +113,13 @@ object ScalingBench {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  private def loadAvg(): Double =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")))
+      s.split("\\s+")(0).toDouble
+    } catch { case _: Throwable => 0.0 }
 
   private def fileSize(dir: String): Long = {
     val d = new java.io.File(dir)

@@ -143,6 +143,25 @@ class VectorsSpec extends SparkSpec {
     assert(salted.count() === 1000) // salting drops/duplicates nothing
   }
 
+  test("saltBuckets preserves ALL pairs for buckets at or below cap (no recall loss)") {
+    // the salt must be a pure no-op below the cap: joining on (bucket, salt)
+    // yields exactly the pairs of joining on bucket alone
+    val rows = (0 until 300).map { i =>
+      (i.toLong, (ImageCodec.mix64(i * 17L) % 40).toString) // buckets of ~7-8 rows
+    }.toDF("id", "bucket")
+    val plain = rows.select(col("bucket"), col("id").as("a"))
+      .join(rows.select(col("bucket"), col("id").as("b")), Seq("bucket"))
+      .where(col("a") < col("b"))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Vectors.saltBuckets(rows, "bucket", "id", cap = 50)
+    val viaSalt = salted.select(col("bucket"), col("__salt"), col("id").as("a"))
+      .join(salted.select(col("bucket"), col("__salt"), col("id").as("b")),
+        Seq("bucket", "__salt"))
+      .where(col("a") < col("b"))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSalt === plain)
+  }
+
   test("lshTopK stays correct and bounded under an identical-vector cluster") {
     // 400 copies of one vector + 100 distinct: top-k for copies are other
     // copies (cos = 1.0); bucket cap keeps candidate groups bounded
