@@ -157,6 +157,32 @@ object MusicTheory {
   /** |semitones| <= 12 — within vs beyond the octave (`handler.py:351-354`). */
   def withinOctave(semitones: Column): Column = abs(semitones) <= 12
 
+  /** `parse_chord` (`harmony/utils.py:503-517`): strip decorations — the
+    * suffix from the first of `( o + % M` — then trailing figures, leaving
+    * the bare numeral. Chained prefix-takes equal the reference's
+    * sequential splits (each only shortens the string). */
+  def parseChord(c: Column): Column = {
+    val undecorated = Seq("(", "o", "+", "%", "M").foldLeft(c) {
+      (acc, ch) => substring_index(acc, ch, 1)
+    }
+    regexp_extract(undecorated, "^([^0-9]*)", 1)
+  }
+
+  /** `get_chord_type` classing (`harmony/utils.py:519-538`). */
+  def chordTypeClass(t: Column): Column =
+    when(t === "m", "minor triad")
+      .when(t === "M", "mayor triad") // sic — the reference's spelling
+      .when(t.isin("7", "mm7", "Mm7", "MM7", "mM7"), "7th")
+      .when(t.isin("o", "o7", "%", "%7"), "dim")
+      .when(t.isin("+", "+M7", "+m7"), "aug")
+      .otherwise("other")
+
+  /** The reference's `local_key.isupper()` mode test
+    * (`harmony/utils.py:541-546`): "M" only when the WHOLE key string is
+    * uppercase (so "Bb" reads as minor — faithful, not corrected). */
+  def localKeyMode(k: Column): Column =
+    when(upper(k) === k, "M").otherwise("m")
+
   /** First-level harmonic function of a roman numeral in a mode ("M"/"m") —
     * `get_function_first` (harmony/utils.py:274-338) over the plain-numeral
     * domain (augmented-sixth It/Ger/Fr specials excluded). Control flow

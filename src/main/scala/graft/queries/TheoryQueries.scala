@@ -78,6 +78,26 @@ object TheoryQueries {
           .otherwise(0)).cast("bigint").as("n_other"))
     }),
 
+    // F5 completion: chord-label parsing + chord-type classing + the
+    // first-function of the PARSED chord in the local key's mode
+    // (`harmony/utils.py:503-546`)
+    "q46_chord_parse" -> ((s, dir) => {
+      val base = t(s, dir, "events").select(
+        col("event_id"),
+        element_at(typedLit(ChordDomain),
+          (pmod(col("event_id"), lit(ChordDomain.size)) + 1).cast("int")).as("chord"),
+        element_at(typedLit(ChordTypeDomain),
+          (pmod(col("event_id"), lit(ChordTypeDomain.size)) + 1).cast("int")).as("ctype"),
+        element_at(typedLit(LocalKeyDomain),
+          (pmod(col("user_id"), lit(LocalKeyDomain.size)) + 1).cast("int")).as("lk"))
+      base.select(
+        col("event_id"), col("chord"), col("ctype"), col("lk"),
+        MusicTheory.parseChord(col("chord")).as("chord_root"),
+        MusicTheory.chordTypeClass(col("ctype")).as("chord_class"),
+        MusicTheory.harmonicFunction(MusicTheory.parseChord(col("chord")),
+          MusicTheory.localKeyMode(col("lk"))).as("first_function"))
+    }),
+
     // A14: the melody-battery interval analysis over the event stream —
     // per-user interval taxonomy (repeated/stepwise/leap, asc/desc with
     // percentages), per-name counts over the canonical spelling domain,
@@ -136,6 +156,15 @@ object TheoryQueries {
         MusicTheory.withinOctave(col("semitones")).as("within_octave"))
     }))
 
+  /** Chord/label domains for q46 — cover every decoration branch of
+    * parse_chord, every chord-type class, and both key-mode cases
+    * (incl. the faithful "Bb".isupper() == false quirk). */
+  private val ChordDomain = Seq("V7(9)", "viio7", "IV+6", "ii%43", "IM7",
+    "V43", "i", "bVII64")
+  private val ChordTypeDomain = Seq("m", "M", "7", "mm7", "o7", "%7", "+",
+    "+M7", "weird")
+  private val LocalKeyDomain = Seq("C", "c", "Bb", "f#", "G")
+
   // canonical-spelling CASE fragments for the q44 oracle, generated from the
   // same tables as MusicTheory.intervalNameFromSemitones
   private val CanonQ = Seq("P", "m", "M", "m", "M", "P", "d", "P", "m", "M", "m", "M")
@@ -150,6 +179,42 @@ object TheoryQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q46_chord_parse" -> {
+      val chords = ChordDomain.map(c => s"'$c'").mkString(", ")
+      val types = ChordTypeDomain.map(c => s"'$c'").mkString(", ")
+      val keys = LocalKeyDomain.map(c => s"'$c'").mkString(", ")
+      s"""WITH base AS (
+         | SELECT event_id,
+         |  ([$chords])[(event_id % ${ChordDomain.size})::INT + 1] AS chord,
+         |  ([$types])[(event_id % ${ChordTypeDomain.size})::INT + 1] AS ctype,
+         |  ([$keys])[(user_id % ${LocalKeyDomain.size})::INT + 1] AS lk
+         | FROM events),
+         |p AS (
+         | SELECT *, regexp_extract(
+         |   split_part(split_part(split_part(split_part(split_part(
+         |     chord, '(', 1), 'o', 1), '+', 1), '%', 1), 'M', 1),
+         |   '^([^0-9]*)', 1) AS chord_root,
+         |  CASE WHEN upper(lk) = lk THEN 'M' ELSE 'm' END AS mode
+         | FROM base)
+         |SELECT event_id, chord, ctype, lk, chord_root,
+         | CASE WHEN ctype = 'm' THEN 'minor triad'
+         |   WHEN ctype = 'M' THEN 'mayor triad'
+         |   WHEN ctype IN ('7', 'mm7', 'Mm7', 'MM7', 'mM7') THEN '7th'
+         |   WHEN ctype IN ('o', 'o7', '%', '%7') THEN 'dim'
+         |   WHEN ctype IN ('+', '+M7', '+m7') THEN 'aug'
+         |   ELSE 'other' END AS chord_class,
+         | CASE WHEN chord_root = 'vii' THEN 'D'
+         |   WHEN chord_root = 'I' THEN 'T'
+         |   WHEN chord_root = 'i' THEN 't'
+         |   WHEN chord_root = 'ii' THEN 'sd'
+         |   WHEN chord_root = 'IV' THEN 'SD'
+         |   WHEN chord_root = 'V' THEN 'D'
+         |   WHEN chord_root = 'bVII' THEN
+         |     (CASE WHEN mode = 'M' THEN 'ST' ELSE 'bST' END)
+         |   END AS first_function
+         |FROM p""".stripMargin
+    },
+
     "q44_melody_battery" -> {
       val nameCountSql = IntervalNameDomain.map(nm =>
         s"sum(CASE WHEN iname = '$nm' THEN 1 ELSE 0 END)::BIGINT AS ${ivCol(nm)}").mkString(",\n ")

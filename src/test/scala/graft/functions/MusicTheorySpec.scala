@@ -81,6 +81,23 @@ class MusicTheorySpec extends SparkSpec {
     assert(n(20, 9) == null)   // offset out of dd..AA range
   }
 
+  test("parseChord / chordTypeClass / localKeyMode mirror harmony/utils.py") {
+    def pc(s: String) = Seq(Tuple1(s)).toDF("c")
+      .select(MusicTheory.parseChord(col("c"))).collect()(0).getString(0)
+    assert(pc("V7(9)") === "V" && pc("viio7") === "vii" && pc("IV+6") === "IV")
+    assert(pc("ii%43") === "ii" && pc("IM7") === "I" && pc("V43") === "V")
+    assert(pc("bVII64") === "bVII" && pc("i") === "i")
+    def ct(s: String) = Seq(Tuple1(s)).toDF("t")
+      .select(MusicTheory.chordTypeClass(col("t"))).collect()(0).getString(0)
+    assert(ct("m") === "minor triad" && ct("M") === "mayor triad")
+    assert(ct("Mm7") === "7th" && ct("%7") === "dim" && ct("+m7") === "aug")
+    assert(ct("weird") === "other")
+    def mode(s: String) = Seq(Tuple1(s)).toDF("k")
+      .select(MusicTheory.localKeyMode(col("k"))).collect()(0).getString(0)
+    assert(mode("C") === "M" && mode("c") === "m")
+    assert(mode("Bb") === "m") // faithful isupper() quirk
+  }
+
   test("intervalNameFromSemitones: music21 canonical spelling") {
     def n(st: Int): String = Seq(Tuple1(st)).toDF("st")
       .select(MusicTheory.intervalNameFromSemitones(col("st"))).collect()(0).getString(0)
