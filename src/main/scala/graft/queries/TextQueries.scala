@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.{Text, TextFunctions}
+import graft.ops.Stats
 import Q._
 
 /** Text-analysis + dedup family over `documents`: token counting,
@@ -56,6 +57,26 @@ object TextQueries {
           col("inter") / (size(col("t1")) + size(col("t2")) - col("inter")))
         .where(col("jaccard") >= 0.6)
         .select(col("source"), col("d1"), col("d2"), r6(col("jaccard")).as("jaccard"))
+    }),
+
+    // A10: the lyrics-battery analog over documents per source — syllable
+    // count (tokens), syllabic ratio (chars-sung-per-syllable analog =
+    // chars/token), voice presence (docs that carry text / all docs), and
+    // register spread (`features/lyrics/handler.py:30-145`)
+    "q47_caption_battery" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("source"),
+        Text.tokenCount(col("text")).cast("long").as("toks"),
+        length(Text.normText(col("text"))).cast("long").as("chars"))
+      d.groupBy(col("source")).agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(col("toks") > 0, 1).otherwise(0)).cast("bigint").as("n_with_text"),
+        r6(sum(when(col("toks") > 0, 1).otherwise(0)).cast("double") / count(lit(1)))
+          .as("presence"),
+        sum(col("toks")).cast("bigint").as("n_syllables"),
+        r6(Stats.safeDiv(sum(col("chars")).cast("double"), sum(col("toks")).cast("double")))
+          .as("syllabic_ratio"),
+        r6(stddev_samp(col("toks").cast("double"))).as("register_spread"))
     }),
 
     // LSH-candidate near-dup pairs VERIFIED by exact shingle Jaccard — the
@@ -163,6 +184,23 @@ object TextQueries {
            |SELECT source, d1, d2,
            | round(inter / (la + lb - inter) + 3.7e-10, 6) AS jaccard
            |FROM p WHERE inter / (la + lb - inter) >= 0.6""".stripMargin,
+
+      "q47_caption_battery" ->
+        s"""WITH d AS (
+           | SELECT source,
+           |  (CASE WHEN length($norm) = 0 THEN 0
+           |    ELSE len(string_split($norm, ' ')) END)::BIGINT AS toks,
+           |  length($norm)::BIGINT AS chars
+           | FROM documents)
+           |SELECT source, count(*)::BIGINT AS n_docs,
+           | sum(CASE WHEN toks > 0 THEN 1 ELSE 0 END)::BIGINT AS n_with_text,
+           | round(sum(CASE WHEN toks > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+           |   + 3.7e-10, 6) AS presence,
+           | sum(toks)::BIGINT AS n_syllables,
+           | round(CASE WHEN sum(toks) <> 0
+           |   THEN sum(chars)::DOUBLE / sum(toks) ELSE 0 END + 3.7e-10, 6) AS syllabic_ratio,
+           | round(stddev(toks::DOUBLE) + 3.7e-10, 6) AS register_spread
+           |FROM d GROUP BY 1""".stripMargin,
 
       // ALL pairs at exact shingle Jaccard >= 0.6 — the Spark side must
       // surface every one of them through the LSH candidate stage
