@@ -35,15 +35,25 @@ object Vectors {
     * projection). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    // norms computed ONCE per row, not once per pair (identical arithmetic
+    // — sqrt(dot(v,v)) — so cos values are bit-identical to cosine())
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
     val c = candidates.select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"), pairCos.as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** Pair cosine from precomputed per-row norms `__qn`/`__cn` — the exact
+    * arithmetic of [[cosine]] with the two sqrt(dot(v,v)) terms hoisted. */
+  private def pairCos: Column = {
+    val nn = col("__qn") * col("__cn")
+    when(nn =!= 0.0, dot(col("__qv"), col("__cv")) / nn).otherwise(lit(0.0))
   }
 
   /** Deterministic random hyperplanes: nPlanes x dim sign matrix seeded by
@@ -169,18 +179,21 @@ object Vectors {
     val ranked = vectors.select(
       col(idCol), toDoubleArray(col(vecCol)).as("__v"),
       cellsRanked(toDoubleArray(col(vecCol)), nCells, dim).as("__ranked"))
+      .withColumn("__n", norm(col("__v")))
     val build0 = ranked
       .withColumn("cell", element_at(col("__ranked"), 1).getField("cell"))
       .drop("__ranked")
     val sizes = bucketSizes(build0, "cell")
     val build = saltBuckets(build0, "cell", idCol, cap, Some(sizes), broadcastSizes = true)
-      .select(col("cell"), col("__salt"), col(idCol).as("neighbor_id"), col("__v").as("__cv"))
+      .select(col("cell"), col("__salt"), col(idCol).as("neighbor_id"),
+        col("__v").as("__cv"), col("__n").as("__cn"))
     val probe0 = ranked
       .withColumn("cell",
         explode(transform(slice(col("__ranked"), 1, probes), _.getField("cell"))))
       .drop("__ranked")
     val probe = saltBuckets(probe0, "cell", idCol, cap, Some(sizes), broadcastSizes = true)
-      .select(col("cell"), col("__salt"), col(idCol).as("query_id"), col("__v").as("__qv"))
+      .select(col("cell"), col("__salt"), col(idCol).as("query_id"),
+        col("__v").as("__qv"), col("__n").as("__qn"))
     rankCandidates(probe.join(build, Seq("cell", "__salt")), k)
   }
 
@@ -196,9 +209,11 @@ object Vectors {
     val withBucket = vectors.select(
       col(idCol), toDoubleArray(col(vecCol)).as("__v"),
       lshBucket(col(vecCol), nPlanes, dim))
-    val sizes = bucketSizes(withBucket, "bucket")
+      .withColumn("__n", norm(col("__v")))
+    val sizes = bucketSizes(withBucket.select(col(idCol), col("bucket")), "bucket")
     val build = saltBuckets(withBucket, "bucket", idCol, cap, Some(sizes), broadcastSizes = true)
-      .select(col("bucket"), col("__salt"), col(idCol).as("neighbor_id"), col("__v").as("__cv"))
+      .select(col("bucket"), col("__salt"), col(idCol).as("neighbor_id"),
+        col("__v").as("__cv"), col("__n").as("__cn"))
     val probeBuckets =
       if (multiprobe)
         array((col("bucket") +: (0 until nPlanes).map(p =>
@@ -208,7 +223,8 @@ object Vectors {
     val probe = saltBuckets(
         withBucket.withColumn("bucket", explode(probeBuckets)),
         "bucket", idCol, cap, Some(sizes), broadcastSizes = true)
-      .select(col("bucket"), col("__salt"), col(idCol).as("query_id"), col("__v").as("__qv"))
+      .select(col("bucket"), col("__salt"), col(idCol).as("query_id"),
+        col("__v").as("__qv"), col("__n").as("__qn"))
     rankCandidates(probe.join(build, Seq("bucket", "__salt")), k)
   }
 
@@ -218,8 +234,7 @@ object Vectors {
   private def rankCandidates(cand: DataFrame, k: Int): DataFrame = {
     val scored = cand
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"), pairCos.as("cos"))
       .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

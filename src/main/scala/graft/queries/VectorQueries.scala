@@ -28,11 +28,16 @@ object VectorQueries {
       val dups = v.where(pmod(col("vec_id"), lit(20)) === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("e"), (x, i) => when(i === 0, x + 0.05).otherwise(x)).as("e"))
-      val all = v.unionByName(dups)
-      val a = all.select(col("vec_id").as("v1"), col("e").as("e1"))
-      val b = all.select(col("vec_id").as("v2"), col("e").as("e2"))
+      // norms hoisted to once-per-row (identical arithmetic to cosine(),
+      // so values stay bit-identical to the DuckDB oracle at r6)
+      val all = v.unionByName(dups).withColumn("nrm", Vectors.norm(col("e")))
+      val a = all.select(col("vec_id").as("v1"), col("e").as("e1"), col("nrm").as("n1"))
+      val b = all.select(col("vec_id").as("v2"), col("e").as("e2"), col("nrm").as("n2"))
       a.join(broadcast(b), col("v1") < col("v2"))
-        .select(col("v1"), col("v2"), Vectors.cosine(col("e1"), col("e2")).as("cos"))
+        .select(col("v1"), col("v2"),
+          when(col("n1") * col("n2") =!= 0.0,
+            Vectors.dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+            .otherwise(lit(0.0)).as("cos"))
         .where(col("cos") >= 0.9)
         .select(col("v1"), col("v2"), r6(col("cos")).as("cos"))
     }),
