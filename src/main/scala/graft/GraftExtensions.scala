@@ -31,12 +31,28 @@ object GraftExtensions {
 
   /** SQL-callable expression builders (shared by the extensions path and
     * [[registerSql]] for already-running sessions). */
+  private def intArg(e: Expression, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got: $other")
+  }
+
   val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "decode_image" -> { args => DecodeImage(args.head) },
     "mean_brightness" -> { args => MeanBrightness(args.head) },
     "intensity_histogram" -> { args => IntensityHistogram(args.head) },
     "psnr" -> { args => Psnr(args(0), args(1)) },
-    "resize_image" -> { args => ResizeImage(args(0), args(1), args(2)) })
+    "resize_image" -> { args => ResizeImage(args(0), args(1), args(2)) },
+    // text-signature family: minhash(text[, k]), lsh_bands(sig[, bands]),
+    // simhash(text), hamming64(a, b)
+    "minhash" -> { args =>
+      MinHashSig(args.head,
+        if (args.length > 1) intArg(args(1), "k") else Text.MinHashK) },
+    "lsh_bands" -> { args =>
+      LshBands(args.head,
+        if (args.length > 1) intArg(args(1), "bands") else Text.MinHashBands) },
+    "simhash" -> { args => SimHash(args.head) },
+    "hamming64" -> { args => Hamming64(args(0), args(1)) })
 
   /** Register the SQL functions into an existing session (tests, REPLs). */
   def registerSql(spark: SparkSession): Unit =

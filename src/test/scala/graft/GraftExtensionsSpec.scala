@@ -25,10 +25,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Int]("rl") === ImageCodec.HeaderLen + 6)
   }
 
+  test("registerSql: text-signature family callable from SQL") {
+    GraftExtensions.registerSql(spark)
+    Seq(("the quick brown fox", "the quick brown cat"))
+      .toDF("a", "b").createOrReplaceTempView("txt")
+    val r = spark.sql(
+      """SELECT size(minhash(a)) AS k16, size(minhash(a, 32)) AS k32,
+        | size(lsh_bands(minhash(a))) AS bands,
+        | hamming64(simhash(a), simhash(a)) AS self_d,
+        | hamming64(simhash(a), simhash(b)) AS near_d
+        |FROM txt""".stripMargin).collect()(0)
+    assert(r.getAs[Int]("k16") === 16 && r.getAs[Int]("k32") === 32)
+    assert(r.getAs[Int]("bands") === 4)
+    assert(r.getAs[Int]("self_d") === 0)
+    assert(r.getAs[Int]("near_d") > 0)
+  }
+
   test("extensions object wires the strategy and all sql functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders total
     assert(GraftExtensions.sqlFunctions.map(_._1).toSet === Set(
-      "decode_image", "mean_brightness", "intensity_histogram", "psnr", "resize_image"))
+      "decode_image", "mean_brightness", "intensity_histogram", "psnr", "resize_image",
+      "minhash", "lsh_bands", "simhash", "hamming64"))
   }
 }
