@@ -82,14 +82,49 @@ object Text {
       when(den =!= 0 && den.isNotNull, num / den).otherwise(lit(0.0))
   }
 
+  /** BPE-ish regex tokenization (GPT-2-style word/number/punctuation
+    * splitting, simplified to a dialect-safe alternation that Java regex and
+    * RE2 agree on): runs of letters, runs of digits, and runs of other
+    * non-space characters each form a token, with an optional leading
+    * space consumed. Operates on normalized text (lower + collapsed
+    * whitespace). DuckDB: len(regexp_extract_all(nt, pattern)). */
+  final val BpeTokenPattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(normText(c), lit(BpeTokenPattern), lit(0))).cast("int")
+
+  /** Winnowing document fingerprints (the MOSS rolling-hash scheme): hash
+    * every `shingleLen`-char shingle, then keep the MINIMUM hash of every
+    * window of `w` consecutive shingle hashes — the classic guarantee that
+    * any match of length >= w + shingleLen - 1 shares a fingerprint.
+    * Hashes are md5 hex strings and minima are lexicographic so BOTH
+    * engines compute identical fingerprints (Spark xxhash64 has no DuckDB
+    * counterpart). Fully HOF-composed — no UDF; DuckDB mirror via
+    * list_transform/list_slice/list_aggregate('min'). */
+  def winnowFingerprints(norm: Column, shingleLen: Int = 5, w: Int = 4): Column = {
+    // RAW shingle sequence — winnowing windows run over consecutive
+    // positions, so no dedup before hashing
+    val hashes = transform(charShinglesRaw(norm, shingleLen), x => md5(x.cast("binary")))
+    when(size(hashes) >= w,
+      array_distinct(transform(sequence(lit(0), size(hashes) - w),
+        i => array_min(slice(hashes, i + lit(1), lit(w))))))
+      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
+        .otherwise(array().cast("array<string>")))
+  }
+
   /** Distinct character n-gram (shingle) set of an already-normalized text
     * column — the exact-Jaccard ground truth the MinHash estimate
     * approximates. DuckDB mirror:
     * list_distinct(list_transform(range(1, length(nt)-(n-2)), i -> nt[i:i+(n-1)])). */
   def charShingles(norm: Column, n: Int = 5): Column =
+    array_distinct(charShinglesRaw(norm, n))
+
+  /** Positional (non-distinct) shingle sequence — winnowing runs windows
+    * over this. */
+  def charShinglesRaw(norm: Column, n: Int = 5): Column =
     when(length(norm) >= n,
-      array_distinct(transform(sequence(lit(0), length(norm) - n),
-        i => norm.substr(i + lit(1), lit(n)))))
+      transform(sequence(lit(0), length(norm) - n),
+        i => norm.substr(i + lit(1), lit(n))))
       .otherwise(array().cast("array<string>"))
 
   // ---------------------------------------------------------------- MinHash

@@ -59,6 +59,28 @@ object TextQueries {
         .select(col("source"), col("d1"), col("d2"), r6(col("jaccard")).as("jaccard"))
     }),
 
+    // BPE-ish regex token counting alongside whitespace tokens (build brief:
+    // "token counting (whitespace + a BPE-ish regex)")
+    "q48_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        Text.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+    }),
+
+    // rolling-hash document fingerprinting (MOSS winnowing): distinct
+    // per-window shingle-hash minima; identical-content docs share the
+    // full fingerprint set
+    "q49_winnowing" -> ((s, dir) => {
+      val fp = t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.winnowFingerprints(Text.normText(col("text"))).as("fps"))
+      fp.select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fps"),
+        when(size(col("fps")) > 0, array_min(col("fps"))).as("min_fp"),
+        when(size(col("fps")) > 0, array_max(col("fps"))).as("max_fp"))
+    }),
+
     // A10: the lyrics-battery analog over documents per source — syllable
     // count (tokens), syllabic ratio (chars-sung-per-syllable analog =
     // chars/token), voice presence (docs that carry text / all docs), and
@@ -188,6 +210,35 @@ object TextQueries {
            |SELECT source, d1, d2,
            | round(inter / (la + lb - inter) + 3.7e-10, 6) AS jaccard
            |FROM p WHERE inter / (la + lb - inter) >= 0.6""".stripMargin,
+
+      "q48_bpe_tokens" ->
+        s"""SELECT doc_id,
+           | (CASE WHEN length($norm) = 0 THEN 0
+           |   ELSE len(string_split($norm, ' ')) END)::BIGINT AS ws_tokens,
+           | len(regexp_extract_all($norm,
+           |   ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))::BIGINT AS bpe_tokens
+           |FROM documents""".stripMargin,
+
+      "q49_winnowing" ->
+        s"""WITH d AS (SELECT doc_id, $norm AS nt FROM documents),
+           |h AS (
+           | SELECT doc_id,
+           |  list_transform(
+           |    list_transform(range(1, length(nt) - 3), i -> nt[i:i+4]),
+           |    s -> md5(s)) AS hs
+           | FROM d),
+           |w AS (
+           | SELECT doc_id,
+           |  CASE WHEN len(hs) >= 4 THEN
+           |    list_distinct(list_transform(range(1, len(hs) - 2),
+           |      i -> list_aggregate(hs[i:i+3], 'min')))
+           |  WHEN len(hs) > 0 THEN [list_aggregate(hs, 'min')]
+           |  ELSE [] END AS fps
+           | FROM h)
+           |SELECT doc_id, len(fps)::BIGINT AS n_fps,
+           | CASE WHEN len(fps) > 0 THEN list_aggregate(fps, 'min') END AS min_fp,
+           | CASE WHEN len(fps) > 0 THEN list_aggregate(fps, 'max') END AS max_fp
+           |FROM w""".stripMargin,
 
       "q47_caption_battery" ->
         s"""WITH d AS (

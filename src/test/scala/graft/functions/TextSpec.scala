@@ -62,6 +62,28 @@ class TextSpec extends SparkSpec {
     assert(Text.lshBuckets(a).intersect(Text.lshBuckets(near)).nonEmpty)
   }
 
+  test("winnowing guarantee: a shared run >= w + n - 1 chars shares a fingerprint") {
+    import spark.implicits._
+    // docs share the 20-char run "common shared words!" (> 4 + 5 - 1 = 8)
+    val df = Seq(
+      (1L, "prefix one common shared words! suffix a"),
+      (2L, "other text common shared words! tail bbb"),
+      (3L, "completely unrelated content here nothing")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Text.winnowFingerprints(Text.normText(col("text"))).as("fps"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(m(1L).intersect(m(2L)).nonEmpty, "shared run must share a fingerprint")
+    assert(m(1L).intersect(m(3L)).isEmpty ||
+      m(1L).intersect(m(3L)).size < m(1L).intersect(m(2L)).size)
+    // identical content -> identical fingerprint set
+    val same = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+      .select(Text.winnowFingerprints(Text.normText(col("text"))).as("fps"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(same(0) === same(1))
+  }
+
   test("near-dup bucket join stays bounded under boilerplate collapse") {
     // 500 identical docs share EVERY band bucket — the q51 shape that would
     // go quadratic; the big-bucket salt must keep groups ~cap-sized
