@@ -154,12 +154,60 @@ object Vectors {
   def bucketSizes(df: DataFrame, bucketCol: String): DataFrame =
     df.groupBy(col(bucketCol)).agg(count(lit(1)).as("__bsz"))
 
+  /** Deterministic spherical k-means (Lloyd) over a hash-ordered sample —
+    * REAL centroid training for the IVF path (the pseudo-random
+    * [[ivfCentroids]] are the zero-cost fallback). Points and centroids are
+    * unit-normalized and assignment is max dot product, matching how
+    * [[ivfTopK]] scores cells. The sample is bounded (driver-side Lloyd on
+    * <= sampleN vectors — the standard sample-train-broadcast shape; at
+    * 100 TB the sample is still sampleN rows) and ordered by xxhash64(id),
+    * so training is reproducible at any parallelism. */
+  def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                     k: Int, dim: Int, iters: Int = 4,
+                     sampleN: Int = 4096): Array[Array[Double]] = {
+    require(k >= 2 && iters >= 1 && sampleN >= k,
+      s"need k >= 2, iters >= 1, sampleN >= k: $k/$iters/$sampleN")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val pts = vectors
+      .select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__v"))
+      .orderBy(xxhash64(col("__id")))
+      .limit(sampleN)
+      .collect().map(r => normalize(r.getSeq[Double](1).toArray))
+    var cents = pts.take(k).map(_.clone) // hash-ordered sample => spread init
+    (1 to iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      pts.foreach { p =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += p(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+        else normalize(sums(c).map(_ / counts(c))))
+    }
+    cents
+  }
+
   /** Centroid scores best-first: array of (score, cell) structs sorted by
     * score descending — element 1 is the nearest cell, a prefix slice is the
     * multiprobe set. Centroids ride ONE array literal evaluated by a
     * codegen'd HOF loop (no when-chain explosion at large nCells). */
-  private def cellsRanked(vec: Column, nCells: Int, dim: Int): Column = {
-    val cents = typedLit(ivfCentroids(nCells, dim).map(_.toSeq).toSeq)
+  private def cellsRanked(vec: Column, nCells: Int, dim: Int,
+                          centroids: Option[Array[Array[Double]]]): Column = {
+    val cents = typedLit(
+      centroids.getOrElse(ivfCentroids(nCells, dim)).map(_.toSeq).toSeq)
     reverse(array_sort(transform(cents, (c, i) =>
       struct(
         aggregate(zip_with(vec, c, (x, y) => x * y), lit(0.0), (acc, v) => acc + v).as("score"),
@@ -173,12 +221,15 @@ object Vectors {
     * linear in corpus size overall, never quadratic-in-N. */
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
               k: Int, nCells: Int, dim: Int,
-              cap: Int = 1024, probes: Int = 2): DataFrame = {
+              cap: Int = 1024, probes: Int = 2,
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     require(nCells >= 2, s"nCells must be >= 2: $nCells")
     require(probes >= 1 && probes <= nCells, s"probes must be in [1, $nCells]: $probes")
+    centroids.foreach(c => require(c.length == nCells && c.forall(_.length == dim),
+      s"centroids must be $nCells x $dim"))
     val ranked = vectors.select(
       col(idCol), toDoubleArray(col(vecCol)).as("__v"),
-      cellsRanked(toDoubleArray(col(vecCol)), nCells, dim).as("__ranked"))
+      cellsRanked(toDoubleArray(col(vecCol)), nCells, dim, centroids).as("__ranked"))
       .withColumn("__n", norm(col("__v")))
     val build0 = ranked
       .withColumn("cell", element_at(col("__ranked"), 1).getField("cell"))

@@ -115,12 +115,17 @@ object EngineQueries {
     }),
 
     // ANN via IVF cells (inverted-file alternative to q57): cell count
-    // scales with corpus size, 2-cell multiprobe, capped cells
+    // scales with corpus size, TRAINED centroids (deterministic spherical
+    // k-means on a hash-ordered sample), 2-cell multiprobe, capped cells
     "q58_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val n = emb.count()
+      val nCells = Vectors.cellsForCorpus(n)
+      val cents = Vectors.trainCentroids(emb, "vec_id", "embedding",
+        k = nCells, dim = 64, iters = 3, sampleN = 2048)
       Vectors.ivfTopK(emb, "vec_id", "embedding",
-          k = 5, nCells = Vectors.cellsForCorpus(n), dim = 64, cap = 512, probes = 2)
+          k = 5, nCells = nCells, dim = 64, cap = 512, probes = 2,
+          centroids = Some(cents))
         .where(col("query_id") < 50)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), r6(col("cos")).as("cos"))

@@ -143,6 +143,25 @@ class VectorsSpec extends SparkSpec {
     assert(salted.count() === 1000) // salting drops/duplicates nothing
   }
 
+  test("trained IVF centroids: deterministic, and recall >= pseudo-random centroids") {
+    val n = 1000
+    val vecs = clustered(n, nClusters = 20, dim = 16, noise = 0.1)
+    val k = Vectors.cellsForCorpus(n, 128)
+    val c1 = Vectors.trainCentroids(vecs, "vec_id", "embedding", k, dim = 16)
+    val c2 = Vectors.trainCentroids(vecs, "vec_id", "embedding", k, dim = 16)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq) // reproducible
+    val exact = Vectors.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 10)
+    val trained = Vectors.ivfTopK(vecs, "vec_id", "embedding",
+      k = 10, nCells = k, dim = 16, probes = 3, centroids = Some(c1))
+    val pseudo = Vectors.ivfTopK(vecs, "vec_id", "embedding",
+      k = 10, nCells = k, dim = 16, probes = 3)
+    val rTrained = recallVsExact(trained, exact)
+    val rPseudo = recallVsExact(pseudo, exact)
+    assert(rTrained >= 0.9, s"trained-centroid recall $rTrained < 0.9")
+    assert(rTrained >= rPseudo - 0.02,
+      s"training must not lose recall: $rTrained vs pseudo $rPseudo")
+  }
+
   test("saltBuckets preserves ALL pairs for buckets at or below cap (no recall loss)") {
     // the salt must be a pure no-op below the cap: joining on (bucket, salt)
     // yields exactly the pairs of joining on bucket alone
