@@ -50,6 +50,61 @@ class StreamingAsOfSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("randomized parity: streaming as-of == batch as-of on seeded data") {
+    // deterministic pseudo-random corpus; batches are ts-chunked (so no row
+    // is ever late past the watermark) but SHUFFLED WITHIN each batch — the
+    // buffer/sort logic does the reordering work
+    val rnd = new scala.util.Random(20240817L)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = (0 until 400).map { i =>
+      val entity = rnd.nextInt(12).toLong
+      val t = new Timestamp(base + rnd.nextInt(7200) * 1000L)
+      if (rnd.nextInt(10) < 3)
+        In(entity, t, isLabel = true, "", s"L$i", rnd.nextInt(100).toDouble)
+      else In(entity, t, isLabel = false, s"e$i", "", 0.0)
+    }
+      // unique (entity, ts, isLabel): ties between two labels at one ts are
+      // resolved by arrival in streaming but by max() in batch — exclude
+      .groupBy(r => (r.entity, r.ts.getTime, r.isLabel)).map(_._2.head).toSeq
+
+    // batch reference: the union+window formulation over the same rows
+    val probes = rows.filterNot(_.isLabel)
+      .map(r => (r.entity, r.ts, r.eventId)).toDF("entity", "ts", "event_id")
+    val labels = rows.filter(_.isLabel)
+      .map(r => (r.entity, r.ts, r.label, r.weight))
+      .toDF("entity", "label_ts", "label", "weight")
+    val expected = graft.ops.AsOfJoin.asOf(probes, labels,
+        "entity", "ts", "label_ts", Seq("label", "weight"))
+      .collect().map(r => (r.getAs[String]("event_id"),
+        Option(r.getAs[String]("label")),
+        Option(r.getAs[Any]("weight")))).toSet
+
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[In]
+    val q = asOfStream(in.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("asof_prop").outputMode("append").start()
+    try {
+      rows.sortBy(_.ts.getTime).grouped(60).foreach { chunk =>
+        in.addData(rnd.shuffle(chunk): _*)
+        q.processAllAvailable()
+      }
+      // flush: push the watermark far past everything, twice (second push
+      // fires event-time timeouts for groups the flush row doesn't touch)
+      in.addData(In(990L, new Timestamp(base + 100L * 3600 * 1000), false, "f1", "", 0.0))
+      q.processAllAvailable()
+      in.addData(In(991L, new Timestamp(base + 101L * 3600 * 1000), false, "f2", "", 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("asof_prop")
+        .where("eventId NOT IN ('f1', 'f2')")
+        .collect().map(r => (r.getAs[String]("eventId"),
+          Option(r.getAs[String]("label")),
+          Option(r.getAs[Any]("weight")))).toSet
+      assert(got === expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    } finally q.stop()
+  }
+
   test("label at the probe's exact ts applies (the <= bound)") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[In]
