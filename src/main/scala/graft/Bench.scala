@@ -42,7 +42,10 @@ object Bench {
           None
         }
       }
-      if (times.nonEmpty) timed(name) = times.min
+      // any failed pass disqualifies the query: a transient failure must not
+      // contribute a (possibly warm-cache-only) min time, and n_ok +
+      // n_failed must equal the query count
+      if (times.nonEmpty && !failed.contains(name)) timed(name) = times.min
     }
 
     def jstr(s: String): String = "\"" + s.flatMap {

@@ -131,7 +131,14 @@ object Vectors {
     * skew — a degenerate bucket (boilerplate dups, identical vectors) costs
     * O(size * cap) instead of O(size^2). `sizes` defaults to df's own bucket
     * histogram; pass the BUILD side's histogram when salting a probe side so
-    * both sides agree on each bucket's split factor. */
+    * both sides agree on each bucket's split factor.
+    *
+    * NOTE: each row gets exactly ONE salt from its own id — on a probe side
+    * this is SAMPLING, not replication: inside an over-cap bucket a query
+    * meets only ~1/ceil(size/cap) of that bucket's candidates (recall-gated
+    * for the identical-vector skew case in VectorsSpec). When full recall
+    * within an over-cap bucket is required, replicate the probe instead
+    * ([[explodeProbeSalts]]) at O(size/cap) probe fan-out. */
   def saltBuckets(df: DataFrame, bucketCol: String, idCol: String, cap: Int,
                   sizes: Option[DataFrame] = None,
                   broadcastSizes: Boolean = false): DataFrame = {
@@ -153,6 +160,25 @@ object Vectors {
   /** Per-bucket size histogram (shared between build and probe salting). */
   def bucketSizes(df: DataFrame, bucketCol: String): DataFrame =
     df.groupBy(col(bucketCol)).agg(count(lit(1)).as("__bsz"))
+
+  /** Probe-side salt REPLICATION (vs [[saltBuckets]]' sampling): each probe
+    * row is emitted once per sub-bucket salt of its bucket, so after joining
+    * on (bucket, __salt) it meets EVERY build row of the bucket — full
+    * within-bucket recall at O(ceil(size/cap)) probe fan-out, which is
+    * bounded and linear in the bucket's size. `sizes` must be the BUILD
+    * side's histogram (the side being matched against). */
+  def explodeProbeSalts(df: DataFrame, bucketCol: String, cap: Int,
+                        sizes: DataFrame,
+                        broadcastSizes: Boolean = true): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val szDf = if (broadcastSizes) broadcast(sizes) else sizes
+    df.join(szDf, Seq(bucketCol))
+      .withColumn("__salt",
+        explode(sequence(lit(0),
+          (greatest(lit(1L), ceil(col("__bsz") / lit(cap.toDouble)))
+            .cast("long") - 1).cast("int"))))
+      .drop("__bsz")
+  }
 
   /** Deterministic spherical k-means (Lloyd) over a hash-ordered sample —
     * REAL centroid training for the IVF path (the pseudo-random
@@ -176,6 +202,12 @@ object Vectors {
       .orderBy(xxhash64(col("__id")))
       .limit(sampleN)
       .collect().map(r => normalize(r.getSeq[Double](1).toArray))
+    // the TABLE may hold fewer than k rows even when sampleN >= k (tiny or
+    // empty corpora, where cellsForCorpus(n) can exceed n) — a short init
+    // array would crash the Lloyd loop below
+    require(pts.length >= k,
+      s"cannot train $k centroids from ${pts.length} sampled vectors — " +
+        "the corpus has fewer rows than k; lower k (e.g. cellsForCorpus)")
     var cents = pts.take(k).map(_.clone) // hash-ordered sample => spread init
     (1 to iters).foreach { _ =>
       val sums = Array.fill(k)(new Array[Double](dim))

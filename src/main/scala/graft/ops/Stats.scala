@@ -42,22 +42,71 @@ object Stats {
     * (by sorted position, ties broken by `tieBreak` for determinism).
     * Reference: `melody/handler.py:172-194` (limits=(0.1,0.1)).
     *
-    * One window pass (rank + group count) + filtered hash aggregate:
-    * shuffle by group keys once; the sort is within partitions.
+    * Scale shape — two-phase exact ranking instead of a per-group windowed
+    * sort (which serializes a whole group into ONE task when the group key
+    * has few distinct values — a straggler at 100x):
+    *   1. one hash-aggregate pass per group: n, untrimmed mean, and
+    *      `rangeBuckets` approximate quantile boundaries (broadcast back);
+    *   2. each row gets a range-bucket from the boundaries (equal values
+    *      always share a bucket, so bucket order respects the total
+    *      (value, tieBreak) order), a tiny per-(group, bucket) count table
+    *      yields exclusive prefix offsets, and the global rank is
+    *      offset + row_number within (group, bucket) — per-task sort size
+    *      drops from |group| to ~|group|/rangeBuckets.
+    * The ranks are EXACT regardless of quantile approximation error
+    * (boundaries only affect load balance, never order), so the scipy
+    * positional-trim semantics are preserved bit-for-bit.
+    *
+    * The per-group stats/offsets tables (|groups| * rangeBuckets rows) are
+    * broadcast — this path targets the low-cardinality-group regime where
+    * the windowed sort stragglers; at high group cardinality the groups
+    * spread across tasks anyway and either formulation balances.
     */
   def trimmedStats(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                   frac: Double, tieBreak: Seq[String]): DataFrame = {
-    val wOrd = Window.partitionBy(groupCols.map(col): _*)
+                   frac: Double, tieBreak: Seq[String],
+                   rangeBuckets: Int = 32): DataFrame = {
+    require(rangeBuckets >= 1, s"rangeBuckets must be >= 1: $rangeBuckets")
+    val gc = groupCols.map(col)
+
+    // phase 1: per-group size, untrimmed mean, approx range boundaries
+    val probs = (1 until rangeBuckets).map(_.toDouble / rangeBuckets)
+    val gstats = df.groupBy(gc: _*).agg(
+      count(lit(1)).as("__n"),
+      avg(col(valueCol)).as("__mean_all"),
+      (if (rangeBuckets > 1)
+         percentile_approx(col(valueCol),
+           typedLit(probs), lit(10000))
+       else typedLit(Seq.empty[Double])).as("__bounds"))
+
+    // phase 2a: bucket each row; NULL values (and all-NULL groups) land in
+    // bucket 0, matching the NULLS FIRST ascending rank of a plain window
+    val bucketed = df.join(broadcast(gstats), groupCols)
+      .withColumn("__bkt",
+        coalesce(
+          aggregate(col("__bounds"), lit(0),
+            (acc, b) => acc + when(col(valueCol) >= b, 1).otherwise(0)),
+          lit(0)))
+
+    // phase 2b: exclusive prefix counts per (group, bucket) — tiny table
+    val bucketCounts = bucketed.groupBy((gc :+ col("__bkt")): _*)
+      .agg(count(lit(1)).as("__bc"))
+    val wCum = Window.partitionBy(gc: _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketCounts
+      .withColumn("__offset", coalesce(sum(col("__bc")).over(wCum), lit(0L)))
+      .drop("__bc")
+
+    // phase 2c: global rank = prefix offset + within-bucket row_number;
+    // the one full-data exchange is by (group, bucket) — balanced
+    val wOrd = Window.partitionBy((gc :+ col("__bkt")): _*)
       .orderBy((col(valueCol) +: tieBreak.map(col)): _*)
-    val wAll = Window.partitionBy(groupCols.map(col): _*)
-    val ranked = df
-      .withColumn("__rn", row_number().over(wOrd))
-      .withColumn("__n", count(lit(1)).over(wAll))
-      .withColumn("__mean_all", avg(col(valueCol)).over(wAll))
+    val ranked = bucketed.join(broadcast(offsets), groupCols :+ "__bkt")
+      .withColumn("__rn", row_number().over(wOrd).cast("long") + col("__offset"))
       .withColumn("__k", floor(col("__n") * frac))
+
     ranked
       .where(col("__rn") > col("__k") && col("__rn") <= col("__n") - col("__k"))
-      .groupBy(groupCols.map(col): _*)
+      .groupBy(gc: _*)
       .agg(
         avg(col(valueCol)).as("trimmed_mean"),
         stddev_samp(col(valueCol)).as("trimmed_std"),

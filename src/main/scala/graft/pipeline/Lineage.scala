@@ -69,10 +69,16 @@ object Lineage {
     // read-back would double-count rows / mix schemas
     val outPath = Paths.get(outDir)
     if (Files.isDirectory(outPath)) {
-      val flat = Files.list(outPath).iterator()
-      val hasFlatData = Iterator.continually(flat)
-        .takeWhile(_.hasNext).map(_.next())
-        .exists(p => p.getFileName.toString.endsWith(".parquet"))
+      // Files.list returns a stream backed by an open directory handle —
+      // close it even on the require() throw
+      val listing = Files.list(outPath)
+      val hasFlatData =
+        try {
+          val flat = listing.iterator()
+          Iterator.continually(flat)
+            .takeWhile(_.hasNext).map(_.next())
+            .exists(p => p.getFileName.toString.endsWith(".parquet"))
+        } finally listing.close()
       require(!hasFlatData,
         s"$outDir holds unpartitioned parquet (no __bucket= dirs); resuming " +
           "over a flat layout would double-count rows — clear it or use a fresh dir")

@@ -69,16 +69,23 @@ object CoreQueries {
         r6(col("trim_ratio")).as("trim_ratio"))
     }),
 
-    // A6/O4: deterministic argmax via ranked window
+    // A6/O4: deterministic argmax as ONE hash aggregate — the custom
+    // lex_max DeclarativeAggregate keeps the (price DESC, orderkey DESC,
+    // linenumber DESC) tie-break of the old ranked-window formulation but
+    // with a flat primitive buffer, so it plans as HashAggregate with
+    // map-side partial aggregation and whole-stage codegen. (The obvious
+    // max(struct(...)) silently downgrades to SortAggregate — struct
+    // buffers aren't UnsafeRow-mutable — and a partitionBy(l_returnflag)
+    // window sorts ALL rows of a ~3-value group in one task: a straggler
+    // at 100x.)
     "q06_argmax" -> ((s, dir) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey").desc, col("l_linenumber").desc)
       t(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("l_returnflag"), col("l_orderkey"),
-          col("l_linenumber").cast("long").as("l_linenumber"),
-          r2(col("l_extendedprice")).as("max_price"))
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.LexMax.lexMax(col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber").cast("long")).as("m"))
+        .select(col("l_returnflag"), col("m.c1").as("l_orderkey"),
+          col("m.c2").as("l_linenumber"),
+          r2(col("m.c0")).as("max_price"))
     }),
 
     // A3: histogram + share-of-total

@@ -103,10 +103,12 @@ object EngineQueries {
         "entity", "window_start", 32)),
 
     // ANN via sign-LSH buckets (scale path vs q40's exact baseline): plane
-    // count scales with corpus size, hamming-1 multiprobe, capped buckets
+    // count scales with corpus size (taken from parquet footer metadata —
+    // the Iceberg total-records statistic analog, NOT a scan), hamming-1
+    // multiprobe, capped buckets
     "q57_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val n = emb.count() // production: table row-count statistic
+      val n = graft.sources.TableSource.parquetRowCount(s, s"$dir/embeddings.parquet")
       Vectors.lshTopK(emb, "vec_id", "embedding",
           k = 5, nPlanes = Vectors.planesForCorpus(n), dim = 64, cap = 512)
         .where(col("query_id") < 50)
@@ -115,11 +117,12 @@ object EngineQueries {
     }),
 
     // ANN via IVF cells (inverted-file alternative to q57): cell count
-    // scales with corpus size, TRAINED centroids (deterministic spherical
-    // k-means on a hash-ordered sample), 2-cell multiprobe, capped cells
+    // scales with corpus size (footer metadata, no scan), TRAINED centroids
+    // (deterministic spherical k-means on a hash-ordered sample), 2-cell
+    // multiprobe, capped cells
     "q58_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val n = emb.count()
+      val n = graft.sources.TableSource.parquetRowCount(s, s"$dir/embeddings.parquet")
       val nCells = Vectors.cellsForCorpus(n)
       val cents = Vectors.trainCentroids(emb, "vec_id", "embedding",
         k = nCells, dim = 64, iters = 3, sampleN = 2048)

@@ -32,6 +32,26 @@ object TableSource {
     }
   }
 
+  /** Table row count from parquet FOOTER metadata — no data scan, no Spark
+    * job. The production analog of reading an Iceberg table's
+    * `total-records` snapshot statistic: sizing decisions (ANN bucket/cell
+    * counts) must not cost a full pass over the corpus. Accepts a single
+    * .parquet file or a directory of part files. */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    def files(s: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(files)
+      else if (s.getPath.getName.endsWith(".parquet")) Seq(s)
+      else Nil
+    files(fs.getFileStatus(p)).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   private def parseOptions(spec: String): (Seq[(String, String)], String) = {
     val parts = spec.split(";")
     val opts = parts.takeWhile(_.startsWith("option:")).toSeq.map { p =>

@@ -30,6 +30,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("UDF"), s"Scala UDF survives in the signature path:\n$plan")
   }
 
+  test("q06 argmax is a hash aggregate, not a per-group windowed sort") {
+    val plan = planOf(SparkEntry.queries("q06_argmax")(spark, sfDir))
+    assert(plan.contains("HashAggregate"), s"argmax not a hash aggregate:\n$plan")
+    // a Window over partitionBy(l_returnflag) sorts every group in one task
+    // (3 groups -> 3 tasks at any scale) — the struct-max formulation must
+    // keep it out of the plan entirely
+    assert(!plan.contains("Window"), s"windowed sort crept back into argmax:\n$plan")
+    assert(!plan.contains("Sort "), s"sort in the argmax path:\n$plan")
+  }
+
   test("q31 tempo/dynamics dims are broadcast, not shuffled") {
     val plan = planOf(SparkEntry.queries("q31_tempo_dynamics")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")

@@ -51,4 +51,62 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("trimmed_n") === 3L)
     assert(math.abs(r.getAs[Double]("trimmed_mean") - 4.0) < 1e-12)
   }
+
+  /** The straightforward single-window formulation (the pre-two-phase
+    * implementation) — kept as the randomized-parity reference. */
+  private def windowedTrimmed(df: org.apache.spark.sql.DataFrame,
+                              groupCols: Seq[String], valueCol: String,
+                              frac: Double, tieBreak: Seq[String]) = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy((col(valueCol) +: tieBreak.map(col)): _*)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__mean_all", avg(col(valueCol)).over(wAll))
+      .withColumn("__k", floor(col("__n") * frac))
+      .where(col("__rn") > col("__k") && col("__rn") <= col("__n") - col("__k"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        avg(col(valueCol)).as("trimmed_mean"),
+        stddev_samp(col(valueCol)).as("trimmed_std"),
+        count(lit(1)).as("trimmed_n"),
+        first(col("__mean_all")).as("__untrimmed_mean"))
+      .withColumn("trim_diff", col("__untrimmed_mean") - col("trimmed_mean"))
+      .withColumn("trim_ratio",
+        when(col("__untrimmed_mean") =!= 0.0,
+          (col("__untrimmed_mean") - col("trimmed_mean")) / col("__untrimmed_mean"))
+          .otherwise(lit(0.0)))
+      .drop("__untrimmed_mean")
+  }
+
+  test("trimmedStats two-phase == single-window formulation (randomized, heavy ties)") {
+    val rnd = new scala.util.Random(11)
+    // tiny value domain -> ties everywhere, including across approx-quantile
+    // boundaries; 3 uneven groups; some groups below the trim threshold
+    val rows = (1L to 4000L).map { i =>
+      (rnd.nextInt(3).toLong, i, rnd.nextInt(12).toDouble)
+    } ++ Seq((9L, 900001L, 5.0), (9L, 900002L, 7.0)) // n=2 group
+    val df = rows.toDF("g", "id", "x")
+    assertSameRows(
+      Stats.trimmedStats(df, Seq("g"), "x", 0.1, Seq("id")),
+      windowedTrimmed(df, Seq("g"), "x", 0.1, Seq("id")))
+    // a different bucket count must not change the result (exact ranks)
+    assertSameRows(
+      Stats.trimmedStats(df, Seq("g"), "x", 0.1, Seq("id"), rangeBuckets = 5),
+      windowedTrimmed(df, Seq("g"), "x", 0.1, Seq("id")))
+  }
+
+  test("trimmedStats: no single-task per-group sort (rank window is bucketed)") {
+    val df = (1L to 1000L).map(i => (1L, i, (i % 97).toDouble)).toDF("g", "id", "x")
+    val plan = Stats.trimmedStats(df, Seq("g"), "x", 0.1, Seq("id"))
+      .queryExecution.executedPlan.toString
+    // the full-data row_number window must partition by (group, __bkt), so a
+    // single group spreads over rangeBuckets tasks instead of one; plan text:
+    //   Window [row_number() windowspecdefinition(g#.., __bkt#.., ...)
+    val rankWindows = "Window \\[row_number\\(\\) windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(rankWindows.nonEmpty && rankWindows.forall(_.contains("__bkt")),
+      s"rank window not bucketed:\n$plan")
+  }
 }

@@ -29,4 +29,13 @@ class TableSourceSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TableSource.load(spark, "option:badformat;x", synthFn))
   }
+
+  test("parquetRowCount reads footer metadata: multi-part dirs and single files") {
+    val dir = Files.createTempDirectory("graft-ts3").toString
+    spark.range(0, 1234).repartition(3).write.parquet(s"$dir/t")
+    assert(TableSource.parquetRowCount(spark, s"$dir/t") === 1234L)
+    // the driver testdata layout (single .parquet path)
+    assert(TableSource.parquetRowCount(spark, "/root/testdata/sf0.001/region.parquet")
+      === spark.read.parquet("/root/testdata/sf0.001/region.parquet").count())
+  }
 }
