@@ -84,10 +84,15 @@ object Main {
       // group_columns analog (musif processor.py:160-172): merge the
       // label-share family into aggregate tonal-function shares, keeping
       // the member columns
-      val feats = PostProcessor.groupColumnFamilies(raw, labelShareFamilies(raw.columns))
+      val feats = PostProcessor.groupColumnFamilies(raw, labelShareFamilies(raw.columns.toSeq))
+      // negative ratio = AUTO: adapt the threshold to this run's observed
+      // null density (musif's __main__ auto-config)
+      val rowThreshold =
+        if (cfg.maxNullRowRatio < 0) PostProcessor.adaptiveMaxNanRows(feats)
+        else cfg.maxNullRowRatio
       val rowFiltered =
-        if (cfg.maxNullRowRatio < 1.0)
-          PostProcessor.dropHighNullRows(feats, cfg.maxNullRowRatio)
+        if (rowThreshold < 1.0)
+          PostProcessor.dropHighNullRows(feats, rowThreshold)
         else feats
       val kept = pinned match {
         case Some(cols) =>

@@ -26,10 +26,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
       ShapeQueries.queries ++ TheoryQueries.queries ++ TextQueries.queries ++
-      VectorQueries.queries ++ EngineQueries.queries
+      VectorQueries.queries ++ CompositeQueries.queries ++
+      FlagshipQueries.queries ++ EngineQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
       ShapeQueries.oracles ++ TheoryQueries.oracles ++ TextQueries.oracles ++
-      VectorQueries.oracles
+      VectorQueries.oracles ++ CompositeQueries.oracles ++ FlagshipQueries.oracles
 }

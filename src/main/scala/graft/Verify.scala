@@ -15,6 +15,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+
+    // Materialize the flagship pipeline's deterministic synthesized inputs
+    // so the DuckDB oracle can replay the exact table the pipeline shuffles:
+    // the prepared-slim stream (everything below the prepare cut already
+    // applied) and the label table, timestamps as epoch seconds (the
+    // synthesis is whole-second; avoids parquet timestamp-annotation skew).
+    val synthDir = java.nio.file.Paths.get(outDir).toAbsolutePath.toString + "/__synth"
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    pipeline.FeaturePipeline.preparedSynthetic(spark, 20000, 64)
+      .withColumn("ts_sec", unix_timestamp(col("ts"))).drop("ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$synthDir/flagship_prepared")
+    sources.SynthImages.labels(spark, 20000, 64)
+      .withColumn("label_ts_sec", unix_timestamp(col("label_ts"))).drop("label_ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$synthDir/flagship_labels")
+
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -35,7 +50,9 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__SYNTH_DIR__", synthDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -35,6 +35,21 @@ object MusicTheory {
     }
   }
 
+  /** Degree string WITH accidental — the deterministic analog of
+    * `get_note_degree`/`to_full_degree`
+    * (`/root/reference/musif/extract/features/scale_relative/utils.py:169-189`):
+    * diatonic pitches yield "1".."7"; every chromatic pitch class sits one
+    * semitone above a diatonic one in both the major and natural-minor
+    * patterns, so it is spelled as the sharp of that degree ("#1", "#4", ...)
+    * — a fixed spelling convention where music21 picks per-context. NULL
+    * tonic/mode propagates to NULL (caller maps to its no-key bucket). */
+  def fullDegree(pitchClass: Column, tonicPc: Column, isMinor: Column): Column = {
+    val d = scaleDegree(pitchClass, tonicPc, isMinor)
+    val sharpOf = scaleDegree(pmod(pitchClass - 1, lit(12)), tonicPc, isMinor)
+    when(d.isNotNull, d.cast("string"))
+      .when(sharpOf.isNotNull, concat(lit("#"), sharpOf.cast("string")))
+  }
+
   /** Sharps(+)/flats(-) count of a major/minor key from the tonic pitch
     * class, derived from the circle of fifths; range normalized to [-6, 6).
     * Minor keys use the relative major (tonic + 3 semitones). */

@@ -26,6 +26,20 @@ object FeaturePipeline {
   val WindowDuration = "10 minutes"
   val SessionGapSeconds = 3600L
 
+  /** Stage 1 (pre-shuffle, narrow): per-row pure module features, then prune
+    * the heavy payload columns — the entity exchange moves derived features
+    * (~80 B/row), not raw bytes/captions. At 100 TB this is the difference
+    * between shuffling the corpus and shuffling a feature table. Exposed so
+    * Verify can materialize EXACTLY the table the pipeline shuffles (the
+    * DuckDB flagship oracle mirrors everything above this cut). */
+  def prepareSlim(images: DataFrame,
+                  modules: Seq[FeatureModule] = FeatureModules.All): DataFrame = {
+    val prepared = modules.foldLeft(images)((df, m) => m.prepare(df))
+    val keep = (Seq("phash", "ts", "image_id") ++
+      modules.flatMap(_.preparedCols) ++ modules.flatMap(_.rawCols)).distinct
+    prepared.select(keep.map(col): _*)
+  }
+
   /** Row-level enriched stream: as-of label + module enrichment columns.
     * Kept separate from the aggregation so tests can assert row-level
     * leakage-freedom. */
@@ -40,14 +54,7 @@ object FeaturePipeline {
     // the user shuffles; runs below the payload prune so hooks still see
     // the raw bytes/caption columns.
     val hooked = preHooks.foldLeft(images)((df, h) => h(df))
-    // Stage 1 (pre-shuffle, narrow): per-row pure features, then prune the
-    // heavy payload columns — the entity exchange moves derived features
-    // (~80 B/row), not raw bytes/captions. At 100 TB this is the difference
-    // between shuffling the corpus and shuffling a feature table.
-    val prepared = modules.foldLeft(hooked)((df, m) => m.prepare(df))
-    val keep = (Seq("phash", "ts", "image_id") ++
-      modules.flatMap(_.preparedCols) ++ modules.flatMap(_.rawCols)).distinct
-    val slim = prepared.select(keep.map(col): _*)
+    val slim = prepareSlim(hooked, modules)
 
     // Stage 2: the as-of label join. Default = the custom AsOfMergeJoinExec
     // (single forward merge, ~25% faster than the union+window formulation,
@@ -125,11 +132,8 @@ object FeaturePipeline {
     // prepare + prune + as-of label join (entity-partitioned), NO module
     // window enrichment yet — order-dependent state must not cross window
     // boundaries, so enrichment runs per (entity, window) after the explode
-    val prepared = modules.foldLeft(images)((df, m) => m.prepare(df))
-    val keep = (Seq("phash", "ts", "image_id") ++
-      modules.flatMap(_.preparedCols) ++ modules.flatMap(_.rawCols)).distinct
     val withLabel = AsOfJoin.asOfSortMerge(
-      prepared.select(keep.map(col): _*), labels,
+      prepareSlim(images, modules), labels,
       entityCol = "phash", probeTs = "ts", buildTs = "label_ts",
       payloadCols = Seq("label", "weight"))
 
@@ -171,4 +175,15 @@ object FeaturePipeline {
     val lbls = SynthImages.labels(spark, nRows, nEntities)
     features(imgs, lbls)
   }
+
+  /** The synthesized prepared-slim table the flagship pipeline shuffles —
+    * materialized by Verify so the DuckDB oracle can mirror every stage
+    * ABOVE the per-row prepare cut (as-of join, lag, sessionize, tumbling
+    * windows, aggregates, group_columns). Deterministic: identical content
+    * to what [[runSynthetic]] computes internally at the same params. */
+  def preparedSynthetic(spark: org.apache.spark.sql.SparkSession, nRows: Long,
+                        nEntities: Int = 64,
+                        hotExtraFraction: Double = 1.0 / 16): DataFrame =
+    prepareSlim(SynthImages.images(spark, nRows, nEntities, hotExtraFraction),
+      FeatureModules.All)
 }

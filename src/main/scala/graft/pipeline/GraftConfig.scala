@@ -12,6 +12,8 @@ final case class GraftConfig(
     modules: Seq[String] = FeatureModules.All.map(_.name),
     useMergeExec: Boolean = true,
     maxNullColumnRatio: Double = 1.0,
+    /** Negative = AUTO: derive from the output's null density at run time
+      * (PostProcessor.adaptiveMaxNanRows, musif `__main__.py:160-171`). */
     maxNullRowRatio: Double = 1.0,
     lineageBuckets: Int = 64,
     /** musif `precache_hooks` analog (`extract/extract.py:613-617`,
@@ -28,7 +30,8 @@ final case class GraftConfig(
         case "modules" => c.copy(modules = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case "use_merge_exec" => c.copy(useMergeExec = v.toBoolean)
         case "max_null_column_ratio" => c.copy(maxNullColumnRatio = v.toDouble)
-        case "max_null_row_ratio" => c.copy(maxNullRowRatio = v.toDouble)
+        case "max_null_row_ratio" =>
+          c.copy(maxNullRowRatio = if (v.trim == "auto") -1.0 else v.toDouble)
         case "lineage_buckets" => c.copy(lineageBuckets = v.toInt)
         case other => throw new IllegalArgumentException(s"unknown config key: $other")
       }

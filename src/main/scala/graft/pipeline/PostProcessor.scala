@@ -67,6 +67,32 @@ object PostProcessor {
     df.select(keep.map(col).toSeq: _*)
   }
 
+  /** Adaptive max-NaN-rows threshold — musif's `__main__` auto-config
+    * (`/root/reference/musif/__main__.py:160-171`): when the table is sparse
+    * relative to its length (columns WITHOUT any null / row count < 0.1),
+    * the row threshold adapts to the observed null density —
+    * `(1/0.99) * q99(per-row null count) / n_cols` (so only outlier rows
+    * beyond the 99th null-count percentile drop); otherwise 1.0 (keep all).
+    * Two aggregate passes (per-column null counts; exact interpolated
+    * percentile of the per-row null count), no windows. */
+  def adaptiveMaxNanRows(df: DataFrame): Double = {
+    val cols = df.columns.toSeq
+    val nCols = cols.length
+    val aggs = (count(lit(1)).as("__n") +:
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)))).toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getLong(0)
+    if (n == 0L || nCols == 0) return 1.0
+    val colsWithoutNa = (1 to nCols).count(i => row.getLong(i) == 0L)
+    if (colsWithoutNa.toDouble / n < 0.1) {
+      val nullCount = cols.map(c => when(col(c).isNull, 1).otherwise(0): Column)
+        .reduce(_ + _)
+      val q99 = df.select(nullCount.cast(DoubleType).as("__nc"))
+        .agg(expr("percentile(__nc, 0.99)")).collect()(0).getDouble(0)
+      (1.0 / 0.99) * q99 / nCols
+    } else 1.0
+  }
+
   /** P5: drop rows whose null ratio across `cols` exceeds `maxRatio`. */
   def dropHighNullRows(df: DataFrame, maxRatio: Double,
                        cols: Seq[String] = Nil): DataFrame = {

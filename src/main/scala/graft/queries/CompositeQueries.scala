@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{LexMax, MusicTheory}
+import graft.ops.AsOfJoin
+import Q._
+
+/** Composite reference pipelines — the multi-operator chains the reference
+  * treats as single features, each oracled end-to-end:
+  *
+  *  - q60: the crown-jewel composition — as-of local key -> scale degree of
+  *    each note relative to it -> per-degree histogram
+  *    (`/root/reference/musif/extract/features/scale_relative/utils.py:100-135`)
+  *  - q61: run-length key areas with FRACTIONAL measure attribution
+  *    (`/root/reference/musif/extract/features/harmony/utils.py:65-165`)
+  *  - q63: pitch-class distribution battery — counts/shares/entropy/mode,
+  *    the analog of music21's native pitch-class extractors
+  *    (`/root/reference/musif/extract/features/music21/handler.py:15-57`)
+  */
+object CompositeQueries {
+
+  /** Local-key domain: mixed major/minor tonics (lowercase = minor),
+    * including the multi-char "Bb" and "f#" spellings. */
+  private val LocalKeys = Seq("C", "G", "D", "a", "e", "Bb", "f#", "g")
+  private val TonicPc = Map("C" -> 0, "G" -> 7, "D" -> 2, "a" -> 9,
+    "e" -> 4, "Bb" -> 10, "f#" -> 6, "g" -> 7)
+  private val MinorKeys = Seq("a", "e", "f#", "g")
+
+  /** Key-area domain for q61. */
+  private val AreaKeys = Seq("I", "V", "vi", "IV", "ii")
+
+  val queries: Map[String, QueryFn] = Map(
+    // q60: emphasized scale degrees relative to the LOCAL key. Chain:
+    // sparse key annotations (orders) deduped at (entity, ts) -> as-of join
+    // onto the note stream -> fallback to the entity's FIRST key for notes
+    // before any annotation (the reference's _fill_gaps_in_tonality_map
+    // start fill) -> degree-with-accidental per note -> per-degree histogram
+    // with counts, shares, and duration weights (x/0 conventions upstream).
+    // Entities with no annotations at all land in the "NA" bucket.
+    "q60_emphasized_degrees" -> ((s, dir) => {
+      val notes = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("ts"),
+        pmod(col("event_id"), lit(12)).cast("int").as("pc"),
+        ((pmod(col("event_id"), lit(8)) + 1) / lit(2.0)).as("duration"))
+      val keysRaw = t(s, dir, "orders").select(
+        col("o_custkey").as("user_id"), col("o_orderdate"),
+        element_at(typedLit(LocalKeys),
+          (pmod(col("o_orderkey"), lit(LocalKeys.size)) + 1).cast("int")).as("localkey"))
+      // deterministic dedupe at (entity, ts): keep max localkey — the same
+      // convention AsOfJoin.asOf applies internally; done explicitly here so
+      // the first-key fallback sees the SAME label the as-of join would
+      val keys = keysRaw.groupBy(col("user_id"), col("o_orderdate"))
+        .agg(max(col("localkey")).as("localkey"))
+      val firstKey = keys.groupBy(col("user_id"))
+        .agg(min_by(col("localkey"), col("o_orderdate")).as("first_key"))
+
+      val withKey = AsOfJoin.asOf(notes, keys,
+        entityCol = "user_id", probeTs = "ts", buildTs = "o_orderdate",
+        payloadCols = Seq("localkey"))
+      // firstKey is one row per entity and both sides already hash-partition
+      // by user_id (the as-of output propagates entity partitioning), so
+      // this join adds no exchange of the note stream
+      val filled = withKey.join(firstKey, Seq("user_id"), "left")
+        .withColumn("lk", coalesce(col("localkey"), col("first_key")))
+
+      val tonic = TonicPc.foldLeft(lit(null).cast("int")) {
+        case (acc, (k, v)) => when(col("lk") === k, v).otherwise(acc)
+      }
+      val isMinor = col("lk").isin(MinorKeys: _*)
+      val deg = filled.withColumn("degree",
+        coalesce(MusicTheory.fullDegree(col("pc"), tonic, isMinor), lit("NA")))
+
+      val per = deg.groupBy(col("user_id"), col("degree"))
+        .agg(count(lit(1)).as("n_notes"), sum(col("duration")).as("__dur"))
+      val w = Window.partitionBy(col("user_id"))
+      per.select(col("user_id"), col("degree"), col("n_notes"),
+        r6(col("n_notes").cast("double") / sum(col("n_notes")).over(w)).as("share"),
+        r4(col("__dur")).as("dur_weight"),
+        r6(col("__dur") / sum(col("__dur")).over(w)).as("dur_share"))
+    }),
+
+    // q61: per-key FRACTIONAL measure attribution. Each annotation sits at
+    // measure rn with an onset fraction; a key run owns the span from its
+    // first annotation position to the next run's first position (the last
+    // run runs to the end of the piece), so a key change mid-measure splits
+    // that measure fractionally between the outgoing and incoming key —
+    // the cleaned-up formalization of compute_number_of_measures.
+    "q61_key_areas" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val base = t(s, dir, "events")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("lk", element_at(typedLit(AreaKeys),
+          (pmod(floor((col("rn") - 1) / 6) * 7, lit(AreaKeys.size)) + 1).cast("int")))
+        .withColumn("pos",
+          (col("rn") - 1).cast("double") + pmod(col("event_id"), lit(4)) / lit(4.0))
+      val seg = base
+        .withColumn("chg",
+          when(lag(col("lk"), 1).over(w).isNull ||
+            lag(col("lk"), 1).over(w) =!= col("lk"), 1).otherwise(0))
+        .withColumn("segment_id",
+          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      // runs table is |input|/runLength rows; the groupBys and windows below
+      // all reuse the user_id partitioning of the first exchange
+      val runs = seg.groupBy(col("user_id"), col("segment_id"), col("lk"))
+        .agg(min(col("pos")).as("start_pos"), max(col("rn")).as("last_rn"))
+      val wSeg = Window.partitionBy(col("user_id")).orderBy(col("segment_id"))
+      val wU = Window.partitionBy(col("user_id"))
+      val spans = runs
+        .withColumn("n_measures", max(col("last_rn")).over(wU).cast("double"))
+        .withColumn("span",
+          coalesce(lead(col("start_pos"), 1).over(wSeg), col("n_measures"))
+            - col("start_pos"))
+      spans.groupBy(col("user_id"), col("lk").as("key"))
+        .agg(r6(sum(col("span"))).as("key_measures"),
+          r6(sum(col("span")) / first(col("n_measures"))).as("pct_measures"),
+          count(lit(1)).as("n_runs"))
+    }),
+
+    // q63: pitch-class distribution battery — per-class counts, distinct
+    // count, Shannon entropy (log2 n - sum(c*log2 c)/n), and the modal
+    // pitch class via the lex_max hash aggregate (ties -> smallest pc).
+    // Two chained hash aggregates, no windows — scale-clean.
+    "q63_pitch_class" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .select(col("user_id"), pmod(col("event_id"), lit(12)).cast("int").as("pc"))
+        .groupBy(col("user_id"), col("pc")).agg(count(lit(1)).as("cnt"))
+      val pcCounts = (0 until 12).map(i =>
+        sum(when(col("pc") === i, col("cnt")).otherwise(lit(0L))).as(s"pc$i"))
+      val aggs = Seq(
+        sum(col("cnt")).as("n_notes"),
+        count(lit(1)).as("n_distinct_pc"),
+        sum(col("cnt") * log2(col("cnt"))).as("__slog"),
+        LexMax.lexMax(col("cnt"), (-col("pc")).cast("long")).as("__m")) ++ pcCounts
+      per.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+        .withColumn("pc_entropy",
+          r6(log2(col("n_notes")) - col("__slog") / col("n_notes")))
+        .withColumn("mode_pc", (-col("__m.c1")).cast("int"))
+        .withColumn("mode_share", r6(col("__m.c0") / col("n_notes")))
+        .drop("__slog", "__m")
+    }))
+
+  private def fullDegreeSql(rel: String, minor: String): String =
+    s"""CASE WHEN NOT $minor THEN
+       |  CASE $rel WHEN 0 THEN '1' WHEN 2 THEN '2' WHEN 4 THEN '3'
+       |    WHEN 5 THEN '4' WHEN 7 THEN '5' WHEN 9 THEN '6' WHEN 11 THEN '7'
+       |    WHEN 1 THEN '#1' WHEN 3 THEN '#2' WHEN 6 THEN '#4'
+       |    WHEN 8 THEN '#5' WHEN 10 THEN '#6' END
+       |ELSE
+       |  CASE $rel WHEN 0 THEN '1' WHEN 2 THEN '2' WHEN 3 THEN '3'
+       |    WHEN 5 THEN '4' WHEN 7 THEN '5' WHEN 8 THEN '6' WHEN 10 THEN '7'
+       |    WHEN 1 THEN '#1' WHEN 4 THEN '#3' WHEN 6 THEN '#4'
+       |    WHEN 9 THEN '#6' WHEN 11 THEN '#7' END
+       |END""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q60_emphasized_degrees" -> {
+      val keysArr = LocalKeys.map(k => s"'$k'").mkString(", ")
+      val tonicCase = "CASE lk " + LocalKeys.map(k =>
+        s"WHEN '$k' THEN ${TonicPc(k)}").mkString(" ") + " END"
+      val minorIn = MinorKeys.map(k => s"'$k'").mkString(", ")
+      s"""WITH notes AS (
+         | SELECT event_id, user_id, ts, (event_id % 12)::INT AS pc,
+         |  ((event_id % 8) + 1) / 2.0 AS duration
+         | FROM events),
+         |keys0 AS (
+         | SELECT o_custkey AS user_id, o_orderdate,
+         |  ([$keysArr])[(o_orderkey % ${LocalKeys.size})::INT + 1] AS localkey
+         | FROM orders),
+         |keys AS (
+         | SELECT user_id, o_orderdate, max(localkey) AS localkey
+         | FROM keys0 GROUP BY 1, 2),
+         |firstk AS (
+         | SELECT user_id, localkey AS first_key FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY o_orderdate) AS rnk FROM keys) WHERE rnk = 1),
+         |j AS (
+         | SELECT n.*, k.localkey FROM notes n ASOF LEFT JOIN keys k
+         |  ON n.user_id = k.user_id AND n.ts >= k.o_orderdate),
+         |f AS (
+         | SELECT j.*, coalesce(j.localkey, fk.first_key) AS lk
+         | FROM j LEFT JOIN firstk fk ON j.user_id = fk.user_id),
+         |d AS (
+         | SELECT *, $tonicCase AS tonic, lk IN ($minorIn) AS minor FROM f),
+         |e AS (SELECT *, ((pc - tonic) % 12 + 12) % 12 AS rel FROM d),
+         |deg AS (
+         | SELECT user_id, duration,
+         |  CASE WHEN lk IS NULL THEN 'NA'
+         |    ELSE ${fullDegreeSql("rel", "minor")} END AS degree
+         | FROM e),
+         |per AS (
+         | SELECT user_id, degree, count(*)::BIGINT AS n_notes,
+         |  sum(duration) AS dur
+         | FROM deg GROUP BY 1, 2),
+         |tot AS (
+         | SELECT user_id, sum(n_notes) AS tot_n, sum(dur) AS tot_dur
+         | FROM per GROUP BY 1)
+         |SELECT p.user_id, p.degree, p.n_notes,
+         | round(p.n_notes::DOUBLE / t.tot_n + 3.7e-10, 6) AS share,
+         | round(p.dur + 3.7e-10, 4) AS dur_weight,
+         | round(p.dur / t.tot_dur + 3.7e-10, 6) AS dur_share
+         |FROM per p JOIN tot t ON p.user_id = t.user_id""".stripMargin
+    },
+
+    "q61_key_areas" -> {
+      val areaArr = AreaKeys.map(k => s"'$k'").mkString(", ")
+      val ord = "PARTITION BY user_id ORDER BY ts, event_id"
+      s"""WITH base AS (
+         | SELECT user_id, event_id, ts,
+         |  row_number() OVER ($ord) AS rn
+         | FROM events),
+         |k AS (
+         | SELECT *,
+         |  ([$areaArr])[(((rn - 1) // 6 * 7) % ${AreaKeys.size})::INT + 1] AS lk,
+         |  (rn - 1)::DOUBLE + (event_id % 4) / 4.0 AS pos
+         | FROM base),
+         |c AS (
+         | SELECT *, CASE WHEN lag(lk) OVER ($ord) IS NULL
+         |   OR lag(lk) OVER ($ord) <> lk THEN 1 ELSE 0 END AS chg
+         | FROM k),
+         |s AS (
+         | SELECT *, sum(chg) OVER ($ord
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment_id
+         | FROM c),
+         |runs AS (
+         | SELECT user_id, segment_id, lk,
+         |  min(pos) AS start_pos, max(rn) AS last_rn
+         | FROM s GROUP BY 1, 2, 3),
+         |sp AS (
+         | SELECT *,
+         |  max(last_rn) OVER (PARTITION BY user_id)::DOUBLE AS n_measures,
+         |  coalesce(lead(start_pos) OVER (PARTITION BY user_id ORDER BY segment_id),
+         |    max(last_rn) OVER (PARTITION BY user_id)::DOUBLE) - start_pos AS span
+         | FROM runs)
+         |SELECT user_id, lk AS key,
+         | round(sum(span) + 3.7e-10, 6) AS key_measures,
+         | round(sum(span) / any_value(n_measures) + 3.7e-10, 6) AS pct_measures,
+         | count(*)::BIGINT AS n_runs
+         |FROM sp GROUP BY 1, 2""".stripMargin
+    },
+
+    "q63_pitch_class" -> {
+      val pcCols = (0 until 12).map(i =>
+        s"sum(CASE WHEN pc = $i THEN cnt ELSE 0 END)::BIGINT AS pc$i").mkString(",\n  ")
+      s"""WITH per AS (
+         | SELECT user_id, (event_id % 12)::INT AS pc, count(*)::BIGINT AS cnt
+         | FROM events GROUP BY 1, 2),
+         |m AS (
+         | SELECT user_id, pc AS mode_pc, cnt AS mode_cnt,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, pc) AS rnk
+         | FROM per),
+         |g AS (
+         | SELECT user_id, sum(cnt)::BIGINT AS n_notes,
+         |  count(*)::BIGINT AS n_distinct_pc,
+         |  round(log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt) + 3.7e-10, 6) AS pc_entropy,
+         |  $pcCols
+         | FROM per GROUP BY 1)
+         |SELECT g.*, m.mode_pc,
+         | round(m.mode_cnt / g.n_notes + 3.7e-10, 6) AS mode_share
+         |FROM g JOIN m ON g.user_id = m.user_id AND m.rnk = 1""".stripMargin
+    })
+}

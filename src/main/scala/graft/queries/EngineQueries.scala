@@ -93,9 +93,8 @@ object EngineQueries {
           length(ImageFunctions.resize_image(col("bytes"), lit(8), lit(8))).as("resized_len"))
     }),
 
-    // Flagship: per-entity x window feature vectors with as-of labels
-    "q55_flagship_features" -> ((s, dir) =>
-      FeaturePipeline.runSynthetic(s, 20000, 64)),
+    // (q55, the flagship pipeline, lives in FlagshipQueries — it gained a
+    // full DuckDB oracle this round)
 
     // Lineage rows over the flagship output
     "q56_lineage" -> ((s, dir) =>

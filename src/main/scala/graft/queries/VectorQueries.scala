@@ -42,6 +42,34 @@ object VectorQueries {
         .select(col("v1"), col("v2"), r6(col("cos")).as("cos"))
     }),
 
+    // ANN correctness in the DRIVER gate (not only ScalaTest): plant a
+    // near-identical copy (+0.001 on one coordinate, cos ~ 1-1e-7 vs <= ~0.5
+    // organic) of every 20th vector, run the sign-LSH scale path over the
+    // full corpus, and emit each planted query's rank-1 neighbor. The oracle
+    // computes the EXACT top-1 by full cross product (feasible DuckDB-side
+    // only) — by the cosine margin that is always the planted source, so any
+    // LSH recall miss or ranking drift hash-fails the round. Deterministic
+    // for the fixed corpus + fixed hyperplanes: a near-identical pair
+    // separates only if >= 2 planes flip AND no hamming-1 probe recovers it.
+    // (Organic low-cos top-1s are NOT a meaningful LSH gate — sign-LSH at
+    // ~0.3 cosine has per-bucket collision odds near chance; recall there is
+    // covered by VectorsSpec's threshold-recall gates.)
+    "q62_lsh_recall" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.toDoubleArray(col("embedding")).as("embedding"))
+      val dups = base.where(pmod(col("vec_id"), lit(20)) === 0 && col("vec_id") < 500)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + 0.001).otherwise(x)).as("embedding"))
+      val all = base.unionByName(dups)
+      val n = graft.sources.TableSource.parquetRowCount(s, s"$dir/embeddings.parquet")
+      Vectors.lshTopK(all, "vec_id", "embedding",
+          k = 5, nPlanes = Vectors.planesForCorpus(n), dim = 64, cap = 512)
+        .where(col("query_id") >= 1000000L && col("rank") === 1)
+        .select((col("query_id") - 1000000L).as("query_id"),
+          col("neighbor_id"), r6(col("cos")).as("cos"))
+    }),
+
     "q41_vector_norms" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .select(col("label"), Vectors.norm(Vectors.toDoubleArray(col("embedding"))).as("nrm"))
@@ -80,6 +108,26 @@ object VectorQueries {
         |  list_cosine_similarity(x.e, y.e) AS cos
         | FROM a x JOIN a y ON x.vec_id < y.vec_id)
         |SELECT v1, v2, round(cos + 3.7e-10, 6) AS cos FROM p WHERE cos >= 0.9""".stripMargin,
+
+    // DuckDB list_transform index is 1-based (Spark's is 0-based): i = 1
+    // perturbs the same first coordinate as i === 0 on the Spark side
+    "q62_lsh_recall" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |d AS (
+        | SELECT vec_id + 1000000 AS vec_id,
+        |  list_transform(e, (x, i) -> CASE WHEN i = 1 THEN x + 0.001 ELSE x END) AS e
+        | FROM v WHERE vec_id % 20 = 0 AND vec_id < 500),
+        |a AS (SELECT * FROM v UNION ALL SELECT * FROM d),
+        |s AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.e, c.e) AS cos
+        | FROM d q JOIN a c ON c.vec_id <> q.vec_id),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY qid
+        |   ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+        |SELECT qid - 1000000 AS query_id, neighbor_id, round(cos + 3.7e-10, 6) AS cos
+        |FROM r WHERE rnk = 1""".stripMargin,
 
     "q41_vector_norms" ->
       """WITH n AS (

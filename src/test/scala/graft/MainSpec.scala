@@ -40,6 +40,32 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === n1)
   }
 
+  test("auto max_nan_rows adapts to output null density (musif __main__ analog)") {
+    import spark.implicits._
+    val cfg = pipeline.GraftConfig().withOverrides(Map("max_null_row_ratio" -> "auto"))
+    assert(cfg.maxNullRowRatio < 0) // the AUTO sentinel
+
+    // dense-enough table (cols-without-null / rows >= 0.1) -> threshold 1.0
+    val dense = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    assert(pipeline.PostProcessor.adaptiveMaxNanRows(dense) === 1.0)
+
+    // long sparse table: 1 null-free column / 100 rows = 0.01 < 0.1 ->
+    // threshold = (1/0.99) * q99(per-row null count) / n_cols. Per-row null
+    // counts: 99 rows with 1 null (b), one row with 2 (a+b) -> pandas-style
+    // interpolated q99 = 1.01 over 3 columns
+    val sparse = (1 to 100)
+      .map(i => (i, if (i == 100) null else "x", null: String))
+      .toDF("k", "a", "b")
+    val got = pipeline.PostProcessor.adaptiveMaxNanRows(sparse)
+    val q99 = 1.01 // 99th percentile (interpolated) of 99x[1] + 1x[2]
+    assert(math.abs(got - (1.0 / 0.99) * q99 / 3) < 1e-9, s"got $got")
+
+    // wired through the job's threshold selection: an adaptive threshold
+    // below 1.0 actually drops the outlier-null rows
+    val filtered = pipeline.PostProcessor.dropHighNullRows(sparse, got)
+    assert(filtered.count() === 99) // only the 2-null row exceeds 1.01/3
+  }
+
   test("CSV sink round-trips the feature table exactly (S6)") {
     val tmp = Files.createTempDirectory("graft-csv").toString
     val feats = pipeline.FeaturePipeline.runSynthetic(spark, 800, 8)

@@ -19,6 +19,35 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 3.5355339059327378) < 1e-9)
   }
 
+  test("stable power-sum moments == corrected built-ins and DuckDB constants") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 10.0).toDF("x")
+    val r = df.agg(
+      Stats.skewnessStable(col("x")).as("sk"),
+      Stats.kurtosisStable(col("x")).as("ku")).collect()(0)
+    // same DuckDB-produced constants as the corrected-builtin test above
+    assert(math.abs(r.getDouble(0) - 1.6970562748477143) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 3.151999999999994) < 1e-9)
+    // randomized agreement with the built-in composition at ~1e-9
+    val rnd = new scala.util.Random(3)
+    val big = (1 to 500).map(i => (i % 7, rnd.nextDouble() * 3 + 1)).toDF("g", "x")
+    val both = big.groupBy(col("g")).agg(
+      Stats.skewnessStable(col("x")).as("s1"),
+      Stats.skewnessCorrected(col("x")).as("s2"),
+      Stats.kurtosisStable(col("x")).as("k1"),
+      Stats.kurtosisCorrected(col("x")).as("k2")).collect()
+    both.foreach { row =>
+      assert(math.abs(row.getDouble(1) - row.getDouble(2)) < 1e-9)
+      assert(math.abs(row.getDouble(3) - row.getDouble(4)) < 1e-9)
+    }
+    // domain guards: n<3 / n<4 and zero variance -> NULL
+    val r2 = Seq(1.0, 2.0).toDF("x").agg(
+      Stats.skewnessStable(col("x")), Stats.kurtosisStable(col("x"))).collect()(0)
+    assert(r2.isNullAt(0) && r2.isNullAt(1))
+    val rc = Seq(5.0, 5.0, 5.0, 5.0, 5.0).toDF("x").agg(
+      Stats.skewnessStable(col("x")), Stats.kurtosisStable(col("x"))).collect()(0)
+    assert(rc.isNullAt(0) && rc.isNullAt(1))
+  }
+
   test("moments are null below their domain (n<3 skew, n<4 kurt)") {
     val r = Seq(1.0, 2.0).toDF("x").agg(
       Stats.skewnessCorrected(col("x")).as("sk"),
