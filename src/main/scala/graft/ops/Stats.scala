@@ -76,17 +76,20 @@ object Stats {
     * Scale shape — two-phase exact ranking instead of a per-group windowed
     * sort (which serializes a whole group into ONE task when the group key
     * has few distinct values — a straggler at 100x):
-    *   1. one hash-aggregate pass per group: n, untrimmed mean, and
-    *      `rangeBuckets` approximate quantile boundaries (broadcast back);
-    *   2. each row gets a range-bucket from the boundaries (equal values
-    *      always share a bucket, so bucket order respects the total
-    *      (value, tieBreak) order), a tiny per-(group, bucket) count table
-    *      yields exclusive prefix offsets, and the global rank is
-    *      offset + row_number within (group, bucket) — per-task sort size
-    *      drops from |group| to ~|group|/rangeBuckets.
-    * The ranks are EXACT regardless of quantile approximation error
-    * (boundaries only affect load balance, never order), so the scipy
-    * positional-trim semantics are preserved bit-for-bit.
+    *   1. one hash-aggregate pass per group: n, untrimmed mean, min/max
+    *      (broadcast back);
+    *   2. each row gets a uniform [min, max) range-bucket (pure arithmetic
+    *      — equal values always share a bucket, so bucket order respects
+    *      the total (value, tieBreak) order), a tiny per-(group, bucket)
+    *      count table yields exclusive prefix offsets, and the global rank
+    *      is offset + row_number within (group, bucket) — per-task sort
+    *      size drops from |group| to ~|group|/rangeBuckets.
+    * The ranks are EXACT regardless of how lopsided the range split is
+    * (bucketing only affects load balance, never order — a degenerate
+    * all-one-value group just falls back to a single-bucket sort for that
+    * group), so the scipy positional-trim semantics are preserved
+    * bit-for-bit. Costs two extra bounded scans vs the windowed sort; at
+    * scale that trade removes an unbounded single-task straggler.
     *
     * The per-group stats/offsets tables (|groups| * rangeBuckets rows) are
     * broadcast — this path targets the low-cardinality-group regime where
@@ -99,24 +102,30 @@ object Stats {
     require(rangeBuckets >= 1, s"rangeBuckets must be >= 1: $rangeBuckets")
     val gc = groupCols.map(col)
 
-    // phase 1: per-group size, untrimmed mean, approx range boundaries
-    val probs = (1 until rangeBuckets).map(_.toDouble / rangeBuckets)
+    // phase 1: per-group size, untrimmed mean, value range (cheap codegen'd
+    // aggregates — a quantile sketch would balance better but costs more
+    // than the sort it saves at moderate SF; balance is best-effort anyway)
     val gstats = df.groupBy(gc: _*).agg(
       count(lit(1)).as("__n"),
       avg(col(valueCol)).as("__mean_all"),
-      (if (rangeBuckets > 1)
-         percentile_approx(col(valueCol),
-           typedLit(probs), lit(10000))
-       else typedLit(Seq.empty[Double])).as("__bounds"))
+      min(col(valueCol)).as("__vmin"),
+      max(col(valueCol)).as("__vmax"))
 
-    // phase 2a: bucket each row; NULL values (and all-NULL groups) land in
-    // bucket 0, matching the NULLS FIRST ascending rank of a plain window
+    // phase 2a: uniform range-bucket per row; NULL values (and all-NULL or
+    // constant groups) land in bucket 0, matching the NULLS FIRST ascending
+    // rank of a plain window
+    val v = col(valueCol).cast("double")
+    val width = (col("__vmax").cast("double") - col("__vmin").cast("double")) /
+      rangeBuckets
     val bucketed = df.join(broadcast(gstats), groupCols)
       .withColumn("__bkt",
         coalesce(
-          aggregate(col("__bounds"), lit(0),
-            (acc, b) => acc + when(col(valueCol) >= b, 1).otherwise(0)),
+          when(col("__vmax") > col("__vmin"),
+            least(lit(rangeBuckets - 1),
+              greatest(lit(0),
+                floor((v - col("__vmin").cast("double")) / width).cast("int")))),
           lit(0)))
+      .drop("__vmin", "__vmax") // prune before the (group, bucket) exchange
 
     // phase 2b: exclusive prefix counts per (group, bucket) — tiny table
     val bucketCounts = bucketed.groupBy((gc :+ col("__bkt")): _*)

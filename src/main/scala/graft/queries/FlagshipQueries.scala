@@ -1,14 +1,20 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.pipeline.{FeaturePipeline, PostProcessor}
 import Q._
 
 /** The flagship musif-analog pipeline (`FeaturesExtractor.extract()`,
-  * `/root/reference/musif/extract/extract.py:255-311`) — oracled END TO END:
-  * prepare -> as-of label join -> lag/sessionize enrichment -> tumbling
-  * window aggregation -> group_columns families, hash-compared against a
-  * DuckDB mirror of every stage above the per-row prepare cut.
+  * `/root/reference/musif/extract/extract.py:255-311`) — oracled END TO END
+  * in BOTH product modes:
+  *
+  *  - q55: time-axis mode — prepare -> as-of label join -> lag/sessionize
+  *    enrichment -> tumbling-window aggregation -> group_columns families;
+  *  - q65: musif's native sliding measure-window mode
+  *    (`extract.py:416-464`) — same chain, but rows explode into
+  *    size/overlap windows and the order-dependent enrichment is scoped per
+  *    (entity, window) exactly like the reference re-extracts each slice.
   *
   * Verify materializes the deterministic synthesized inputs (the
   * prepared-slim table the pipeline shuffles, and the label table) under
@@ -24,125 +30,177 @@ object FlagshipQueries {
   private def shareCol(l: String): String = s"label_share_${l.replace(':', '_')}"
   private val Labels = graft.sources.SynthImages.LABELS.toSeq
 
+  /** Driver-comparable projection of the module aggregates: r6-rounded
+    * doubles, integral counts as-is. Shared by q55 and q65. */
+  private def roundedFeatureCols: Seq[Column] = Seq(
+    col("n_images"),
+    r6(col("brightness_mean")).as("brightness_mean"),
+    r6(col("brightness_std")).as("brightness_std"),
+    r6(col("brightness_skew")).as("brightness_skew"),
+    r6(col("brightness_kurt")).as("brightness_kurt"),
+    r6(col("abs_delta_mean")).as("abs_delta_mean"),
+    col("n_ascending"), col("n_descending"),
+    r6(col("caption_tokens_mean")).as("caption_tokens_mean"),
+    r6(col("aspect_mean")).as("aspect_mean"),
+    r6(col("lossy_share")).as("lossy_share"),
+    col("n_sessions"), col("n_labels"),
+    r6(col("weight_max")).as("weight_max")) ++
+    Labels.map(l => r6(col(shareCol(l))).as(shareCol(l)))
+
   val queries: Map[String, QueryFn] = Map(
     // The product composition at 20k rows x 64 entities (hot-entity skew on):
     // raw features from the REAL pipeline, then the driver-comparable
-    // projection (epoch-seconds window key, r6-rounded doubles) and the
-    // group_columns family sums over the rounded shares — mirroring Main's
-    // post-process chain.
+    // projection (epoch-seconds window key) and the group_columns family
+    // sums over the rounded shares — mirroring Main's post-process chain.
     "q55_flagship_features" -> ((s, dir) => {
       val raw = FeaturePipeline.runSynthetic(s, 20000, 64)
-      val outCols = Seq(
-        col("entity"),
-        unix_timestamp(col("window_start")).as("ws_sec"),
-        col("n_images"),
-        r6(col("brightness_mean")).as("brightness_mean"),
-        r6(col("brightness_std")).as("brightness_std"),
-        r6(col("brightness_skew")).as("brightness_skew"),
-        r6(col("brightness_kurt")).as("brightness_kurt"),
-        r6(col("abs_delta_mean")).as("abs_delta_mean"),
-        col("n_ascending"), col("n_descending"),
-        r6(col("caption_tokens_mean")).as("caption_tokens_mean"),
-        r6(col("aspect_mean")).as("aspect_mean"),
-        r6(col("lossy_share")).as("lossy_share"),
-        col("n_sessions"), col("n_labels"),
-        r6(col("weight_max")).as("weight_max")) ++
-        Labels.map(l => r6(col(shareCol(l))).as(shareCol(l)))
-      val rounded = raw.select(outCols: _*)
+      val rounded = raw.select(
+        col("entity") +: unix_timestamp(col("window_start")).as("ws_sec") +:
+          roundedFeatureCols: _*)
       val withFams = PostProcessor.groupColumnFamilies(rounded,
         graft.Main.labelShareFamilies(rounded.columns.toSeq))
       withFams
         .withColumn("label_share_major", r6(col("label_share_major")))
         .withColumn("label_share_minor", r6(col("label_share_minor")))
         .withColumn("label_share_dim", r6(col("label_share_dim")))
+    }),
+
+    // musif's native sliding measure-window mode, size 10 / overlap 5:
+    // per-(entity, window_id) feature rows; lag/session state is scoped to
+    // the window slice (the reference extracts each slice independently).
+    "q65_flagship_sliding" -> ((s, dir) => {
+      val imgs = graft.sources.SynthImages.images(s, 20000, 64)
+      val lbls = graft.sources.SynthImages.labels(s, 20000, 64)
+      val raw = FeaturePipeline.featuresSliding(imgs, lbls, size = 10, overlap = 5)
+      raw.select(
+        col("entity") +: col("window_id") +: col("window_range") +:
+          roundedFeatureCols: _*)
     }))
 
-  private val ord = "PARTITION BY phash ORDER BY ts_sec, image_id"
+  // ------------------------------------------------------------ oracle SQL
+
+  /** prep/lab/as-of CTE prefix shared by both flagship oracles. */
+  private val prepJoinCtes =
+    s"""WITH prep AS (
+       | SELECT * FROM read_parquet('__SYNTH_DIR__/flagship_prepared/*.parquet')),
+       |lab0 AS (
+       | SELECT * FROM read_parquet('__SYNTH_DIR__/flagship_labels/*.parquet')
+       | WHERE phash IS NOT NULL AND label_ts_sec IS NOT NULL),
+       |lab AS (
+       | SELECT phash, label_ts_sec, label, weight FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY phash, label_ts_sec
+       |    ORDER BY label DESC, weight DESC) AS rnk FROM lab0) WHERE rnk = 1),
+       |j AS (
+       | SELECT p.*, l.label, l.weight FROM prep p ASOF LEFT JOIN lab l
+       |  ON p.phash = l.phash AND p.ts_sec >= l.label_ts_sec)""".stripMargin
+
+  /** Enrichment (lag + session flag/cumsum over `part`) + grouped module
+    * aggregates + power-sum skew/kurt, reading from CTE `src`, grouping by
+    * the two key expressions. Skew/kurt mirror the EXACT expression tree of
+    * Stats.skewnessStable/kurtosisStable — engine-internal moment algorithms
+    * diverge ~1e-6 at small window n; identical sum-composed arithmetic
+    * agrees to ~1e-12. */
+  private def enrichAggCtes(src: String, part: String,
+                            key1: String, key2: String): String = {
+    val ord = s"PARTITION BY $part ORDER BY ts_sec, image_id"
+    val shareSelects = Labels.map { l =>
+      s"""round(CASE WHEN count(*) > 0 THEN
+         |   sum(CASE WHEN label = '$l' THEN 1 ELSE 0 END)::DOUBLE / count(*)
+         |   ELSE 0 END + 3.7e-10, 6) AS ${shareCol(l)}""".stripMargin
+    }.mkString(",\n  ")
+    val nLabels = Labels.map(l =>
+      s"max(CASE WHEN label = '$l' THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""e AS (
+       | SELECT *,
+       |  brightness - lag(brightness) OVER ($ord) AS brightness_delta,
+       |  CASE WHEN lag(ts_sec) OVER ($ord) IS NULL
+       |    OR ts_sec - lag(ts_sec) OVER ($ord) > 3600 THEN 1 ELSE 0 END AS is_new
+       | FROM $src),
+       |sess AS (
+       | SELECT *, sum(is_new) OVER ($ord
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+       | FROM e),
+       |gs AS (
+       | SELECT $key1, $key2,
+       |  count(*)::BIGINT AS n_images,
+       |  count(brightness)::DOUBLE AS nb,
+       |  sum(brightness) AS s1,
+       |  sum(brightness * brightness) AS s2,
+       |  sum(brightness * brightness * brightness) AS s3,
+       |  sum(brightness * brightness * brightness * brightness) AS s4,
+       |  round(avg(brightness) + 3.7e-10, 6) AS brightness_mean,
+       |  round(CASE WHEN count(brightness) > 1 THEN stddev(brightness) END + 3.7e-10, 6) AS brightness_std,
+       |  round(avg(abs(brightness_delta)) + 3.7e-10, 6) AS abs_delta_mean,
+       |  sum(CASE WHEN brightness_delta > 0 THEN 1 ELSE 0 END)::BIGINT AS n_ascending,
+       |  sum(CASE WHEN brightness_delta < 0 THEN 1 ELSE 0 END)::BIGINT AS n_descending,
+       |  round(avg(caption_tokens::DOUBLE) + 3.7e-10, 6) AS caption_tokens_mean,
+       |  round(avg(aspect) + 3.7e-10, 6) AS aspect_mean,
+       |  round(CASE WHEN count(*) > 0 THEN
+       |    sum(CASE WHEN fmt = 'jpg' THEN 1 ELSE 0 END)::DOUBLE / count(*)
+       |    ELSE 0 END + 3.7e-10, 6) AS lossy_share,
+       |  (max(session_id) - min(session_id) + 1)::BIGINT AS n_sessions,
+       |  ($nLabels)::BIGINT AS n_labels,
+       |  round(max(weight) + 3.7e-10, 6) AS weight_max,
+       |  $shareSelects
+       | FROM sess GROUP BY 1, 2),
+       |gm AS (SELECT *, s1 / nb AS mu, s2 / nb - (s1 / nb) * (s1 / nb) AS m2 FROM gs),
+       |gd AS (
+       | SELECT *,
+       |  s3 / nb - 3.0 * mu * (s2 / nb) + 2.0 * mu * mu * mu AS m3,
+       |  s4 / nb - 4.0 * mu * (s3 / nb) + 6.0 * mu * mu * (s2 / nb)
+       |    - 3.0 * mu * mu * mu * mu AS m4
+       | FROM gm),
+       |g AS (
+       | SELECT * EXCLUDE (nb, s1, s2, s3, s4, mu, m2, m3, m4),
+       |  round(CASE WHEN nb >= 3 AND m2 > 0
+       |    THEN m3 / pow(m2, 1.5) * sqrt(nb * (nb - 1)) / (nb - 2)
+       |    END + 3.7e-10, 6) AS brightness_skew,
+       |  round(CASE WHEN nb >= 4 AND m2 > 0
+       |    THEN ((nb + 1) * (m4 / (m2 * m2) - 3.0) + 6) * (nb - 1)
+       |      / ((nb - 2) * (nb - 3))
+       |    END + 3.7e-10, 6) AS brightness_kurt
+       | FROM gd)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q55_flagship_features" -> {
-      val shareSelects = Labels.map { l =>
-        s"""round(CASE WHEN count(*) > 0 THEN
-           |   sum(CASE WHEN label = '$l' THEN 1 ELSE 0 END)::DOUBLE / count(*)
-           |   ELSE 0 END + 3.7e-10, 6) AS ${shareCol(l)}""".stripMargin
-      }.mkString(",\n  ")
-      val nLabels = Labels.map(l =>
-        s"max(CASE WHEN label = '$l' THEN 1 ELSE 0 END)").mkString(" + ")
       // family sums over the ROUNDED members in sorted-name order — exactly
       // the Spark side's groupColumnFamilies fold
       def fam(q: String) = Labels.map(shareCol).filter(_.endsWith(s"_$q")).sorted
         .map(m => s"coalesce($m, 0.0)").mkString(" + ")
-      s"""WITH prep AS (
-         | SELECT * FROM read_parquet('__SYNTH_DIR__/flagship_prepared/*.parquet')),
-         |lab0 AS (
-         | SELECT * FROM read_parquet('__SYNTH_DIR__/flagship_labels/*.parquet')
-         | WHERE phash IS NOT NULL AND label_ts_sec IS NOT NULL),
-         |lab AS (
-         | SELECT phash, label_ts_sec, label, weight FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY phash, label_ts_sec
-         |    ORDER BY label DESC, weight DESC) AS rnk FROM lab0) WHERE rnk = 1),
-         |j AS (
-         | SELECT p.*, l.label, l.weight FROM prep p ASOF LEFT JOIN lab l
-         |  ON p.phash = l.phash AND p.ts_sec >= l.label_ts_sec),
-         |e AS (
-         | SELECT *,
-         |  brightness - lag(brightness) OVER ($ord) AS brightness_delta,
-         |  CASE WHEN lag(ts_sec) OVER ($ord) IS NULL
-         |    OR ts_sec - lag(ts_sec) OVER ($ord) > 3600 THEN 1 ELSE 0 END AS is_new
-         | FROM j),
-         |sess AS (
-         | SELECT *, sum(is_new) OVER ($ord
-         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
-         | FROM e),
-         |gs AS (
-         | SELECT phash AS entity,
-         |  (ts_sec // 600 * 600)::BIGINT AS ws_sec,
-         |  count(*)::BIGINT AS n_images,
-         |  count(brightness)::DOUBLE AS nb,
-         |  sum(brightness) AS s1,
-         |  sum(brightness * brightness) AS s2,
-         |  sum(brightness * brightness * brightness) AS s3,
-         |  sum(brightness * brightness * brightness * brightness) AS s4,
-         |  round(avg(brightness) + 3.7e-10, 6) AS brightness_mean,
-         |  round(CASE WHEN count(brightness) > 1 THEN stddev(brightness) END + 3.7e-10, 6) AS brightness_std,
-         |  round(avg(abs(brightness_delta)) + 3.7e-10, 6) AS abs_delta_mean,
-         |  sum(CASE WHEN brightness_delta > 0 THEN 1 ELSE 0 END)::BIGINT AS n_ascending,
-         |  sum(CASE WHEN brightness_delta < 0 THEN 1 ELSE 0 END)::BIGINT AS n_descending,
-         |  round(avg(caption_tokens::DOUBLE) + 3.7e-10, 6) AS caption_tokens_mean,
-         |  round(avg(aspect) + 3.7e-10, 6) AS aspect_mean,
-         |  round(CASE WHEN count(*) > 0 THEN
-         |    sum(CASE WHEN fmt = 'jpg' THEN 1 ELSE 0 END)::DOUBLE / count(*)
-         |    ELSE 0 END + 3.7e-10, 6) AS lossy_share,
-         |  (max(session_id) - min(session_id) + 1)::BIGINT AS n_sessions,
-         |  ($nLabels)::BIGINT AS n_labels,
-         |  round(max(weight) + 3.7e-10, 6) AS weight_max,
-         |  $shareSelects
-         | FROM sess GROUP BY 1, 2),
-         |-- skew/kurt from power sums with the EXACT expression tree of
-         |-- Stats.skewnessStable/kurtosisStable — engine-internal moment
-         |-- algorithms diverge ~1e-6 at small window n, identical
-         |-- sum-composed arithmetic agrees to ~1e-12
-         |gm AS (SELECT *, s1 / nb AS mu, s2 / nb - (s1 / nb) * (s1 / nb) AS m2 FROM gs),
-         |gd AS (
-         | SELECT *,
-         |  s3 / nb - 3.0 * mu * (s2 / nb) + 2.0 * mu * mu * mu AS m3,
-         |  s4 / nb - 4.0 * mu * (s3 / nb) + 6.0 * mu * mu * (s2 / nb)
-         |    - 3.0 * mu * mu * mu * mu AS m4
-         | FROM gm),
-         |g AS (
-         | SELECT * EXCLUDE (nb, s1, s2, s3, s4, mu, m2, m3, m4),
-         |  round(CASE WHEN nb >= 3 AND m2 > 0
-         |    THEN m3 / pow(m2, 1.5) * sqrt(nb * (nb - 1)) / (nb - 2)
-         |    END + 3.7e-10, 6) AS brightness_skew,
-         |  round(CASE WHEN nb >= 4 AND m2 > 0
-         |    THEN ((nb + 1) * (m4 / (m2 * m2) - 3.0) + 6) * (nb - 1)
-         |      / ((nb - 2) * (nb - 3))
-         |    END + 3.7e-10, 6) AS brightness_kurt
-         | FROM gd)
+      s"""$prepJoinCtes,
+         |${enrichAggCtes("j", "phash",
+             "phash AS entity", "(ts_sec // 600 * 600)::BIGINT AS ws_sec")}
          |SELECT *,
          | round((${fam("maj")}) + 3.7e-10, 6) AS label_share_major,
          | round((${fam("min")}) + 3.7e-10, 6) AS label_share_minor,
          | round((${fam("dim")}) + 3.7e-10, 6) AS label_share_dim
+         |FROM g""".stripMargin
+    },
+
+    "q65_flagship_sliding" -> {
+      // window-id explode formula == WindowOps.slidingWindowIds (oracled by
+      // q28); trailing partial windows are cut by musif's
+      // number_windows = (n - overlap) // hop
+      s"""$prepJoinCtes,
+         |seq AS (
+         | SELECT *,
+         |  row_number() OVER (PARTITION BY phash ORDER BY ts_sec, image_id) - 1 AS rn0,
+         |  count(*) OVER (PARTITION BY phash) AS n
+         | FROM j),
+         |x AS (
+         | SELECT *, unnest(generate_series(
+         |   greatest(0, CAST(ceil((rn0 - 10 + 1) / 5.0) AS BIGINT)),
+         |   rn0 // 5)) AS window_id
+         | FROM seq),
+         |f AS (
+         | SELECT * FROM x
+         | WHERE window_id < greatest(CAST(floor((n - 5) / 5.0) AS BIGINT), 0)),
+         |${enrichAggCtes("f", "phash, window_id",
+             "phash AS entity", "window_id")}
+         |SELECT *,
+         | '[' || (window_id * 5)::VARCHAR || ', ' ||
+         |   (window_id * 5 + 10)::VARCHAR || ')' AS window_range
          |FROM g""".stripMargin
     })
 }

@@ -70,6 +70,30 @@ object VectorQueries {
           col("neighbor_id"), r6(col("cos")).as("cos"))
     }),
 
+    // IVF twin of q62: the planted near-identical pairs must also surface
+    // as rank-1 through the trained-centroid IVF path (2-probe multiprobe
+    // covers cell-boundary splits). Same exact-top-1 oracle — the exact
+    // answer is ANN-method independent.
+    "q64_ivf_recall" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.toDoubleArray(col("embedding")).as("embedding"))
+      val dups = base.where(pmod(col("vec_id"), lit(20)) === 0 && col("vec_id") < 500)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + 0.001).otherwise(x)).as("embedding"))
+      val all = base.unionByName(dups)
+      val n = graft.sources.TableSource.parquetRowCount(s, s"$dir/embeddings.parquet")
+      val nCells = Vectors.cellsForCorpus(n)
+      val cents = Vectors.trainCentroids(all, "vec_id", "embedding",
+        k = nCells, dim = 64, iters = 3, sampleN = 2048)
+      Vectors.ivfTopK(all, "vec_id", "embedding",
+          k = 5, nCells = nCells, dim = 64, cap = 512, probes = 2,
+          centroids = Some(cents))
+        .where(col("query_id") >= 1000000L && col("rank") === 1)
+        .select((col("query_id") - 1000000L).as("query_id"),
+          col("neighbor_id"), r6(col("cos")).as("cos"))
+    }),
+
     "q41_vector_norms" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .select(col("label"), Vectors.norm(Vectors.toDoubleArray(col("embedding"))).as("nrm"))
@@ -112,6 +136,24 @@ object VectorQueries {
     // DuckDB list_transform index is 1-based (Spark's is 0-based): i = 1
     // perturbs the same first coordinate as i === 0 on the Spark side
     "q62_lsh_recall" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |d AS (
+        | SELECT vec_id + 1000000 AS vec_id,
+        |  list_transform(e, (x, i) -> CASE WHEN i = 1 THEN x + 0.001 ELSE x END) AS e
+        | FROM v WHERE vec_id % 20 = 0 AND vec_id < 500),
+        |a AS (SELECT * FROM v UNION ALL SELECT * FROM d),
+        |s AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.e, c.e) AS cos
+        | FROM d q JOIN a c ON c.vec_id <> q.vec_id),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY qid
+        |   ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+        |SELECT qid - 1000000 AS query_id, neighbor_id, round(cos + 3.7e-10, 6) AS cos
+        |FROM r WHERE rnk = 1""".stripMargin,
+
+    "q64_ivf_recall" ->
       """WITH v AS (
         | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |d AS (
