@@ -198,6 +198,18 @@ object MusicTheory {
   def localKeyMode(k: Column): Column =
     when(upper(k) === k, "M").otherwise("m")
 
+  /** Second-level harmonic-function grouping — `get_function_second`
+    * (`/root/reference/musif/extract/features/harmony/utils.py:329-338`):
+    * b->-, "#ln"->"#ST", rm/rj->"rel", st/ln->"ST", else UPPER with -
+    * restored to b (so "bST"/"bst" collapse to "bST", "sd" to "SD"). */
+  def harmonicFunctionSecond(f1: Column): Column = {
+    val el = regexp_replace(f1, "b", "-")
+    when(lower(el) === "#ln", "#ST")
+      .when(el.isin("rm", "rj"), "rel")
+      .when(upper(el).isin("ST", "LN"), "ST")
+      .otherwise(regexp_replace(upper(el), "-", "b"))
+  }
+
   /** First-level harmonic function of a roman numeral in a mode ("M"/"m") —
     * `get_function_first` (harmony/utils.py:274-338) over the plain-numeral
     * domain (augmented-sixth It/Ger/Fr specials excluded). Control flow

@@ -32,37 +32,6 @@ object Stats {
     when(n >= 4, ((n + 1) * kurtosis(c) + 6) * (n - 1) / ((n - 2) * (n - 3)))
   }
 
-  /** Bias-corrected skewness from raw power sums — the ORACLE-STABLE
-    * formulation: both engines evaluate an identical expression tree over
-    * plain sums (whose cross-engine drift is ~1e-16 relative), so small-n
-    * groups agree to ~1e-12 where engine-internal single-pass moment
-    * algorithms (Spark's `skewness`, DuckDB's) diverge at ~1e-6. Pure
-    * sum/count partials — the friendliest possible shape for map-side
-    * combine. NULL when n < 3 or the variance is 0. */
-  def skewnessStable(c: Column): Column = {
-    val x = c.cast("double")
-    val n = count(x).cast("double")
-    val mu = sum(x) / n
-    val m2 = sum(x * x) / n - mu * mu
-    val m3 = sum(x * x * x) / n - lit(3.0) * mu * (sum(x * x) / n) +
-      lit(2.0) * mu * mu * mu
-    val g1 = m3 / pow(m2, lit(1.5))
-    when(n >= 3 && m2 > 0, g1 * sqrt(n * (n - 1)) / (n - 2))
-  }
-
-  /** Bias-corrected excess kurtosis from raw power sums (see
-    * [[skewnessStable]]). NULL when n < 4 or the variance is 0. */
-  def kurtosisStable(c: Column): Column = {
-    val x = c.cast("double")
-    val n = count(x).cast("double")
-    val mu = sum(x) / n
-    val m2 = sum(x * x) / n - mu * mu
-    val m4 = sum(x * x * x * x) / n - lit(4.0) * mu * (sum(x * x * x) / n) +
-      lit(6.0) * mu * mu * (sum(x * x) / n) - lit(3.0) * mu * mu * mu * mu
-    val g2 = m4 / (m2 * m2) - lit(3.0)
-    when(n >= 4 && m2 > 0, ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3)))
-  }
-
   /** musif's division convention: x/0 -> 0 (not null/inf). Reference:
     * `melody/handler.py:195-212`. */
   def safeDiv(num: Column, den: Column): Column =

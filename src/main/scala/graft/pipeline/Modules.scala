@@ -69,11 +69,15 @@ object FeatureModules {
     override def aggregates = Seq(
       avg(col("brightness")).as("brightness_mean"),
       when(count(col("brightness")) > 1, stddev_samp(col("brightness"))).as("brightness_std"),
-      // power-sum formulation: identical results to the corrected built-ins
-      // to ~1e-12, but cross-engine stable at small window sizes (the q55
-      // oracle mirrors the exact same expression) and pure-sum partials
-      Stats.skewnessStable(col("brightness")).as("brightness_skew"),
-      Stats.kurtosisStable(col("brightness")).as("brightness_kurt"),
+      // the streaming central-moment built-ins are the NUMERICALLY STABLE
+      // choice: window means run ~1e2 with sigma down to ~1e-3, where any
+      // raw-power-sum formulation loses up to ALL significant digits to
+      // cancellation (DuckDB's built-in kurtosis returns ~2e5 where the
+      // true value is 2.59 on such data — the flagship oracle therefore
+      // mirrors these with a two-pass centered computation, not DuckDB's
+      // aggregate)
+      Stats.skewnessCorrected(col("brightness")).as("brightness_skew"),
+      Stats.kurtosisCorrected(col("brightness")).as("brightness_kurt"),
       avg(abs(col("brightness_delta"))).as("abs_delta_mean"),
       sum(when(col("brightness_delta") > 0, 1).otherwise(0)).as("n_ascending"),
       sum(when(col("brightness_delta") < 0, 1).otherwise(0)).as("n_descending"))

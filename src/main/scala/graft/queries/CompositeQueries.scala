@@ -117,6 +117,51 @@ object CompositeQueries {
           count(lit(1)).as("n_runs"))
     }),
 
+    // q66: modulations — the reference's get_modulations control flow
+    // (`scale_relative/utils.py:137-167`) faithfully reproduced, including
+    // its resumed-key quirk: last_key only advances at accepted modulation
+    // entries, so tonic ('i'/'I') runs never count AND a key re-entered
+    // after a tonic interlude is NOT a new modulation (its sections accrue
+    // to the original entry). Formulated as: run starts -> entry compress
+    // over the non-tonic-start subsequence -> AS-OF backfill of the latest
+    // entry onto every row (integer rn axis) -> rows whose key matches the
+    // latest entry contribute their section -> distinct sections per
+    // harmonic-function group (both grouping levels).
+    "q66_modulations" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val rIdx = pmod(floor((col("rn") - 1) / 5), lit(6))
+      val base = t(s, dir, "events")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("lk",
+          when(rIdx === 0, "V").when(rIdx === 1, "i").when(rIdx === 2, "V")
+            .when(rIdx === 3, "bVII").when(rIdx === 4, "I").otherwise("iv"))
+        .withColumn("section", floor((col("rn") - 1) / 16))
+        .withColumn("mode",
+          when(pmod(col("user_id"), lit(2)) === 0, "M").otherwise("m"))
+      val starts = base.withColumn("is_start",
+        lag(col("lk"), 1).over(w).isNull || lag(col("lk"), 1).over(w) =!= col("lk"))
+      // entries: compress consecutive duplicate keys over the subsequence
+      // of non-tonic run starts (== the reference's last_key state machine)
+      val wNi = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+      val entries = starts
+        .where(col("is_start") && lower(col("lk")) =!= "i")
+        .withColumn("prev_k", lag(col("lk"), 1).over(wNi))
+        .where(col("prev_k").isNull || col("prev_k") =!= col("lk"))
+        .select(col("user_id"), col("rn").as("entry_rn"),
+          col("lk").as("entry_key"),
+          MusicTheory.harmonicFunction(col("lk"), col("mode")).as("g1"))
+      val withEntry = AsOfJoin.asOf(
+        base.select(col("user_id"), col("rn"), col("lk"), col("section")),
+        entries,
+        entityCol = "user_id", probeTs = "rn", buildTs = "entry_rn",
+        payloadCols = Seq("entry_key", "g1"))
+      withEntry
+        .where(col("lk") === col("entry_key"))
+        .groupBy(col("user_id"), col("g1").as("mfunc"))
+        .agg(countDistinct(col("section")).as("n_sections"))
+        .withColumn("mfunc2", MusicTheory.harmonicFunctionSecond(col("mfunc")))
+    }),
+
     // q63: pitch-class distribution battery — per-class counts, distinct
     // count, Shannon entropy (log2 n - sum(c*log2 c)/n), and the modal
     // pitch class via the lex_max hash aggregate (ties -> smallest pc).
@@ -237,6 +282,50 @@ object CompositeQueries {
          | round(sum(span) / any_value(n_measures) + 3.7e-10, 6) AS pct_measures,
          | count(*)::BIGINT AS n_runs
          |FROM sp GROUP BY 1, 2""".stripMargin
+    },
+
+    "q66_modulations" -> {
+      val ord = "PARTITION BY user_id ORDER BY ts, event_id"
+      val g2 =
+        """CASE WHEN lower(replace(mfunc, 'b', '-')) = '#ln' THEN '#ST'
+          |  WHEN replace(mfunc, 'b', '-') IN ('rm', 'rj') THEN 'rel'
+          |  WHEN upper(replace(mfunc, 'b', '-')) IN ('ST', 'LN') THEN 'ST'
+          |  ELSE replace(upper(replace(mfunc, 'b', '-')), '-', 'b') END""".stripMargin
+      s"""WITH base AS (
+         | SELECT user_id, event_id, ts,
+         |  row_number() OVER ($ord) AS rn
+         | FROM events),
+         |k AS (
+         | SELECT *,
+         |  CASE (((rn - 1) // 5) % 6) WHEN 0 THEN 'V' WHEN 1 THEN 'i'
+         |    WHEN 2 THEN 'V' WHEN 3 THEN 'bVII' WHEN 4 THEN 'I'
+         |    ELSE 'iv' END AS lk,
+         |  (rn - 1) // 16 AS section,
+         |  CASE WHEN user_id % 2 = 0 THEN 'M' ELSE 'm' END AS mode
+         | FROM base),
+         |st AS (
+         | SELECT *, (lag(lk) OVER ($ord) IS NULL
+         |   OR lag(lk) OVER ($ord) <> lk) AS is_start
+         | FROM k),
+         |ni AS (SELECT * FROM st WHERE is_start AND lower(lk) <> 'i'),
+         |en AS (
+         | SELECT user_id, rn AS entry_rn, lk AS entry_key,
+         |  CASE lk WHEN 'V' THEN 'D' WHEN 'iv' THEN 'sd'
+         |    WHEN 'bVII' THEN (CASE WHEN mode = 'M' THEN 'ST' ELSE 'bST' END)
+         |    END AS g1
+         | FROM (
+         |  SELECT *, lag(lk) OVER (PARTITION BY user_id ORDER BY rn) AS prev_k
+         |  FROM ni)
+         | WHERE prev_k IS NULL OR prev_k <> lk),
+         |jj AS (
+         | SELECT k.user_id, k.rn, k.lk, k.section, e.entry_key, e.g1
+         | FROM k ASOF LEFT JOIN en e
+         |  ON k.user_id = e.user_id AND k.rn >= e.entry_rn),
+         |g AS (
+         | SELECT user_id, g1 AS mfunc,
+         |  count(DISTINCT section)::BIGINT AS n_sections
+         | FROM jj WHERE lk = entry_key GROUP BY 1, 2)
+         |SELECT *, $g2 AS mfunc2 FROM g""".stripMargin
     },
 
     "q63_pitch_class" -> {

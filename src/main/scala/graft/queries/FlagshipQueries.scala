@@ -95,13 +95,21 @@ object FlagshipQueries {
        |  ON p.phash = l.phash AND p.ts_sec >= l.label_ts_sec)""".stripMargin
 
   /** Enrichment (lag + session flag/cumsum over `part`) + grouped module
-    * aggregates + power-sum skew/kurt, reading from CTE `src`, grouping by
-    * the two key expressions. Skew/kurt mirror the EXACT expression tree of
-    * Stats.skewnessStable/kurtosisStable — engine-internal moment algorithms
-    * diverge ~1e-6 at small window n; identical sum-composed arithmetic
-    * agrees to ~1e-12. */
+    * aggregates, reading from CTE `src`, grouping by the two key
+    * expressions (`key1Expr AS key1Name`, ...).
+    *
+    * Skew/kurtosis are mirrored with a TWO-PASS CENTERED computation (per
+    * group: c = avg, then moments of (x - c) with the exact residual-mean
+    * correction) rather than DuckDB's built-in aggregates: flagship windows
+    * run means ~1e2 with sigma down to ~1e-3, where any raw-power-sum
+    * implementation — DuckDB's included — loses all significant digits to
+    * cancellation (observed: built-in kurtosis ~2e5 vs true 2.59) AND
+    * varies run-to-run with thread summation order. The centered form and
+    * Spark's streaming central-moment built-ins are both ~1e-13 of the
+    * true value, so they agree at r6 robustly. */
   private def enrichAggCtes(src: String, part: String,
-                            key1: String, key2: String): String = {
+                            key1Expr: String, key1Name: String,
+                            key2Expr: String, key2Name: String): String = {
     val ord = s"PARTITION BY $part ORDER BY ts_sec, image_id"
     val shareSelects = Labels.map { l =>
       s"""round(CASE WHEN count(*) > 0 THEN
@@ -120,14 +128,19 @@ object FlagshipQueries {
        | SELECT *, sum(is_new) OVER ($ord
        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
        | FROM e),
+       |sk AS (SELECT *, $key1Expr AS __k1, $key2Expr AS __k2 FROM sess),
+       |ctr AS (SELECT __k1, __k2, avg(brightness) AS __c FROM sk GROUP BY 1, 2),
+       |sc AS (
+       | SELECT sk.*, sk.brightness - ctr.__c AS __y
+       | FROM sk JOIN ctr ON sk.__k1 = ctr.__k1 AND sk.__k2 = ctr.__k2),
        |gs AS (
-       | SELECT $key1, $key2,
+       | SELECT __k1 AS $key1Name, __k2 AS $key2Name,
        |  count(*)::BIGINT AS n_images,
        |  count(brightness)::DOUBLE AS nb,
-       |  sum(brightness) AS s1,
-       |  sum(brightness * brightness) AS s2,
-       |  sum(brightness * brightness * brightness) AS s3,
-       |  sum(brightness * brightness * brightness * brightness) AS s4,
+       |  sum(__y) AS t1,
+       |  sum(__y * __y) AS t2,
+       |  sum(__y * __y * __y) AS t3,
+       |  sum(__y * __y * __y * __y) AS t4,
        |  round(avg(brightness) + 3.7e-10, 6) AS brightness_mean,
        |  round(CASE WHEN count(brightness) > 1 THEN stddev(brightness) END + 3.7e-10, 6) AS brightness_std,
        |  round(avg(abs(brightness_delta)) + 3.7e-10, 6) AS abs_delta_mean,
@@ -142,16 +155,18 @@ object FlagshipQueries {
        |  ($nLabels)::BIGINT AS n_labels,
        |  round(max(weight) + 3.7e-10, 6) AS weight_max,
        |  $shareSelects
-       | FROM sess GROUP BY 1, 2),
-       |gm AS (SELECT *, s1 / nb AS mu, s2 / nb - (s1 / nb) * (s1 / nb) AS m2 FROM gs),
-       |gd AS (
-       | SELECT *,
-       |  s3 / nb - 3.0 * mu * (s2 / nb) + 2.0 * mu * mu * mu AS m3,
-       |  s4 / nb - 4.0 * mu * (s3 / nb) + 6.0 * mu * mu * (s2 / nb)
-       |    - 3.0 * mu * mu * mu * mu AS m4
-       | FROM gm),
+       | FROM sc GROUP BY 1, 2),
+       |-- exact central moments from the well-conditioned residual sums
+       |-- (t1/nb is the tiny residual mean; the corrections make the result
+       |-- exact for ANY center)
+       |gm AS (
+       | SELECT *, t2 / nb - (t1 / nb) * (t1 / nb) AS m2,
+       |  t3 / nb - 3 * (t1 / nb) * (t2 / nb) + 2 * (t1 / nb) ^ 3 AS m3,
+       |  t4 / nb - 4 * (t1 / nb) * (t3 / nb)
+       |    + 6 * (t1 / nb) ^ 2 * (t2 / nb) - 3 * (t1 / nb) ^ 4 AS m4
+       | FROM gs),
        |g AS (
-       | SELECT * EXCLUDE (nb, s1, s2, s3, s4, mu, m2, m3, m4),
+       | SELECT * EXCLUDE (nb, t1, t2, t3, t4, m2, m3, m4),
        |  round(CASE WHEN nb >= 3 AND m2 > 0
        |    THEN m3 / pow(m2, 1.5) * sqrt(nb * (nb - 1)) / (nb - 2)
        |    END + 3.7e-10, 6) AS brightness_skew,
@@ -159,7 +174,7 @@ object FlagshipQueries {
        |    THEN ((nb + 1) * (m4 / (m2 * m2) - 3.0) + 6) * (nb - 1)
        |      / ((nb - 2) * (nb - 3))
        |    END + 3.7e-10, 6) AS brightness_kurt
-       | FROM gd)""".stripMargin
+       | FROM gm)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -170,7 +185,7 @@ object FlagshipQueries {
         .map(m => s"coalesce($m, 0.0)").mkString(" + ")
       s"""$prepJoinCtes,
          |${enrichAggCtes("j", "phash",
-             "phash AS entity", "(ts_sec // 600 * 600)::BIGINT AS ws_sec")}
+             "phash", "entity", "(ts_sec // 600 * 600)::BIGINT", "ws_sec")}
          |SELECT *,
          | round((${fam("maj")}) + 3.7e-10, 6) AS label_share_major,
          | round((${fam("min")}) + 3.7e-10, 6) AS label_share_minor,
@@ -197,7 +212,7 @@ object FlagshipQueries {
          | SELECT * FROM x
          | WHERE window_id < greatest(CAST(floor((n - 5) / 5.0) AS BIGINT), 0)),
          |${enrichAggCtes("f", "phash, window_id",
-             "phash AS entity", "window_id")}
+             "phash", "entity", "window_id", "window_id")}
          |SELECT *,
          | '[' || (window_id * 5)::VARCHAR || ', ' ||
          |   (window_id * 5 + 10)::VARCHAR || ')' AS window_range

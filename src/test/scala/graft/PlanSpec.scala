@@ -40,6 +40,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"sort in the argmax path:\n$plan")
   }
 
+  test("q63 pitch-class battery: two chained hash aggregates, no window sort") {
+    val plan = planOf(SparkEntry.queries("q63_pitch_class")(spark, sfDir))
+    assert(plan.contains("HashAggregate"), s"not hash-aggregated:\n$plan")
+    assert(!plan.contains("Window"), s"window crept into the battery:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"sort agg downgrade:\n$plan")
+  }
+
+  test("q60 emphasized-degrees composite: no cartesian, bounded exchanges") {
+    val plan = planOf(SparkEntry.queries("q60_emphasized_degrees")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"composite exploded into a product:\n$plan")
+    // one exchange for the as-of union-window by user, one for the build
+    // dedupe, one for the firstKey aggregate + its join side, plus AQE
+    // wrappers — anything beyond 5 means the entity partitioning was lost
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 5, s"$exchanges exchanges in q60 plan:\n$plan")
+  }
+
   test("q31 tempo/dynamics dims are broadcast, not shuffled") {
     val plan = planOf(SparkEntry.queries("q31_tempo_dynamics")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")

@@ -19,33 +19,23 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 3.5355339059327378) < 1e-9)
   }
 
-  test("stable power-sum moments == corrected built-ins and DuckDB constants") {
-    val df = Seq(1.0, 2.0, 3.0, 4.0, 10.0).toDF("x")
+  test("corrected moments are numerically STABLE at extreme mean/sigma ratio") {
+    // 127 +- ~0.003: a raw-power-sum kurtosis loses every significant digit
+    // here (DuckDB's built-in returns ~2e5 on such data; truth is O(1)) —
+    // Spark's streaming central-moment aggregates must stay within 1e-9 of
+    // the float128-exact values. This is the regime flagship brightness
+    // windows actually hit (means ~1e2, window sigma down to ~2e-3), and
+    // the reason the q55/q65 oracles mirror skew/kurt with a two-pass
+    // centered computation instead of DuckDB's aggregate.
+    val offs = Seq(1, -3, 2, 5, -4, 0, 3, -2, -5, 4).map(_ * 0.001)
+    val df = offs.map(127.0 + _).toDF("x")
     val r = df.agg(
-      Stats.skewnessStable(col("x")).as("sk"),
-      Stats.kurtosisStable(col("x")).as("ku")).collect()(0)
-    // same DuckDB-produced constants as the corrected-builtin test above
-    assert(math.abs(r.getDouble(0) - 1.6970562748477143) < 1e-9)
-    assert(math.abs(r.getDouble(1) - 3.151999999999994) < 1e-9)
-    // randomized agreement with the built-in composition at ~1e-9
-    val rnd = new scala.util.Random(3)
-    val big = (1 to 500).map(i => (i % 7, rnd.nextDouble() * 3 + 1)).toDF("g", "x")
-    val both = big.groupBy(col("g")).agg(
-      Stats.skewnessStable(col("x")).as("s1"),
-      Stats.skewnessCorrected(col("x")).as("s2"),
-      Stats.kurtosisStable(col("x")).as("k1"),
-      Stats.kurtosisCorrected(col("x")).as("k2")).collect()
-    both.foreach { row =>
-      assert(math.abs(row.getDouble(1) - row.getDouble(2)) < 1e-9)
-      assert(math.abs(row.getDouble(3) - row.getDouble(4)) < 1e-9)
-    }
-    // domain guards: n<3 / n<4 and zero variance -> NULL
-    val r2 = Seq(1.0, 2.0).toDF("x").agg(
-      Stats.skewnessStable(col("x")), Stats.kurtosisStable(col("x"))).collect()(0)
-    assert(r2.isNullAt(0) && r2.isNullAt(1))
-    val rc = Seq(5.0, 5.0, 5.0, 5.0, 5.0).toDF("x").agg(
-      Stats.skewnessStable(col("x")), Stats.kurtosisStable(col("x"))).collect()(0)
-    assert(rc.isNullAt(0) && rc.isNullAt(1))
+      Stats.skewnessCorrected(col("x")).as("sk"),
+      Stats.kurtosisCorrected(col("x")).as("ku"),
+      stddev_samp(col("x")).as("sd")).collect()(0)
+    assert(math.abs(r.getDouble(0) - -0.10453810446837923) < 1e-9, s"skew ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - -1.412829594647779) < 1e-9, s"kurt ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 0.003478505426185218) < 1e-12, s"std ${r.getDouble(2)}")
   }
 
   test("moments are null below their domain (n<3 skew, n<4 kurt)") {
