@@ -37,6 +37,17 @@ object Stats {
   def safeDiv(num: Column, den: Column): Column =
     when(den =!= 0 && den.isNotNull, num / den).otherwise(lit(0.0))
 
+  /** The texture module's OTHER division convention — x/0 -> +inf,
+    * 0/0 -> NaN (`/root/reference/musif/extract/features/texture/
+    * handler.py:83-89`, np.inf / np.nan). Distinct from [[safeDiv]];
+    * q68 never triggers the zero branch on real data (a part with zero
+    * notes is absent from the counts table), so the convention is
+    * spec-verified rather than oracled. */
+  def textureRatio(num: Column, den: Column): Column =
+    when(den === 0,
+      when(num > 0, lit(Double.PositiveInfinity)).otherwise(lit(Double.NaN)))
+      .otherwise(num.cast("double") / den)
+
   /** Trimmed mean/std with `frac` cut from each tail, scipy semantics:
     * drop exactly floor(frac*n) lowest and floor(frac*n) highest values
     * (by sorted position, ties broken by `tieBreak` for determinism).

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{LexMax, MusicTheory}
@@ -183,7 +184,94 @@ object CompositeQueries {
         .withColumn("mode_pc", (-col("__m.c1")).cast("int"))
         .withColumn("mode_share", r6(col("__m.c0") / col("n_notes")))
         .drop("__slog", "__m")
+    }),
+
+    // q67: ambitus — per-part lowest/highest note as text + midi index +
+    // total range (`/root/reference/musif/extract/features/ambitus/
+    // handler.py:25-38,65-76`). The note NAME is a pure function of the
+    // midi number (music21's default spelling with the reference's
+    // '-'->'b' replacement, octave = midi/12 - 1), so one min/max hash
+    // aggregate suffices — no argmin needed, full partial-agg pushdown.
+    "q67_ambitus" -> ((s, dir) => {
+      val midi = (pmod(col("event_id") * 7 + col("user_id"), lit(49)) + 36)
+        .cast("int")
+      val lo = col("lowest_note_index"); val hi = col("highest_note_index")
+      def name(m: Column) = concat(
+        element_at(typedLit(MidiNames), (pmod(m, lit(12)) + 1).cast("int")),
+        (floor(m / 12) - 1).cast("int").cast("string"))
+      t(s, dir, "events")
+        .select(col("user_id"), midi.as("midi"))
+        .groupBy(col("user_id"))
+        .agg(min(col("midi")).as("lowest_note_index"),
+          max(col("midi")).as("highest_note_index"),
+          count(lit(1)).cast("long").as("n_notes"))
+        .select(col("user_id"), name(lo).as("lowest_note"),
+          name(hi).as("highest_note"), lo, hi,
+          (hi - lo).as("ambitus"), col("n_notes"))
+    }),
+
+    // q68: texture — pairwise i<j ratios of per-part note counts within a
+    // score (`/root/reference/musif/extract/features/texture/
+    // handler.py:77-96`; the v2=0 -> inf / 0/0 -> nan convention lives in
+    // Stats.textureRatio with its own spec — counts from a groupBy are
+    // never 0, absent parts simply drop, matching _filter_parts_data).
+    // Two hash aggregates + an equi-self-join on score_id with the part
+    // inequality as a residual filter: the counts table is |parts| rows
+    // per score, so the join input is ~|scores|*4 rows regardless of
+    // event volume — scale-clean.
+    "q68_texture" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .select((col("user_id") - pmod(col("user_id"), lit(4)) ).as("score_id"),
+          pmod(col("user_id"), lit(4)).cast("int").as("p"))
+        .groupBy(col("score_id"), col("p")).agg(count(lit(1)).as("n"))
+      def part(c: Column) = element_at(typedLit(PartNames), (c + 1).cast("int"))
+      val c1 = counts.as("c1"); val c2 = counts.as("c2")
+      c1.join(c2, col("c1.score_id") === col("c2.score_id") &&
+          col("c1.p") < col("c2.p"))
+        .select(col("c1.score_id").as("score_id"),
+          concat(part(col("c1.p")), lit("|"), part(col("c2.p"))).as("pair"),
+          col("c1.n").as("n1"), col("c2.n").as("n2"),
+          r6(col("c1.n").cast("double") / col("c2.n")).as("texture"))
+    }),
+
+    // q69: note density — notes per beat over ALL measures of the piece
+    // span vs over SOUNDING measures only (`/root/reference/musif/extract/
+    // features/density/handler.py:31-52`). Measures are 60s buckets of ts;
+    // beats(m) = 3 when m%3=0 else 4 (a deterministic meter map). The
+    // all-measure beat total over the [min,max] span is CLOSED-FORM
+    // (4*len - #multiples-of-3), so no sequence/explode materializes the
+    // span — the whole query is two hash aggregates.
+    "q69_density" -> ((s, dir) => {
+      val m = (unix_timestamp(col("ts")) - pmod(unix_timestamp(col("ts")), lit(60))) / 60
+      val sounding = t(s, dir, "events")
+        .select(col("user_id"), m.cast("long").as("m"))
+        .groupBy(col("user_id"), col("m"))
+        .agg(count(lit(1)).as("n_in_m"))
+      val beats = when(pmod(col("m"), lit(3)) === 0, 3L).otherwise(4L)
+      // floor-div by 3 of a positive ~2.8e7 measure index: exact in double
+      def mult3(c: Column) = floor(c / 3.0).cast("long")
+      sounding
+        .groupBy(col("user_id"))
+        .agg(sum(col("n_in_m")).as("n_notes"),
+          count(lit(1)).cast("long").as("n_sounding_measures"),
+          sum(beats).as("sounding_beats"),
+          min(col("m")).as("lo"), max(col("m")).as("hi"))
+        .withColumn("span_measures", col("hi") - col("lo") + 1)
+        .withColumn("total_beats",
+          lit(4L) * col("span_measures") - (mult3(col("hi")) - mult3(col("lo") - 1)))
+        .select(col("user_id"), col("n_notes"), col("n_sounding_measures"),
+          col("span_measures"),
+          r6(col("n_notes") / col("sounding_beats").cast("double")).as("sounding_density"),
+          r6(col("n_notes") / col("total_beats").cast("double")).as("density"))
     }))
+
+  /** music21 default midi spelling after the reference's '-'->'b'
+    * replacement (ambitus/handler.py:26-27). */
+  private val MidiNames = Seq("C", "C#", "D", "Eb", "E", "F",
+    "F#", "G", "G#", "A", "Bb", "B")
+
+  /** Part domain for q68 (abbreviation order = pair enumeration order). */
+  private val PartNames = Seq("VnI", "VnII", "Va", "Bs")
 
   private def fullDegreeSql(rel: String, minor: String): String =
     s"""CASE WHEN NOT $minor THEN
@@ -199,6 +287,59 @@ object CompositeQueries {
        |END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q67_ambitus" -> {
+      val namesArr = MidiNames.map(n => s"'$n'").mkString(", ")
+      def nm(m: String) =
+        s"([$namesArr])[($m % 12)::INT + 1] || ($m // 12 - 1)::VARCHAR"
+      s"""WITH n AS (
+         | SELECT user_id, ((event_id * 7 + user_id) % 49 + 36)::INT AS midi
+         | FROM events),
+         |g AS (
+         | SELECT user_id, min(midi) AS lowest_note_index,
+         |  max(midi) AS highest_note_index, count(*)::BIGINT AS n_notes
+         | FROM n GROUP BY 1)
+         |SELECT user_id,
+         | ${nm("lowest_note_index")} AS lowest_note,
+         | ${nm("highest_note_index")} AS highest_note,
+         | lowest_note_index, highest_note_index,
+         | highest_note_index - lowest_note_index AS ambitus, n_notes
+         |FROM g""".stripMargin
+    },
+
+    "q68_texture" -> {
+      val partsArr = PartNames.map(p => s"'$p'").mkString(", ")
+      s"""WITH c AS (
+         | SELECT user_id - (user_id % 4) AS score_id,
+         |  (user_id % 4)::INT AS p, count(*)::BIGINT AS n
+         | FROM events GROUP BY 1, 2)
+         |SELECT c1.score_id,
+         | ([$partsArr])[c1.p + 1] || '|' || ([$partsArr])[c2.p + 1] AS pair,
+         | c1.n AS n1, c2.n AS n2,
+         | round(c1.n::DOUBLE / c2.n + 3.7e-10, 6) AS texture
+         |FROM c c1 JOIN c c2
+         | ON c1.score_id = c2.score_id AND c1.p < c2.p""".stripMargin
+    },
+
+    "q69_density" -> {
+      s"""WITH b AS (
+         | SELECT user_id, ${sqlEpoch("ts")} // 60 AS m
+         | FROM events),
+         |sm AS (
+         | SELECT user_id, m, count(*)::BIGINT AS n_in_m FROM b GROUP BY 1, 2),
+         |g AS (
+         | SELECT user_id, sum(n_in_m)::BIGINT AS n_notes,
+         |  count(*)::BIGINT AS n_sounding_measures,
+         |  sum(CASE WHEN m % 3 = 0 THEN 3 ELSE 4 END)::BIGINT AS sounding_beats,
+         |  min(m) AS lo, max(m) AS hi
+         | FROM sm GROUP BY 1)
+         |SELECT user_id, n_notes, n_sounding_measures,
+         | hi - lo + 1 AS span_measures,
+         | round(n_notes::DOUBLE / sounding_beats + 3.7e-10, 6) AS sounding_density,
+         | round(n_notes::DOUBLE / (4 * (hi - lo + 1) - (hi // 3 - (lo - 1) // 3))
+         |   + 3.7e-10, 6) AS density
+         |FROM g""".stripMargin
+    },
+
     "q60_emphasized_degrees" -> {
       val keysArr = LocalKeys.map(k => s"'$k'").mkString(", ")
       val tonicCase = "CASE lk " + LocalKeys.map(k =>

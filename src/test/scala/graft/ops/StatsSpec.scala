@@ -54,6 +54,14 @@ class StatsSpec extends SparkSpec {
     assert(got === Seq(0.5, 0.0))
   }
 
+  test("textureRatio: x/0 -> inf, 0/0 -> NaN (texture module convention)") {
+    val df = Seq((6L, 3L), (5L, 0L), (0L, 0L)).toDF("n", "d")
+    val got = df.select(Stats.textureRatio(col("n"), col("d"))).collect().map(_.getDouble(0))
+    assert(got(0) === 2.0)
+    assert(got(1).isPosInfinity)
+    assert(got(2).isNaN)
+  }
+
   test("trimmedStats: scipy semantics, floor(0.1 n) per tail") {
     // n=12 -> k=1: drop min and max exactly once
     val df = Seq(5, 1, 9, 3, 7, 11, 2, 8, 4, 10, 6, 12)
