@@ -254,23 +254,27 @@ object Vectors {
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
               k: Int, nCells: Int, dim: Int,
               cap: Int = 1024, probes: Int = 2,
-              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+              centroids: Option[Array[Array[Double]]] = None,
+              queries: Option[DataFrame] = None): DataFrame = {
     require(nCells >= 2, s"nCells must be >= 2: $nCells")
     require(probes >= 1 && probes <= nCells, s"probes must be in [1, $nCells]: $probes")
     centroids.foreach(c => require(c.length == nCells && c.forall(_.length == dim),
       s"centroids must be $nCells x $dim"))
-    val ranked = vectors.select(
+    def ranked(df: DataFrame) = df.select(
       col(idCol), toDoubleArray(col(vecCol)).as("__v"),
       cellsRanked(toDoubleArray(col(vecCol)), nCells, dim, centroids).as("__ranked"))
       .withColumn("__n", norm(col("__v")))
-    val build0 = ranked
+    val buildRanked = ranked(vectors)
+    val build0 = buildRanked
       .withColumn("cell", element_at(col("__ranked"), 1).getField("cell"))
       .drop("__ranked")
     val sizes = bucketSizes(build0, "cell")
     val build = saltBuckets(build0, "cell", idCol, cap, Some(sizes), broadcastSizes = true)
       .select(col("cell"), col("__salt"), col(idCol).as("neighbor_id"),
         col("__v").as("__cv"), col("__n").as("__cn"))
-    val probe0 = ranked
+    // explicit probe set (the production query-set-vs-corpus shape) avoids
+    // multiprobe-exploding the whole corpus when only a few rows query
+    val probe0 = queries.map(ranked).getOrElse(buildRanked)
       .withColumn("cell",
         explode(transform(slice(col("__ranked"), 1, probes), _.getField("cell"))))
       .drop("__ranked")
@@ -288,11 +292,13 @@ object Vectors {
     * O((nPlanes+1) * cap); total work is linear in N. */
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
               k: Int, nPlanes: Int, dim: Int,
-              cap: Int = 1024, multiprobe: Boolean = true): DataFrame = {
-    val withBucket = vectors.select(
+              cap: Int = 1024, multiprobe: Boolean = true,
+              queries: Option[DataFrame] = None): DataFrame = {
+    def bucketed(df: DataFrame) = df.select(
       col(idCol), toDoubleArray(col(vecCol)).as("__v"),
       lshBucket(col(vecCol), nPlanes, dim))
       .withColumn("__n", norm(col("__v")))
+    val withBucket = bucketed(vectors)
     val sizes = bucketSizes(withBucket.select(col(idCol), col("bucket")), "bucket")
     val build = saltBuckets(withBucket, "bucket", idCol, cap, Some(sizes), broadcastSizes = true)
       .select(col("bucket"), col("__salt"), col(idCol).as("neighbor_id"),
@@ -302,9 +308,12 @@ object Vectors {
         array((col("bucket") +: (0 until nPlanes).map(p =>
           col("bucket").bitwiseXOR(lit(1L << p)))): _*)
       else array(col("bucket"))
-    // inner join against the build histogram drops probes into empty buckets
+    // explicit probe set (query-set-vs-corpus) keeps the hamming-1 explode
+    // proportional to |queries|, not |corpus|; inner join against the build
+    // histogram drops probes into empty buckets either way
     val probe = saltBuckets(
-        withBucket.withColumn("bucket", explode(probeBuckets)),
+        queries.map(bucketed).getOrElse(withBucket)
+          .withColumn("bucket", explode(probeBuckets)),
         "bucket", idCol, cap, Some(sizes), broadcastSizes = true)
       .select(col("bucket"), col("__salt"), col(idCol).as("query_id"),
         col("__v").as("__qv"), col("__n").as("__qn"))

@@ -109,8 +109,8 @@ object EngineQueries {
       val emb = t(s, dir, "embeddings")
       val n = graft.sources.TableSource.parquetRowCount(s, s"$dir/embeddings.parquet")
       Vectors.lshTopK(emb, "vec_id", "embedding",
-          k = 5, nPlanes = Vectors.planesForCorpus(n), dim = 64, cap = 512)
-        .where(col("query_id") < 50)
+          k = 5, nPlanes = Vectors.planesForCorpus(n), dim = 64, cap = 512,
+          queries = Some(emb.where(col("vec_id") < 50)))
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), r6(col("cos")).as("cos"))
     }),
@@ -127,8 +127,8 @@ object EngineQueries {
         k = nCells, dim = 64, iters = 3, sampleN = 2048)
       Vectors.ivfTopK(emb, "vec_id", "embedding",
           k = 5, nCells = nCells, dim = 64, cap = 512, probes = 2,
-          centroids = Some(cents))
-        .where(col("query_id") < 50)
+          centroids = Some(cents),
+          queries = Some(emb.where(col("vec_id") < 50)))
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), r6(col("cos")).as("cos"))
     }))

@@ -63,9 +63,13 @@ object VectorQueries {
             (x, i) => when(i === 0, x + 0.001).otherwise(x)).as("embedding"))
       val all = base.unionByName(dups)
       val n = graft.sources.TableSource.parquetRowCount(s, s"$dir/embeddings.parquet")
+      // probe ONLY the planted queries (query-set-vs-corpus shape): the
+      // hamming-1 multiprobe explode and the rank window cover 25 rows, not
+      // the whole corpus, while the build side still indexes every vector
       Vectors.lshTopK(all, "vec_id", "embedding",
-          k = 5, nPlanes = Vectors.planesForCorpus(n), dim = 64, cap = 512)
-        .where(col("query_id") >= 1000000L && col("rank") === 1)
+          k = 5, nPlanes = Vectors.planesForCorpus(n), dim = 64, cap = 512,
+          queries = Some(dups))
+        .where(col("rank") === 1)
         .select((col("query_id") - 1000000L).as("query_id"),
           col("neighbor_id"), r6(col("cos")).as("cos"))
     }),
@@ -88,8 +92,8 @@ object VectorQueries {
         k = nCells, dim = 64, iters = 3, sampleN = 2048)
       Vectors.ivfTopK(all, "vec_id", "embedding",
           k = 5, nCells = nCells, dim = 64, cap = 512, probes = 2,
-          centroids = Some(cents))
-        .where(col("query_id") >= 1000000L && col("rank") === 1)
+          centroids = Some(cents), queries = Some(dups))
+        .where(col("rank") === 1)
         .select((col("query_id") - 1000000L).as("query_id"),
           col("neighbor_id"), r6(col("cos")).as("cos"))
     }),

@@ -130,6 +130,31 @@ class VectorsSpec extends SparkSpec {
     assert(r >= 0.9, s"IVF recall $r < 0.9")
   }
 
+  test("explicit probe set equals the self-join formulation filtered to those queries") {
+    // the query-set-vs-corpus shape must be a pure restriction: same planes,
+    // same salting (salt comes from the row's own id), so per-query results
+    // are identical to probing everything and filtering afterwards
+    val n = 600
+    val vecs = clustered(n, nClusters = 12, dim = 16, noise = 0.1)
+    val qs = vecs.where(col("vec_id") % 40 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val lshAll = Vectors.lshTopK(vecs, "vec_id", "embedding",
+      k = 5, nPlanes = Vectors.planesForCorpus(n), dim = 16)
+      .where(col("query_id") % 40 === 0)
+    val lshQ = Vectors.lshTopK(vecs, "vec_id", "embedding",
+      k = 5, nPlanes = Vectors.planesForCorpus(n), dim = 16, queries = Some(qs))
+    assert(pairs(lshQ) === pairs(lshAll))
+    val cells = Vectors.cellsForCorpus(n, 128)
+    val ivfAll = Vectors.ivfTopK(vecs, "vec_id", "embedding",
+      k = 5, nCells = cells, dim = 16, probes = 2)
+      .where(col("query_id") % 40 === 0)
+    val ivfQ = Vectors.ivfTopK(vecs, "vec_id", "embedding",
+      k = 5, nCells = cells, dim = 16, probes = 2, queries = Some(qs))
+    assert(pairs(ivfQ) === pairs(ivfAll))
+  }
+
   test("saltBuckets bounds fan-out on a degenerate bucket (skew-injected)") {
     // 900 identical vectors collapse into ONE bucket; salting must split it
     // into ~cap-sized groups so the self-join can't go quadratic
