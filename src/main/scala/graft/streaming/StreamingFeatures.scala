@@ -38,6 +38,47 @@ object StreamingFeatures {
       .select(col(entityCol), col("window.start").as("window_start"),
         col("n_events"), col("value_mean"), col("value_min"), col("value_max"))
 
+  /** Per-(entity, SLIDING window) feature aggregates — the streaming face of
+    * musif's size/overlap window mode (`extract.py:429-431`: hop = size −
+    * overlap), on the time axis: every event lands in size/hop overlapping
+    * windows, each of which emits once the watermark passes its end. Pass
+    * `overlapDur` in the musif convention; hop is derived. */
+  def slidingFeatures(
+      events: DataFrame,
+      entityCol: String = "phash",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      watermark: String = "30 minutes",
+      windowDur: String = "10 minutes",
+      overlapDur: String = "5 minutes"): DataFrame = {
+    def minutes(d: String): Long = {
+      val p = d.trim.split("\\s+")
+      require(p.length == 2, s"duration must be '<n> <unit>': $d")
+      p(1).toLowerCase match {
+        case "minute" | "minutes" => p(0).toLong
+        case "hour" | "hours"     => p(0).toLong * 60
+        case "second" | "seconds" =>
+          require(p(0).toLong % 60 == 0, s"sub-minute durations unsupported: $d")
+          p(0).toLong / 60
+        case u => throw new IllegalArgumentException(s"unsupported unit: $u")
+      }
+    }
+    val (size, overlap) = (minutes(windowDur), minutes(overlapDur))
+    require(size > overlap && overlap >= 0,
+      s"need size > overlap >= 0, got $windowDur / $overlapDur")
+    val hop = s"${size - overlap} minutes"
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(entityCol), window(col(tsCol), windowDur, hop))
+      .agg(
+        count(lit(1)).as("n_events"),
+        avg(col(valueCol)).as("value_mean"),
+        min(col(valueCol)).as("value_min"),
+        max(col(valueCol)).as("value_max"))
+      .select(col(entityCol), col("window.start").as("window_start"),
+        col("n_events"), col("value_mean"), col("value_min"), col("value_max"))
+  }
+
   /** Streaming exact dedup on the content fingerprint — the training-data
     * pipeline's O5/exact-dedup stage under Structured Streaming. State is
     * bounded by the watermark (`dropDuplicatesWithinWatermark`): a duplicate

@@ -81,6 +81,62 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(got === Seq((2L, 2.0), (1L, 5.0)))
   }
 
+  test("sliding windows: hop = size - overlap, each event in size/hop windows") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    // size 10m, overlap 5m -> hop 5m: an event at 00:07 lands in the
+    // [00:00,00:10) and [00:05,00:15) windows
+    val out = StreamingFeatures.slidingFeatures(
+      in.toDF.toDF("phash", "ts", "value"), watermark = "5 minutes",
+      windowDur = "10 minutes", overlapDur = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sliding")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1L, "2024-01-01 00:07:00", 4.0))
+      q.processAllAvailable()
+      in.addData(ev(1L, "2024-01-01 01:00:00", 9.0)) // close both via watermark
+      q.processAllAvailable()
+      val starts = spark.table("sliding")
+        .where(col("value_mean") === 4.0)
+        .orderBy("window_start").collect()
+        .map(_.getAs[Timestamp]("window_start")).toSeq
+      assert(starts === Seq(ts("2024-01-01 00:00:00"), ts("2024-01-01 00:05:00")))
+    } finally q.stop()
+  }
+
+  test("sliding batch/stream parity and musif overlap convention") {
+    val static = Seq(
+      ev(1L, "2024-01-01 00:01:00", 1.0),
+      ev(1L, "2024-01-01 00:07:00", 3.0),
+      ev(1L, "2024-01-01 00:12:00", 5.0)
+    ).toDF("phash", "ts", "value")
+    val got = StreamingFeatures.slidingFeatures(static,
+      windowDur = "10 minutes", overlapDur = "5 minutes")
+      .orderBy("window_start")
+      .select("window_start", "n_events", "value_mean").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq
+    // windows: [-0:05,0:05) {1}, [0:00,0:10) {1,3}, [0:05,0:15) {3,5}, [0:10,0:20) {5}
+    assert(got === Seq(
+      (ts("2023-12-31 23:55:00"), 1L, 1.0),
+      (ts("2024-01-01 00:00:00"), 2L, 2.0),
+      (ts("2024-01-01 00:05:00"), 2L, 4.0),
+      (ts("2024-01-01 00:10:00"), 1L, 5.0)))
+    // zero overlap degenerates to tumbling
+    val tumb = StreamingFeatures.slidingFeatures(static,
+      windowDur = "10 minutes", overlapDur = "0 minutes")
+      .select("window_start", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    val ref = StreamingFeatures.windowedFeatures(static)
+      .select("window_start", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(tumb === ref)
+    // size must exceed overlap
+    intercept[IllegalArgumentException] {
+      StreamingFeatures.slidingFeatures(static,
+        windowDur = "10 minutes", overlapDur = "10 minutes")
+    }
+  }
+
   test("streaming exact dedup drops within-watermark duplicates, keeps distinct content") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
