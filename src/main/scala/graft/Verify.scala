@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated query names — iterate on one
+    // query without paying the full 70-query battery
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet else Set.empty
+    def selected(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,18 +28,24 @@ object Verify {
     // synthesis is whole-second; avoids parquet timestamp-annotation skew).
     val synthDir = java.nio.file.Paths.get(outDir).toAbsolutePath.toString + "/__synth"
     import org.apache.spark.sql.functions.{col, unix_timestamp}
-    pipeline.FeaturePipeline.preparedSynthetic(spark, 20000, 64)
-      .withColumn("ts_sec", unix_timestamp(col("ts"))).drop("ts")
-      .coalesce(1).write.mode("overwrite").parquet(s"$synthDir/flagship_prepared")
-    sources.SynthImages.labels(spark, 20000, 64)
-      .withColumn("label_ts_sec", unix_timestamp(col("label_ts"))).drop("label_ts")
-      .coalesce(1).write.mode("overwrite").parquet(s"$synthDir/flagship_labels")
+    val needSynth = SparkEntry.oracleSql.exists { case (k, v) =>
+      selected(k) && v.contains("__SYNTH_DIR__") }
+    if (needSynth) {
+      pipeline.FeaturePipeline.preparedSynthetic(spark, 20000, 64)
+        .withColumn("ts_sec", unix_timestamp(col("ts"))).drop("ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$synthDir/flagship_prepared")
+      sources.SynthImages.labels(spark, 20000, 64)
+        .withColumn("label_ts_sec", unix_timestamp(col("label_ts"))).drop("label_ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$synthDir/flagship_labels")
+    }
 
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      if (selected(name)) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -50,6 +61,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected(k) }
       .map { case (k, v) =>
         s"${q(k)}: ${q(v.replace("__SYNTH_DIR__", synthDir))}" }
       .mkString("{", ",", "}")

@@ -154,6 +154,56 @@ object TheoryQueries {
         MusicTheory.intervalQualityClass(col("iname")).as("quality_class"),
         MusicTheory.intervalSizeClass(col("steps")).as("size_class"),
         MusicTheory.withinOctave(col("semitones")).as("within_octave"))
+    }),
+
+    // A14 motion battery: analogs of music21's native (jSymbolic-derived)
+    // melodic-motion extractors run by the reference's music21 handler
+    // (`music21/handler.py:15-57` -> m21.features.native featureExtractors):
+    // ChromaticMotion / StepwiseMotion / AmountOfArpeggiation fractions over
+    // ALL melodic intervals, DirectionOfMotion = rising/(rising+falling),
+    // and Duration-/SizeOfMelodicArcs over maximal same-sign interval runs.
+    // Arc runs are a per-entity ordered scan (lag sign change -> running
+    // sum), the same high-cardinality window shape as the flagship — one
+    // exchange on user_id feeds both aggregate branches, and the final join
+    // of the two per-user aggregates reuses that partitioning.
+    "q70_melodic_motion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val iv = t(s, dir, "events")
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .withColumn("st", round(col("value") - col("prev"), 0).cast("int"))
+      val n = count(lit(1)).cast("double")
+      val overall = iv.groupBy(col("user_id")).agg(
+        count(lit(1)).cast("bigint").as("n_intervals"),
+        r6(sum(when(abs(col("st")) === 1, 1).otherwise(0)) / n).as("pct_chromatic"),
+        r6(sum(when(abs(col("st")).isin(1, 2), 1).otherwise(0)) / n).as("pct_stepwise"),
+        r6(sum(when(abs(col("st")).isin(0, 3, 4, 7, 10, 11, 12, 15, 16), 1)
+          .otherwise(0)) / n).as("pct_arpeggiation"),
+        sum(when(col("st") > 0, 1).otherwise(0)).cast("bigint").as("n_rising"),
+        sum(when(col("st") < 0, 1).otherwise(0)).cast("bigint").as("n_falling"))
+        .withColumn("direction_ratio",
+          when(col("n_rising") + col("n_falling") === 0, lit(0.0)).otherwise(
+            r6(col("n_rising") / (col("n_rising") + col("n_falling")).cast("double"))))
+      val nz = iv.where(col("st") =!= 0)
+        .withColumn("sgn", when(col("st") > 0, 1).otherwise(-1))
+      val runs = nz
+        .withColumn("chg", when(lag(col("sgn"), 1).over(w).isNull
+          || lag(col("sgn"), 1).over(w) =!= col("sgn"), 1).otherwise(0))
+        .withColumn("run_id",
+          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val arcAgg = runs.groupBy(col("user_id"), col("run_id"))
+        .agg(count(lit(1)).as("arc_len"), abs(sum(col("st"))).as("arc_span"))
+        .groupBy(col("user_id")).agg(
+          count(lit(1)).cast("bigint").as("n_arcs"),
+          r6(avg(col("arc_len"))).as("arc_len_mean"),
+          r6(avg(col("arc_span"))).as("arc_span_mean"))
+      overall.join(arcAgg, Seq("user_id"), "left")
+        .na.fill(0L, Seq("n_arcs")).na.fill(0.0, Seq("arc_len_mean", "arc_span_mean"))
+        .select(col("user_id"), col("n_intervals"), col("pct_chromatic"),
+          col("pct_stepwise"), col("pct_arpeggiation"), col("n_rising"),
+          col("n_falling"), col("direction_ratio"), col("n_arcs"),
+          col("arc_len_mean"), col("arc_span_mean"))
     }))
 
   /** Chord/label domains for q46 — cover every decoration branch of
@@ -179,6 +229,54 @@ object TheoryQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q70_melodic_motion" ->
+      """WITH iv0 AS (
+        | SELECT user_id, ts, event_id, value,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |iv AS (
+        | SELECT user_id, ts, event_id, round(value - prev)::INT AS st
+        | FROM iv0 WHERE prev IS NOT NULL),
+        |overall AS (
+        | SELECT user_id,
+        |  count(*)::BIGINT AS n_intervals,
+        |  round(sum(CASE WHEN abs(st) = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) + 3.7e-10, 6) AS pct_chromatic,
+        |  round(sum(CASE WHEN abs(st) IN (1, 2) THEN 1 ELSE 0 END)::DOUBLE / count(*) + 3.7e-10, 6) AS pct_stepwise,
+        |  round(sum(CASE WHEN abs(st) IN (0, 3, 4, 7, 10, 11, 12, 15, 16) THEN 1 ELSE 0 END)::DOUBLE / count(*) + 3.7e-10, 6) AS pct_arpeggiation,
+        |  sum(CASE WHEN st > 0 THEN 1 ELSE 0 END)::BIGINT AS n_rising,
+        |  sum(CASE WHEN st < 0 THEN 1 ELSE 0 END)::BIGINT AS n_falling
+        | FROM iv GROUP BY 1),
+        |nz AS (
+        | SELECT user_id, ts, event_id, st,
+        |  CASE WHEN st > 0 THEN 1 ELSE -1 END AS sgn
+        | FROM iv WHERE st <> 0),
+        |chg AS (
+        | SELECT *, CASE WHEN lag(sgn) OVER w IS NULL OR lag(sgn) OVER w <> sgn
+        |   THEN 1 ELSE 0 END AS c
+        | FROM nz WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        | SELECT *, sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        | FROM chg),
+        |arcs AS (
+        | SELECT user_id, run_id, count(*)::BIGINT AS arc_len,
+        |  abs(sum(st))::BIGINT AS arc_span
+        | FROM runs GROUP BY 1, 2),
+        |arcagg AS (
+        | SELECT user_id, count(*)::BIGINT AS n_arcs,
+        |  round(avg(arc_len) + 3.7e-10, 6) AS arc_len_mean,
+        |  round(avg(arc_span) + 3.7e-10, 6) AS arc_span_mean
+        | FROM arcs GROUP BY 1)
+        |SELECT o.user_id, o.n_intervals, o.pct_chromatic, o.pct_stepwise,
+        | o.pct_arpeggiation, o.n_rising, o.n_falling,
+        | CASE WHEN o.n_rising + o.n_falling = 0 THEN 0.0
+        |   ELSE round(o.n_rising::DOUBLE / (o.n_rising + o.n_falling) + 3.7e-10, 6)
+        | END AS direction_ratio,
+        | coalesce(a.n_arcs, 0)::BIGINT AS n_arcs,
+        | coalesce(a.arc_len_mean, 0.0) AS arc_len_mean,
+        | coalesce(a.arc_span_mean, 0.0) AS arc_span_mean
+        |FROM overall o LEFT JOIN arcagg a USING (user_id)""".stripMargin,
+
     "q46_chord_parse" -> {
       val chords = ChordDomain.map(c => s"'$c'").mkString(", ")
       val types = ChordTypeDomain.map(c => s"'$c'").mkString(", ")

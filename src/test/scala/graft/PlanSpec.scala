@@ -47,6 +47,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), s"sort agg downgrade:\n$plan")
   }
 
+  test("q70 melodic-motion battery: no cartesian, one entity exchange reused") {
+    val plan = planOf(SparkEntry.queries("q70_melodic_motion")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"motion battery exploded into a product:\n$plan")
+    // the lag scan, both per-user aggregates, and the final user_id join must
+    // all ride the ONE hashpartitioning(user_id) exchange of the window scan
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"$exchanges exchanges — entity partitioning lost:\n$plan")
+  }
+
   test("q60 emphasized-degrees composite: no cartesian, bounded exchanges") {
     val plan = planOf(SparkEntry.queries("q60_emphasized_degrees")(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
