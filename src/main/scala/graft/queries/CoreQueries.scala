@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.ops.{SaltedAgg, Stats}
 import graft.ops.SaltedAgg._
 import Q._
@@ -88,11 +87,16 @@ object CoreQueries {
           r2(col("m.c0")).as("max_price"))
     }),
 
-    // A3: histogram + share-of-total
+    // A3: histogram + share-of-total. The total is a one-row aggregate
+    // broadcast back onto the counts — not a global (unpartitioned) window,
+    // which would funnel the whole histogram through a single task if the
+    // key cardinality ever grew with the data
     "q07_histogram_share" -> ((s, dir) => {
       val counts = t(s, dir, "events").groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      counts.withColumn("share",
-        r6(col("n").cast("double") / sum(col("n")).over(Window.partitionBy())))
+      val total = counts.agg(sum(col("n")).as("__total"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("share", r6(col("n").cast("double") / col("__total")))
+        .drop("__total")
     }),
 
     // A8/F2: density ratios with musif's x/0 -> 0 convention
