@@ -263,6 +263,76 @@ object CompositeQueries {
           col("span_measures"),
           r6(col("n_notes") / col("sounding_beats").cast("double")).as("sounding_density"),
           r6(col("n_notes") / col("total_beats").cast("double")).as("density"))
+    }),
+
+    // q71: motion features — the reference's get_motion_features chain
+    // (`/root/reference/musif/extract/features/melody/handler.py:640-700`):
+    // duration-resample the note stream (each note repeated duration/step
+    // times), absolute speed/acceleration means over the resampled series,
+    // then a CENTERED rolling mean whose sign-of-diff runs give prolonged
+    // ascent/descent chunk averages and proportions. Faithful semantics
+    // notes: iterating a pandas centered Rolling yields TRUNCATED edge
+    // windows, i.e. exactly `rowsBetween(-win, win)`; dife==0 rows break
+    // runs but belong to neither; proportions divide by len(dife)-1 (the
+    // reference's own off-by-one, kept). Plan: every window function shares
+    // ONE (user_id, ts, event_id, pos) sort — a single exchange feeds
+    // speed, acceleration, smoothing, and both run-id chains; the smoothed
+    // values are exact (integer sums / small counts), so the >0 run tests
+    // are engine-stable without an epsilon.
+    "q71_motion" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"), col("pos"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val base = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value"), 0).as("midi"),
+          (pmod(col("event_id"), lit(3)) + 1).cast("int").as("rep"))
+        .withColumn("pos", explode(sequence(lit(0), col("rep") - 1)))
+      val st = base
+        .withColumn("spe", col("midi") - lag(col("midi"), 1).over(w))
+        .withColumn("smo", avg(col("midi")).over(w.rowsBetween(-2, 2)))
+      val dif = st
+        .withColumn("acc", col("spe") - lag(col("spe"), 1).over(w))
+        .withColumn("dife", col("smo") - lag(col("smo"), 1).over(w))
+      val overall = dif.groupBy(col("user_id")).agg(
+        count(lit(1)).cast("bigint").as("n_points"),
+        r6(coalesce(avg(abs(col("spe"))), lit(0.0))).as("spe_avg_abs"),
+        r6(coalesce(avg(abs(col("acc"))), lit(0.0))).as("acc_avg_abs"),
+        count(col("dife")).cast("bigint").as("n_dife"))
+      val d = dif.where(col("dife").isNotNull)
+        .withColumn("af", col("dife") > 0)
+        .withColumn("df", col("dife") < 0)
+      val runs = d
+        .withColumn("ac", when(lag(col("af"), 1).over(w).isNull
+          || lag(col("af"), 1).over(w) =!= col("af"), 1).otherwise(0))
+        .withColumn("dc", when(lag(col("df"), 1).over(w).isNull
+          || lag(col("df"), 1).over(w) =!= col("df"), 1).otherwise(0))
+        .withColumn("arun", sum(col("ac")).over(cum))
+        .withColumn("drun", sum(col("dc")).over(cum))
+      // Within an ascent run the descent run-id is constant (and vice
+      // versa), so grouping by BOTH run ids yields every maximal segment
+      // exactly once — ascent and descent stats come from one hash
+      // aggregate instead of two recomputations of the window chain.
+      val ragg = runs
+        .groupBy(col("user_id"), col("arun"), col("drun"),
+          col("af"), col("df"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id")).agg(
+          r6(avg(when(col("af"), col("len")))).as("asc_avg0"),
+          sum(when(col("af"), col("len"))).cast("bigint").as("asc_sum"),
+          r6(avg(when(col("df"), col("len")))).as("dsc_avg0"),
+          sum(when(col("df"), col("len"))).cast("bigint").as("dsc_sum"))
+      def prp(sumCol: Column, nDife: Column) =
+        when(sumCol.isNull || nDife <= 1, lit(0.0))
+          .otherwise(r6(sumCol / (nDife - 1).cast("double")))
+      overall
+        .join(ragg, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_points"),
+          col("spe_avg_abs"), col("acc_avg_abs"),
+          coalesce(col("asc_avg0"), lit(0.0)).as("asc_avg"),
+          coalesce(col("dsc_avg0"), lit(0.0)).as("dsc_avg"),
+          prp(col("asc_sum"), col("n_dife")).as("asc_prp"),
+          prp(col("dsc_sum"), col("n_dife")).as("dsc_prp"))
     }))
 
   /** music21 default midi spelling after the reference's '-'->'b'
@@ -488,5 +558,65 @@ object CompositeQueries {
          |SELECT g.*, m.mode_pc,
          | round(m.mode_cnt / g.n_notes + 3.7e-10, 6) AS mode_share
          |FROM g JOIN m ON g.user_id = m.user_id AND m.rnk = 1""".stripMargin
-    })
+    },
+
+    "q71_motion" ->
+      """WITH s AS (
+        | SELECT user_id, ts, event_id, round(value) AS midi,
+        |  (event_id % 3 + 1)::INT AS rep
+        | FROM events),
+        |r AS (
+        | SELECT user_id, ts, event_id, midi,
+        |  unnest(generate_series(0, rep - 1)) AS pos
+        | FROM s),
+        |w1 AS (
+        | SELECT user_id, ts, event_id, pos, midi,
+        |  midi - lag(midi) OVER w AS spe,
+        |  avg(midi) OVER (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS smo
+        | FROM r WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, pos)),
+        |w2 AS (
+        | SELECT *, spe - lag(spe) OVER w AS acc,
+        |  smo - lag(smo) OVER w AS dife
+        | FROM w1 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, pos)),
+        |overall AS (
+        | SELECT user_id, count(*)::BIGINT AS n_points,
+        |  round(coalesce(avg(abs(spe)), 0.0) + 3.7e-10, 6) AS spe_avg_abs,
+        |  round(coalesce(avg(abs(acc)), 0.0) + 3.7e-10, 6) AS acc_avg_abs,
+        |  count(dife)::BIGINT AS n_dife
+        | FROM w2 GROUP BY 1),
+        |d AS (
+        | SELECT user_id, ts, event_id, pos,
+        |  dife > 0 AS af, dife < 0 AS df
+        | FROM w2 WHERE dife IS NOT NULL),
+        |chg AS (
+        | SELECT *,
+        |  CASE WHEN lag(af) OVER w IS NULL OR lag(af) OVER w <> af
+        |    THEN 1 ELSE 0 END AS ac,
+        |  CASE WHEN lag(df) OVER w IS NULL OR lag(df) OVER w <> df
+        |    THEN 1 ELSE 0 END AS dc
+        | FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, pos)),
+        |runs AS (
+        | SELECT *, sum(ac) OVER w AS arun, sum(dc) OVER w AS drun
+        | FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, pos
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |seg AS (
+        | SELECT user_id, arun, drun, af, df, count(*)::BIGINT AS len
+        | FROM runs GROUP BY 1, 2, 3, 4, 5),
+        |ragg AS (
+        | SELECT user_id,
+        |  round(avg(CASE WHEN af THEN len END) + 3.7e-10, 6) AS asc_avg0,
+        |  sum(CASE WHEN af THEN len END)::BIGINT AS asc_sum,
+        |  round(avg(CASE WHEN df THEN len END) + 3.7e-10, 6) AS dsc_avg0,
+        |  sum(CASE WHEN df THEN len END)::BIGINT AS dsc_sum
+        | FROM seg GROUP BY 1)
+        |SELECT o.user_id, o.n_points, o.spe_avg_abs, o.acc_avg_abs,
+        | coalesce(g.asc_avg0, 0.0) AS asc_avg,
+        | coalesce(g.dsc_avg0, 0.0) AS dsc_avg,
+        | CASE WHEN g.asc_sum IS NULL OR o.n_dife <= 1 THEN 0.0
+        |  ELSE round(g.asc_sum::DOUBLE / (o.n_dife - 1) + 3.7e-10, 6)
+        | END AS asc_prp,
+        | CASE WHEN g.dsc_sum IS NULL OR o.n_dife <= 1 THEN 0.0
+        |  ELSE round(g.dsc_sum::DOUBLE / (o.n_dife - 1) + 3.7e-10, 6)
+        | END AS dsc_prp
+        |FROM overall o LEFT JOIN ragg g USING (user_id)""".stripMargin)
 }
