@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.functions.{Dims, MusicTheory}
 import Q._
@@ -204,7 +205,73 @@ object TheoryQueries {
           col("pct_stepwise"), col("pct_arpeggiation"), col("n_rising"),
           col("n_falling"), col("direction_ratio"), col("n_arcs"),
           col("arc_len_mean"), col("arc_span_mean"))
+    }),
+
+    // A14 completion: the interval TYPE battery — per-quality x direction
+    // counts/shares plus ascending/descending intervallic stats, the analog
+    // of `melody/handler.py:329-470` (get_interval_type_features) and
+    // :133-240 (ascending/descending stats of get_interval_features).
+    // Same per-row (steps, qoff) -> directed-name derivation as q43 (the
+    // dd..AA sweep); rows whose quality overflows the perfect range (NULL
+    // name — the reference raises on those) are dropped. Direction is the
+    // semitone sign (`handler.py:564-570`), so repeated-number intervals
+    // (A1 etc.) still direction-class. ONE narrow projection + ONE hash
+    // aggregate — no window, partial agg applies, nothing keyed below
+    // user_id, so the plan is a straight map-side-combine at any scale.
+    "q72_interval_types" -> ((s, dir) => {
+      val base = t(s, dir, "events").select(
+        col("user_id"),
+        (pmod(col("event_id"), lit(17)) - 8).cast("int").as("steps"),
+        (pmod(col("user_id"), lit(7)) - 3).cast("int").as("qoff"))
+      val withSemis = base.withColumn("semitones",
+        (when(col("steps") < 0, lit(-1)).otherwise(lit(1)) *
+          (MusicTheory.perfectMajorSemitones(col("steps")) + col("qoff"))).cast("int"))
+      val named = withSemis.withColumn("iname",
+        MusicTheory.intervalName(col("semitones"), col("steps")))
+      val iv = named.where(col("iname").isNotNull).select(
+        col("user_id"), col("semitones"),
+        MusicTheory.intervalQualityClass(col("iname")).as("qc"),
+        MusicTheory.intervalSizeClass(col("steps")).as("sc"),
+        MusicTheory.withinOctave(col("semitones")).as("wo"))
+      val asc = col("semitones") > 0
+      val desc = col("semitones") < 0
+      val n = count(lit(1)).cast("double")
+      def cnt(cond: Column) = sum(when(cond, 1).otherwise(0)).cast("bigint")
+      def triple(pre: String, cond: Column) = Seq(
+        cnt(cond && asc).as(s"${pre}_asc"),
+        cnt(cond && desc).as(s"${pre}_desc"),
+        cnt(cond).as(s"${pre}_all"),
+        r6(cnt(cond) / n).as(s"${pre}_per"))
+      val qualAggs = Q72Quals.flatMap { case (q, pre) =>
+        triple(pre, col("qc") === q)
+      }
+      def dirStat(pre: String, cond: Column) = Seq(
+        r6(coalesce(avg(when(cond, col("semitones"))), lit(0.0))).as(s"${pre}_mean"),
+        r6(coalesce(nanvl(stddev_samp(when(cond, col("semitones"))), lit(0.0)),
+          lit(0.0))).as(s"${pre}_std"),
+        coalesce(sum(when(cond, col("semitones"))), lit(0L)).cast("bigint")
+          .as(s"${pre}_semi_sum"))
+      val aggs: Seq[Column] =
+        Seq(count(lit(1)).cast("bigint").as("n_intervals"),
+          cnt(col("sc") === "repeated").as("rep_all"),
+          r6(cnt(col("sc") === "repeated") / n).as("rep_per")) ++
+        triple("stw", col("sc") === "stepwise") ++
+        triple("leap", col("sc") === "leap") ++
+        triple("within_oct", col("wo")) ++
+        triple("beyond_oct", !col("wo")) ++
+        qualAggs ++
+        dirStat("asc", asc) ++ dirStat("desc", desc) ++
+        Seq(max(when(asc, col("semitones"))).as("largest_asc_semi"),
+          min(when(desc, col("semitones"))).as("largest_desc_semi"))
+      iv.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
     }))
+
+  /** quality_class -> output-column prefix for q72 (shared with the oracle
+    * generator so both sides enumerate identically). */
+  private[queries] val Q72Quals = Seq(
+    "perfect" -> "perf", "major" -> "maj", "minor" -> "min",
+    "augmented" -> "aug", "diminished" -> "dim",
+    "double_augmented" -> "daug", "double_diminished" -> "ddim")
 
   /** Chord/label domains for q46 — cover every decoration branch of
     * parse_chord, every chord-type class, and both key-mode cases
@@ -443,5 +510,72 @@ object TheoryQueries {
         | CASE WHEN g = 1 THEN 'repeated' WHEN g = 2 THEN 'stepwise'
         |   ELSE 'leap' END AS size_class,
         | (abs(semitones) <= 12) AS within_octave
-        |FROM j""".stripMargin)
+        |FROM j""".stripMargin,
+
+    "q72_interval_types" -> {
+      def cnt(cond: String, alias: String) =
+        s"sum(CASE WHEN $cond THEN 1 ELSE 0 END)::BIGINT AS $alias"
+      def triple(pre: String, cond: String) = Seq(
+        cnt(s"($cond) AND semitones > 0", s"${pre}_asc"),
+        cnt(s"($cond) AND semitones < 0", s"${pre}_desc"),
+        cnt(cond, s"${pre}_all"),
+        s"round(sum(CASE WHEN $cond THEN 1 ELSE 0 END)::DOUBLE / count(*) + 3.7e-10, 6) AS ${pre}_per")
+      def dirStat(pre: String, cond: String) = Seq(
+        s"round(coalesce(avg(CASE WHEN $cond THEN semitones END), 0.0) + 3.7e-10, 6) AS ${pre}_mean",
+        s"round(coalesce(stddev_samp(CASE WHEN $cond THEN semitones END), 0.0) + 3.7e-10, 6) AS ${pre}_std",
+        s"coalesce(sum(CASE WHEN $cond THEN semitones END), 0)::BIGINT AS ${pre}_semi_sum")
+      val aggs = (Seq(
+        "count(*)::BIGINT AS n_intervals",
+        cnt("sc = 'repeated'", "rep_all"),
+        "round(sum(CASE WHEN sc = 'repeated' THEN 1 ELSE 0 END)::DOUBLE / count(*) + 3.7e-10, 6) AS rep_per") ++
+        triple("stw", "sc = 'stepwise'") ++
+        triple("leap", "sc = 'leap'") ++
+        triple("within_oct", "wo") ++
+        triple("beyond_oct", "NOT wo") ++
+        Q72Quals.flatMap { case (q, pre) => triple(pre, s"qc = '$q'") } ++
+        dirStat("asc", "semitones > 0") ++
+        dirStat("desc", "semitones < 0") ++
+        Seq("max(CASE WHEN semitones > 0 THEN semitones END) AS largest_asc_semi",
+          "min(CASE WHEN semitones < 0 THEN semitones END) AS largest_desc_semi"))
+        .mkString(",\n ")
+      s"""WITH base AS (
+         | SELECT user_id,
+         |  ((event_id % 17) - 8)::INT AS steps,
+         |  ((user_id % 7) - 3)::INT AS qoff
+         | FROM events),
+         |d AS (SELECT *, (abs(steps) + 1)::INT AS g FROM base),
+         |e AS (SELECT *, ((g - 1) % 7) AS s0, ((g - 1) // 7) AS oct FROM d),
+         |f AS (SELECT *,
+         |  (CASE s0 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 5
+         |    WHEN 4 THEN 7 WHEN 5 THEN 9 WHEN 6 THEN 11 END) + 12 * oct AS expected
+         | FROM e),
+         |h AS (SELECT *,
+         |  (CASE WHEN steps < 0 THEN -(expected + qoff)
+         |    ELSE (expected + qoff) END)::INT AS semitones
+         | FROM f),
+         |i AS (SELECT *, abs(semitones) - expected AS diff,
+         |  (s0 IN (0, 3, 4)) AS perf FROM h),
+         |j AS (SELECT *,
+         |  CASE WHEN perf THEN
+         |    CASE diff WHEN 0 THEN 'P' WHEN 1 THEN 'A' WHEN 2 THEN 'AA'
+         |      WHEN -1 THEN 'd' WHEN -2 THEN 'dd' END
+         |  ELSE
+         |    CASE diff WHEN 0 THEN 'M' WHEN -1 THEN 'm' WHEN 1 THEN 'A'
+         |      WHEN 2 THEN 'AA' WHEN -2 THEN 'd' WHEN -3 THEN 'dd' END
+         |  END AS qual
+         | FROM i),
+         |iv AS (
+         | SELECT user_id, semitones,
+         |  CASE qual WHEN 'AA' THEN 'double_augmented' WHEN 'A' THEN 'augmented'
+         |    WHEN 'M' THEN 'major' WHEN 'P' THEN 'perfect' WHEN 'm' THEN 'minor'
+         |    WHEN 'dd' THEN 'double_diminished' WHEN 'd' THEN 'diminished'
+         |    END AS qc,
+         |  CASE WHEN g = 1 THEN 'repeated' WHEN g = 2 THEN 'stepwise'
+         |    ELSE 'leap' END AS sc,
+         |  (abs(semitones) <= 12) AS wo
+         | FROM j WHERE qual IS NOT NULL)
+         |SELECT user_id,
+         | $aggs
+         |FROM iv GROUP BY 1""".stripMargin
+    })
 }
