@@ -32,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
       ShapeQueries.oracles ++ TheoryQueries.oracles ++ TextQueries.oracles ++
-      VectorQueries.oracles ++ CompositeQueries.oracles ++ FlagshipQueries.oracles
+      VectorQueries.oracles ++ CompositeQueries.oracles ++
+      FlagshipQueries.oracles ++ EngineQueries.oracles
 }

@@ -20,14 +20,31 @@ import org.apache.spark.sql.functions._
   */
 object Lineage {
 
+  /** Per-row hash used for bucket assignment and digests. */
+  type RowHasher = Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column
+
+  /** Production hasher: native codegen'd xxhash64 (fast, binary-exact on
+    * every type, no string round-trip). */
+  val xxHasher: RowHasher = cols => xxhash64(cols: _*)
+
+  /** Cross-engine 56-bit hasher for oracle verification: the first 14 hex
+    * chars of md5 over the '|'-joined canonical string, parsed base-16 —
+    * DuckDB computes the identical value as
+    * `('0x' || substr(md5(concat_ws('|', ...)), 1, 14))::BIGINT`. Only used
+    * by the driver-gate query (q73); strings/integers only, since double
+    * formatting is not canonical across engines. */
+  val md5Hasher56: RowHasher = cols =>
+    conv(substring(md5(concat_ws("|", cols: _*)), 1, 14), 16, 10).cast("long")
+
   def bucketOf(entityCol: String, nBuckets: Int) =
     pmod(xxhash64(col(entityCol)), lit(nBuckets.toLong)).cast("int")
 
   /** Lineage rows for a result DataFrame (one per non-empty bucket). */
   def compute(df: DataFrame, entityCol: String, tsCol: String,
-              nBuckets: Int): DataFrame = {
+              nBuckets: Int, hasher: RowHasher = xxHasher): DataFrame = {
     val hashCols = df.columns.map(col).toSeq
-    df.groupBy(bucketOf(entityCol, nBuckets).as("partition_id"))
+    df.groupBy(pmod(hasher(Seq(col(entityCol))), lit(nBuckets.toLong))
+        .cast("int").as("partition_id"))
       .agg(
         count(lit(1)).as("row_count"),
         min(col(tsCol)).as("min_ts"),
@@ -35,8 +52,8 @@ object Lineage {
         // order-independent content digest: xor of row hashes (duplicate
         // rows cancel) combined with a bounded modular sum (catches them);
         // both are overflow-safe under ANSI at any row count
-        call_function("bit_xor", xxhash64(hashCols: _*))
-          .bitwiseXOR(sum(pmod(xxhash64(hashCols: _*), lit(1000003L)))).as("digest"))
+        call_function("bit_xor", hasher(hashCols))
+          .bitwiseXOR(sum(pmod(hasher(hashCols), lit(1000003L)))).as("digest"))
   }
 
   /** Run `job` over `input` bucket-incrementally with resume:

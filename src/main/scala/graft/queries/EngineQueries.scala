@@ -131,7 +131,39 @@ object EngineQueries {
           queries = Some(emb.where(col("vec_id") < 50)))
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), r6(col("cos")).as("cos"))
+    }),
+
+    // Lineage rows (S4 / north rule) with a DRIVER-VISIBLE oracle: q56's
+    // digest uses xxhash64 (no DuckDB counterpart), so this variant runs the
+    // same Lineage.compute over a real table with the cross-engine
+    // md5Hasher56 — bucket assignment, row counts, min/max ts, and the
+    // xor+modular-sum digest combine are all hash-verified against DuckDB.
+    // The double-typed `value` column is excluded from the digest input
+    // because double->string formatting is not canonical across engines
+    // (the production xxhash64 path hashes binary values, no round-trip).
+    "q73_lineage_rows" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_sec"),
+        col("event_type"), col("props"))
+      Lineage.compute(ev, "user_id", "ts_sec", 16, Lineage.md5Hasher56)
     }))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q73_lineage_rows" ->
+      s"""WITH ev AS (
+         | SELECT event_id, user_id,
+         |  ${Q.sqlEpoch("ts")} AS ts_sec, event_type, props
+         | FROM events),
+         |h AS (
+         | SELECT ts_sec,
+         |  ('0x' || substr(md5(concat_ws('|', event_id, user_id, ts_sec,
+         |    event_type, props)), 1, 14))::BIGINT AS rh,
+         |  ('0x' || substr(md5(user_id::VARCHAR), 1, 14))::BIGINT AS eh
+         | FROM ev)
+         |SELECT (eh % 16)::INT AS partition_id,
+         | count(*)::BIGINT AS row_count,
+         | min(ts_sec) AS min_ts, max(ts_sec) AS max_ts,
+         | xor(bit_xor(rh), (sum(rh % 1000003))::BIGINT) AS digest
+         |FROM h GROUP BY 1""".stripMargin)
 }
