@@ -28,15 +28,20 @@ object Verify {
     // synthesis is whole-second; avoids parquet timestamp-annotation skew).
     val synthDir = java.nio.file.Paths.get(outDir).toAbsolutePath.toString + "/__synth"
     import org.apache.spark.sql.functions.{col, unix_timestamp}
-    val needSynth = SparkEntry.oracleSql.exists { case (k, v) =>
-      selected(k) && v.contains("__SYNTH_DIR__") }
-    if (needSynth) {
+    val selOracles = SparkEntry.oracleSql.filter { case (k, _) => selected(k) }
+    if (selOracles.exists(_._2.contains("__SYNTH_DIR__/flagship"))) {
       pipeline.FeaturePipeline.preparedSynthetic(spark, 20000, 64)
         .withColumn("ts_sec", unix_timestamp(col("ts"))).drop("ts")
         .coalesce(1).write.mode("overwrite").parquet(s"$synthDir/flagship_prepared")
       sources.SynthImages.labels(spark, 20000, 64)
         .withColumn("label_ts_sec", unix_timestamp(col("label_ts"))).drop("label_ts")
         .coalesce(1).write.mode("overwrite").parquet(s"$synthDir/flagship_labels")
+    }
+    // the raw image table (bytes payloads included) for the image-fidelity
+    // oracle: DuckDB re-parses the SAME parquet blobs via hex slicing
+    if (selOracles.exists(_._2.contains("__SYNTH_DIR__/images"))) {
+      sources.SynthImages.images(spark, 20000, 64).drop("ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$synthDir/images")
     }
 
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -147,9 +147,46 @@ object EngineQueries {
         unix_timestamp(col("ts")).as("ts_sec"),
         col("event_type"), col("props"))
       Lineage.compute(ev, "user_id", "ts_sec", 16, Lineage.md5Hasher56)
+    }),
+
+    // Multimodal payload fidelity with a DRIVER-VISIBLE oracle: the synth
+    // image table (bytes included) is materialized to parquet and DuckDB
+    // re-parses the SAME stored blobs via hex slicing — container magic,
+    // big-endian header dims, payload length, and the per-row mean pixel
+    // value (the Catalyst MeanBrightness expression vs a DuckDB pixel-list
+    // average) are all hash-compared per image. This is the q53/q54 family's
+    // cross-engine gate: byte-level payload agreement, not just row counts.
+    "q74_image_fidelity" -> ((s, dir) => {
+      SynthImages.images(s, 20000, 64).select(
+        col("image_id"), col("fmt"), col("w"), col("h"),
+        length(col("bytes")).cast("bigint").as("byte_len"),
+        substring(hex(col("bytes")), 1, 8).as("magic_hex"),
+        conv(substring(hex(col("bytes")), 9, 4), 16, 10).cast("int").as("w_hdr"),
+        conv(substring(hex(col("bytes")), 13, 4), 16, 10).cast("int").as("h_hdr"),
+        size(ImageFunctions.decode_image(col("bytes"))).as("n_pixels"),
+        r6(ImageFunctions.mean_brightness(col("bytes"))).as("mean_px"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "q74_image_fidelity" ->
+      """WITH im AS (
+        | SELECT image_id, fmt, w, h, bytes, hex(bytes) AS hx
+        | FROM read_parquet('__SYNTH_DIR__/images/*.parquet')),
+        |px AS (
+        | SELECT image_id,
+        |  list_sum([('0x' || substr(hx, 17 + 2*i, 2))::INT
+        |    for i in range(0, (len(hx) - 16) // 2)]) AS px_sum,
+        |  ((len(hx) - 16) // 2)::INT AS n_px
+        | FROM im)
+        |SELECT im.image_id, im.fmt, im.w, im.h,
+        | octet_length(im.bytes)::BIGINT AS byte_len,
+        | substr(im.hx, 1, 8) AS magic_hex,
+        | ('0x' || substr(im.hx, 9, 4))::INT AS w_hdr,
+        | ('0x' || substr(im.hx, 13, 4))::INT AS h_hdr,
+        | px.n_px AS n_pixels,
+        | round(px.px_sum::DOUBLE / px.n_px + 3.7e-10, 6) AS mean_px
+        |FROM im JOIN px USING (image_id)""".stripMargin,
+
     "q73_lineage_rows" ->
       s"""WITH ev AS (
          | SELECT event_id, user_id,
