@@ -141,6 +141,32 @@ object TextQueries {
         .where(col("jaccard") >= 0.6)
         .select(col("d1"), col("d2"), r6(col("jaccard")).as("jaccard"))
         .distinct()
+    }),
+
+    // SimHash semantics with a DRIVER-VISIBLE oracle: q52's production path
+    // hashes tokens with xxhash64 (no DuckDB counterpart), so this variant
+    // runs the IDENTICAL vote/threshold/bit-compose algorithm over the
+    // cross-engine 56-bit md5-prefix token hash — per-bit votes (+1/-1),
+    // bit set iff vote > 0 (Text.simHash64's strict-majority convention),
+    // composed to one 56-bit signature per doc. Explode + ONE hash
+    // aggregate with 56 conditional sums; partial agg applies, so at scale
+    // the token explosion combines map-side.
+    "q75_simhash_verified" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(Text.normText(col("text")), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .withColumn("th",
+          conv(substring(md5(col("tok")), 1, 14), 16, 10).cast("long"))
+      val bitSums = (0 until 56).map(i =>
+        sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"b$i"))
+      val votes = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_tokens"), bitSums: _*)
+      val sim = (0 until 56).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      votes.select(col("doc_id"), col("n_tokens"), sim.as("simhash56"))
     }))
 
   // exact whole-token count, mirroring Text.tokenOccurrences (split+filter)
@@ -277,6 +303,27 @@ object TextQueries {
            |  len(a.sh) AS la, len(b.sh) AS lb
            | FROM d a JOIN d b ON a.doc_id < b.doc_id)
            |SELECT d1, d2, round(inter / (la + lb - inter) + 3.7e-10, 6) AS jaccard
-           |FROM p WHERE inter / (la + lb - inter) >= 0.6""".stripMargin)
+           |FROM p WHERE inter / (la + lb - inter) >= 0.6""".stripMargin,
+
+      "q75_simhash_verified" -> {
+        val bitSums = (0 until 56).map(i =>
+          s"sum(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(",\n  ")
+        val compose = (0 until 56).map(i =>
+          s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+        s"""WITH toks AS (
+           | SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+           | FROM documents),
+           |h AS (
+           | SELECT doc_id,
+           |  ('0x' || substr(md5(tok), 1, 14))::BIGINT AS th
+           | FROM toks WHERE len(tok) > 0),
+           |v AS (
+           | SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           |  $bitSums
+           | FROM h GROUP BY 1)
+           |SELECT doc_id, n_tokens, ($compose)::BIGINT AS simhash56
+           |FROM v""".stripMargin
+      })
   }
 }
