@@ -238,6 +238,16 @@ object PostProcessor {
     }
   }
 
+  /** delete_files_without_harmony analog (`processor.py:142-157`): drop
+    * rows whose availability flag is 0 (upstream analysis missing/failed).
+    * The reference masks `== 0` and keeps the complement, so NULL flags are
+    * KEPT — mirrored here. No-op when the column is absent, like the
+    * reference's `if HARMONY_AVAILABLE in self.data` guard. */
+  def dropUnavailable(df: DataFrame, flagCol: String): DataFrame =
+    if (df.columns.contains(flagCol))
+      df.where(col(flagCol).isNull || col(flagCol) =!= 0)
+    else df
+
   /** O2: deterministic row + column order for stable file output. */
   def ordered(df: DataFrame, sortCols: Seq[String]): DataFrame = {
     val dataCols = df.columns.toSeq.filterNot(sortCols.contains).sorted

@@ -57,6 +57,33 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"$exchanges exchanges — entity partitioning lost:\n$plan")
   }
 
+  test("q71 motion composite: one entity exchange feeds all window chains") {
+    val plan = planOf(SparkEntry.queries("q71_motion")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"motion composite exploded into a product:\n$plan")
+    // the resampled window scan, the overall aggregate, the segment
+    // aggregate, and the final user_id join must all reuse the ONE
+    // hashpartitioning(user_id) exchange below the window sort
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"$exchanges exchanges — entity partitioning lost:\n$plan")
+  }
+
+  test("q72 interval-type battery: single hash aggregate, no window, no join") {
+    val plan = planOf(SparkEntry.queries("q72_interval_types")(spark, sfDir))
+    assert(plan.contains("HashAggregate"), s"not hash-aggregated:\n$plan")
+    assert(!plan.contains("Window"), s"window crept into the battery:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"sort agg downgrade:\n$plan")
+    assert(!plan.contains("Join"), s"join crept into the battery:\n$plan")
+  }
+
+  test("q75 simhash: explode + ONE partial-aggregating hash agg, no UDF") {
+    val plan = planOf(SparkEntry.queries("q75_simhash_verified")(spark, sfDir))
+    assert(plan.contains("HashAggregate"), s"not hash-aggregated:\n$plan")
+    assert(!plan.contains("UDF"), s"Scala UDF in the simhash path:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("SortAggregate"),
+      s"vote aggregation lost its hash-agg shape:\n$plan")
+  }
+
   test("q60 emphasized-degrees composite: no cartesian, bounded exchanges") {
     val plan = planOf(SparkEntry.queries("q60_emphasized_degrees")(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

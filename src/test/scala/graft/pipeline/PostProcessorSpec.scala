@@ -38,6 +38,14 @@ class PostProcessorSpec extends SparkSpec {
     assert(dropHighNullRows(df, 0.7, Seq("a_score", "b_score", "tag")).count() === 3L)
   }
 
+  test("dropUnavailable: drops flag==0, keeps null flags, no-op if column absent") {
+    val d = Seq((1L, Some(1)), (2L, Some(0)), (3L, None: Option[Int]))
+      .toDF("id", "avail")
+    assert(dropUnavailable(d, "avail").select("id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 3L))
+    assert(dropUnavailable(d, "nope").count() === 3L)
+  }
+
   test("fillNulls only touches matching numeric columns") {
     val out = fillNulls(df, Seq("_score"), 0.0)
     val r2 = out.where(col("id") === 2).collect()(0)
