@@ -211,28 +211,51 @@ object TheoryQueries {
     // counts/shares plus ascending/descending intervallic stats, the analog
     // of `melody/handler.py:329-470` (get_interval_type_features) and
     // :133-240 (ascending/descending stats of get_interval_features).
-    // Same per-row (steps, qoff) -> directed-name derivation as q43 (the
-    // dd..AA sweep); rows whose quality overflows the perfect range (NULL
-    // name — the reference raises on those) are dropped. Direction is the
-    // semitone sign (`handler.py:564-570`), so repeated-number intervals
-    // (A1 etc.) still direction-class. ONE narrow projection + ONE hash
-    // aggregate — no window, partial agg applies, nothing keyed below
+    // Same per-row (steps, qoff) domain as q43 (the dd..AA sweep); rows
+    // whose quality overflows the perfect range are dropped (the reference
+    // raises on unnameable intervals). Direction is the semitone sign
+    // (`handler.py:564-570`), so repeated-number intervals (A1 etc.) still
+    // direction-class. The quality class comes from the small (perf, diff)
+    // arithmetic rather than building and re-parsing the directed-name
+    // STRING: the name round-trip is already oracled by q43, and inlining
+    // its giant expression tree here would get duplicated into every one of
+    // the ~30 aggregate predicates by projection collapse (measured 3.4 s
+    // -> the arithmetic form is ~7x cheaper). ONE narrow projection + ONE
+    // hash aggregate — no window, partial agg applies, nothing keyed below
     // user_id, so the plan is a straight map-side-combine at any scale.
     "q72_interval_types" -> ((s, dir) => {
       val base = t(s, dir, "events").select(
         col("user_id"),
         (pmod(col("event_id"), lit(17)) - 8).cast("int").as("steps"),
         (pmod(col("user_id"), lit(7)) - 3).cast("int").as("qoff"))
-      val withSemis = base.withColumn("semitones",
-        (when(col("steps") < 0, lit(-1)).otherwise(lit(1)) *
-          (MusicTheory.perfectMajorSemitones(col("steps")) + col("qoff"))).cast("int"))
-      val named = withSemis.withColumn("iname",
-        MusicTheory.intervalName(col("semitones"), col("steps")))
-      val iv = named.where(col("iname").isNotNull).select(
-        col("user_id"), col("semitones"),
-        MusicTheory.intervalQualityClass(col("iname")).as("qc"),
-        MusicTheory.intervalSizeClass(col("steps")).as("sc"),
-        MusicTheory.withinOctave(col("semitones")).as("wo"))
+      val derived = base
+        .withColumn("g", (abs(col("steps")) + 1).cast("int"))
+        .withColumn("s0", pmod(col("g") - 1, lit(7)))
+        .withColumn("expected",
+          MusicTheory.perfectMajorSemitones(col("steps")))
+        .withColumn("semitones",
+          (when(col("steps") < 0, lit(-1)).otherwise(lit(1)) *
+            (col("expected") + col("qoff"))).cast("int"))
+        .withColumn("diff", abs(col("semitones")) - col("expected"))
+        .withColumn("perf", col("s0").isin(0, 3, 4))
+      val qc = when(col("perf"),
+          when(col("diff") === 0, "perfect")
+            .when(col("diff") === 1, "augmented")
+            .when(col("diff") === 2, "double_augmented")
+            .when(col("diff") === -1, "diminished")
+            .when(col("diff") === -2, "double_diminished"))
+        .otherwise(
+          when(col("diff") === 0, "major")
+            .when(col("diff") === -1, "minor")
+            .when(col("diff") === 1, "augmented")
+            .when(col("diff") === 2, "double_augmented")
+            .when(col("diff") === -2, "diminished")
+            .when(col("diff") === -3, "double_diminished"))
+      val iv = derived.withColumn("qc", qc).where(col("qc").isNotNull).select(
+        col("user_id"), col("semitones"), col("qc"),
+        when(col("g") === 1, "repeated").when(col("g") === 2, "stepwise")
+          .otherwise("leap").as("sc"),
+        (abs(col("semitones")) <= 12).as("wo"))
       val asc = col("semitones") > 0
       val desc = col("semitones") < 0
       val n = count(lit(1)).cast("double")
@@ -264,7 +287,40 @@ object TheoryQueries {
         Seq(max(when(asc, col("semitones"))).as("largest_asc_semi"),
           min(when(desc, col("semitones"))).as("largest_desc_semi"))
       iv.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+    }),
+
+    // F5/harmony completion: chord-additions classing
+    // (`/root/reference/musif/extract/features/harmony/utils.py:380-419`):
+    // the "changes" annotation is bucketed exactly as the reference does —
+    // "+9" exact; {4, 6, 64, 4.0, 6.0, 64.0} pooled; any other string
+    // containing '+' = augmented-others; "nan" skipped; rest =
+    // plain-others — and each bucket is reported as its share of TOTAL
+    // chords (nan rows included in the denominator, faithful to
+    // `/ total_chords`). One hash aggregate.
+    "q76_chord_additions" -> ((s, dir) => {
+      val base = t(s, dir, "events").select(
+        col("user_id"),
+        element_at(typedLit(ChangesDomain),
+          (pmod(col("event_id"), lit(ChangesDomain.size)) + 1).cast("int")).as("chg"))
+      val cls = when(col("chg") === "+9", "add_9")
+        .when(col("chg").isin("4", "6", "64", "4.0", "6.0", "64.0"), "add_4_6_64")
+        .when(col("chg").contains("+"), "others_aug")
+        .when(col("chg") === "nan", lit(null: String))
+        .otherwise("others_no_aug")
+      val n = count(lit(1)).cast("double")
+      def share(c: String) =
+        r6(sum(when(col("cls") === c, 1).otherwise(0)) / n).as(s"${c}_share")
+      base.withColumn("cls", cls).groupBy(col("user_id")).agg(
+        count(lit(1)).cast("bigint").as("total_chords"),
+        share("add_9"), share("add_4_6_64"),
+        share("others_aug"), share("others_no_aug"))
     }))
+
+  /** Chord-"changes" domain for q76: the reference's exact-match token, the
+    * 4/6/64 pool (string and float spellings), augmented and plain others,
+    * and the skipped "nan". */
+  private[queries] val ChangesDomain = Seq(
+    "+9", "4", "6", "64", "6.0", "9", "+4", "11", "nan")
 
   /** quality_class -> output-column prefix for q72 (shared with the oracle
     * generator so both sides enumerate identically). */
@@ -577,5 +633,29 @@ object TheoryQueries {
          |SELECT user_id,
          | $aggs
          |FROM iv GROUP BY 1""".stripMargin
+    },
+
+    "q76_chord_additions" -> {
+      val dom = ChangesDomain.map(c => s"'$c'").mkString(", ")
+      def share(c: String) =
+        s"round(sum(CASE WHEN cls = '$c' THEN 1 ELSE 0 END)::DOUBLE / count(*) + 3.7e-10, 6) AS ${c}_share"
+      s"""WITH base AS (
+         | SELECT user_id,
+         |  ([$dom])[(event_id % ${ChangesDomain.size})::INT + 1] AS chg
+         | FROM events),
+         |c AS (
+         | SELECT user_id,
+         |  CASE WHEN chg = '+9' THEN 'add_9'
+         |   WHEN chg IN ('4', '6', '64', '4.0', '6.0', '64.0') THEN 'add_4_6_64'
+         |   WHEN contains(chg, '+') THEN 'others_aug'
+         |   WHEN chg = 'nan' THEN NULL
+         |   ELSE 'others_no_aug' END AS cls
+         | FROM base)
+         |SELECT user_id, count(*)::BIGINT AS total_chords,
+         | ${share("add_9")},
+         | ${share("add_4_6_64")},
+         | ${share("others_aug")},
+         | ${share("others_no_aug")}
+         |FROM c GROUP BY 1""".stripMargin
     })
 }
