@@ -314,6 +314,26 @@ object TheoryQueries {
         count(lit(1)).cast("bigint").as("total_chords"),
         share("add_9"), share("add_4_6_64"),
         share("others_aug"), share("others_no_aug"))
+    }),
+
+    // Harmony numerals battery (`harmony/utils.py:341-362`): per-numeral
+    // Count + Per over the piece, shares rounded to 3 decimals exactly as
+    // the reference's `round(count/total, 3)`. Same Numerals domain as q42;
+    // one hash aggregate, partial agg applies.
+    "q77_numerals_battery" -> ((s, dir) => {
+      val base = t(s, dir, "events").select(
+        col("user_id"),
+        element_at(typedLit(Numerals),
+          (pmod(col("event_id"), lit(Numerals.size)) + 1).cast("int")).as("numeral"))
+      val n = count(lit(1)).cast("double")
+      val aggs: Seq[Column] =
+        Seq(count(lit(1)).cast("bigint").as("total_numerals")) ++
+        Numerals.flatMap { nm =>
+          val c = sum(when(col("numeral") === nm, 1).otherwise(0))
+          Seq(c.cast("bigint").as(s"num_${nm}_count"),
+            round(c / n + lit(Q.TieEps), 3).as(s"num_${nm}_per"))
+        }
+      base.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
     }))
 
   /** Chord-"changes" domain for q76: the reference's exact-match token, the
@@ -657,5 +677,20 @@ object TheoryQueries {
          | ${share("others_aug")},
          | ${share("others_no_aug")}
          |FROM c GROUP BY 1""".stripMargin
+    },
+
+    "q77_numerals_battery" -> {
+      val dom = Numerals.map(c => s"'$c'").mkString(", ")
+      val aggs = Numerals.flatMap { nm =>
+        Seq(s"sum(CASE WHEN numeral = '$nm' THEN 1 ELSE 0 END)::BIGINT AS num_${nm}_count",
+          s"round(sum(CASE WHEN numeral = '$nm' THEN 1 ELSE 0 END)::DOUBLE / count(*) + ${Q.TieEps}, 3) AS num_${nm}_per")
+      }.mkString(",\n ")
+      s"""WITH base AS (
+         | SELECT user_id,
+         |  ([$dom])[(event_id % ${Numerals.size})::INT + 1] AS numeral
+         | FROM events)
+         |SELECT user_id, count(*)::BIGINT AS total_numerals,
+         | $aggs
+         |FROM base GROUP BY 1""".stripMargin
     })
 }
