@@ -334,6 +334,28 @@ object TheoryQueries {
             round(c / n + lit(Q.TieEps), 3).as(s"num_${nm}_per"))
         }
       base.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+    }),
+
+    // Melody interval-stats battery (`melody/handler.py:577-608`):
+    // bias-corrected (scipy bias=False) skewness/kurtosis of the signed and
+    // absolute interval streams, with the reference's guard — None unless
+    // at least one interval is nonzero. Same lag-derived interval stream as
+    // q44/q70; one window pass + one hash aggregate, the guard evaluated
+    // post-aggregation from max(|st|).
+    "q78_interval_moments" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val iv = t(s, dir, "events")
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .withColumn("st", round(col("value") - col("prev"), 0).cast("int"))
+      val anyNz = max(abs(col("st"))) > 0
+      iv.groupBy(col("user_id")).agg(
+        count(lit(1)).cast("bigint").as("n_intervals"),
+        when(anyNz, r6(graft.ops.Stats.skewnessCorrected(col("st")))).as("skew_st"),
+        when(anyNz, r6(graft.ops.Stats.kurtosisCorrected(col("st")))).as("kurt_st"),
+        when(anyNz, r6(graft.ops.Stats.skewnessCorrected(abs(col("st"))))).as("skew_abs"),
+        when(anyNz, r6(graft.ops.Stats.kurtosisCorrected(abs(col("st"))))).as("kurt_abs"))
     }))
 
   /** Chord-"changes" domain for q76: the reference's exact-match token, the
@@ -692,5 +714,24 @@ object TheoryQueries {
          |SELECT user_id, count(*)::BIGINT AS total_numerals,
          | $aggs
          |FROM base GROUP BY 1""".stripMargin
-    })
+    },
+
+    "q78_interval_moments" ->
+      """WITH iv0 AS (
+        | SELECT user_id, value, lag(value) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |iv AS (
+        | SELECT user_id, round(value - prev)::INT AS st
+        | FROM iv0 WHERE prev IS NOT NULL)
+        |SELECT user_id, count(*)::BIGINT AS n_intervals,
+        | CASE WHEN max(abs(st)) > 0
+        |   THEN round(skewness(st) + 3.7e-10, 6) END AS skew_st,
+        | CASE WHEN max(abs(st)) > 0
+        |   THEN round(kurtosis(st) + 3.7e-10, 6) END AS kurt_st,
+        | CASE WHEN max(abs(st)) > 0
+        |   THEN round(skewness(abs(st)) + 3.7e-10, 6) END AS skew_abs,
+        | CASE WHEN max(abs(st)) > 0
+        |   THEN round(kurtosis(abs(st)) + 3.7e-10, 6) END AS kurt_abs
+        |FROM iv GROUP BY 1""".stripMargin)
 }
