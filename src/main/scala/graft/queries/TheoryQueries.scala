@@ -356,6 +356,34 @@ object TheoryQueries {
         when(anyNz, r6(graft.ops.Stats.kurtosisCorrected(col("st")))).as("kurt_st"),
         when(anyNz, r6(graft.ops.Stats.skewnessCorrected(abs(col("st"))))).as("skew_abs"),
         when(anyNz, r6(graft.ops.Stats.kurtosisCorrected(abs(col("st"))))).as("kurt_abs"))
+    }),
+
+    // Trimmed intervallic family (`melody/handler.py:172-196`): scipy
+    // positional trim (floor(0.1 n) per tail) of the SIGNED and ABSOLUTE
+    // interval streams, with TrimDiff/TrimRatio — the melody-context
+    // composition of the q05 machinery (Stats.trimmedStats two-phase exact
+    // ranking) over the lag-derived stream. Ties rank by (ts, event_id);
+    // equal values contribute identically so the rank tie-break never
+    // changes the trimmed sums.
+    "q79_interval_trim" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val iv = t(s, dir, "events")
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .withColumn("st", round(col("value") - col("prev"), 0).cast("int"))
+        .withColumn("ast", abs(col("st")))
+        .select(col("user_id"), col("ts"), col("event_id"), col("st"), col("ast"))
+      def trim(vc: String, sfx: String) =
+        graft.ops.Stats.trimmedStats(iv, Seq("user_id"), vc, 0.1,
+            Seq("ts", "event_id"))
+          .select(col("user_id"),
+            r6(col("trimmed_mean")).as(s"trimmed_mean_$sfx"),
+            r6(col("trimmed_std")).as(s"trimmed_std_$sfx"),
+            col("trimmed_n").as(s"trimmed_n_$sfx"),
+            r6(col("trim_diff")).as(s"trim_diff_$sfx"),
+            r6(col("trim_ratio")).as(s"trim_ratio_$sfx"))
+      trim("st", "st").join(trim("ast", "abs"), Seq("user_id"))
     }))
 
   /** Chord-"changes" domain for q76: the reference's exact-match token, the
@@ -733,5 +761,45 @@ object TheoryQueries {
         |   THEN round(skewness(abs(st)) + 3.7e-10, 6) END AS skew_abs,
         | CASE WHEN max(abs(st)) > 0
         |   THEN round(kurtosis(abs(st)) + 3.7e-10, 6) END AS kurt_abs
-        |FROM iv GROUP BY 1""".stripMargin)
+        |FROM iv GROUP BY 1""".stripMargin,
+
+    "q79_interval_trim" -> {
+      def trimmed(vc: String, sfx: String) =
+        s"""t_$sfx AS (
+           | SELECT user_id,
+           |  round(avg($vc) + 3.7e-10, 6) AS trimmed_mean_$sfx,
+           |  round(stddev($vc) + 3.7e-10, 6) AS trimmed_std_$sfx,
+           |  count(*)::BIGINT AS trimmed_n_$sfx,
+           |  round(any_value(mean_all_$sfx) - avg($vc) + 3.7e-10, 6) AS trim_diff_$sfx,
+           |  round(CASE WHEN any_value(mean_all_$sfx) <> 0
+           |    THEN (any_value(mean_all_$sfx) - avg($vc)) / any_value(mean_all_$sfx)
+           |    ELSE 0 END + 3.7e-10, 6) AS trim_ratio_$sfx
+           | FROM ranked
+           | WHERE rn_$sfx > floor(cnt * 0.1) AND rn_$sfx <= cnt - floor(cnt * 0.1)
+           | GROUP BY user_id)"""
+      s"""WITH iv0 AS (
+         | SELECT user_id, ts, event_id, value, lag(value) OVER
+         |   (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         | FROM events),
+         |iv AS (
+         | SELECT user_id, ts, event_id,
+         |  round(value - prev)::INT AS st, abs(round(value - prev)::INT) AS ast
+         | FROM iv0 WHERE prev IS NOT NULL),
+         |ranked AS (
+         | SELECT user_id, st, ast,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY st, ts, event_id) AS rn_st,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ast, ts, event_id) AS rn_abs,
+         |  count(*) OVER (PARTITION BY user_id) AS cnt,
+         |  avg(st) OVER (PARTITION BY user_id) AS mean_all_st,
+         |  avg(ast) OVER (PARTITION BY user_id) AS mean_all_abs
+         | FROM iv),
+         |${trimmed("st", "st").stripMargin},
+         |${trimmed("ast", "abs").stripMargin}
+         |SELECT t_st.user_id,
+         | t_st.trimmed_mean_st, t_st.trimmed_std_st, t_st.trimmed_n_st,
+         | t_st.trim_diff_st, t_st.trim_ratio_st,
+         | t_abs.trimmed_mean_abs, t_abs.trimmed_std_abs, t_abs.trimmed_n_abs,
+         | t_abs.trim_diff_abs, t_abs.trim_ratio_abs
+         |FROM t_st JOIN t_abs USING (user_id)""".stripMargin
+    })
 }
