@@ -165,6 +165,31 @@ object EngineQueries {
         conv(substring(hex(col("bytes")), 13, 4), 16, 10).cast("int").as("h_hdr"),
         size(ImageFunctions.decode_image(col("bytes"))).as("n_pixels"),
         r6(ImageFunctions.mean_brightness(col("bytes"))).as("mean_px"))
+    }),
+
+    // Error-channel (S7) classification with a DRIVER-VISIBLE oracle:
+    // deterministic corruption is injected over the materialized synth
+    // image table by BOTH engines from the same rules (null bytes,
+    // truncated payload, unknown fmt, empty caption — when-order mirrored
+    // exactly so overlapping ids class identically), then
+    // ErrorChannel.validate's failed-check list is compared per row. A
+    // NULL predicate flags (when(pred, null).otherwise(name) takes the
+    // otherwise branch on NULL — same as SQL CASE), so null bytes flag
+    // both bytes_present and bytes_length, like the real channel.
+    "q80_error_channel" -> ((s, dir) => {
+      val img = SynthImages.images(s, 20000, 64).drop("ts")
+      val n = substring(col("image_id"), 4, 12).cast("long")
+      val corrupted = img
+        .withColumn("bytes",
+          when(pmod(n, lit(47L)) === 0, lit(null).cast("binary"))
+            .when(pmod(n, lit(37L)) === 0, expr("substring(bytes, 1, 5)"))
+            .otherwise(col("bytes")))
+        .withColumn("fmt", when(pmod(n, lit(41L)) === 0, "bmp").otherwise(col("fmt")))
+        .withColumn("caption", when(pmod(n, lit(43L)) === 0, "").otherwise(col("caption")))
+      val checks = graft.sources.ErrorChannel.imageChecks
+        .filterNot(_._1 == "ts_present") // the materialized dump drops ts
+      val (_, bad) = graft.sources.ErrorChannel.split(corrupted, checks)
+      bad.select(col("image_id"), col("error_reasons"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -186,6 +211,32 @@ object EngineQueries {
         | px.n_px AS n_pixels,
         | round(px.px_sum::DOUBLE / px.n_px + 3.7e-10, 6) AS mean_px
         |FROM im JOIN px USING (image_id)""".stripMargin,
+
+    "q80_error_channel" ->
+      """WITH im AS (
+        | SELECT image_id, w, h, fmt, caption,
+        |  substr(image_id, 4)::BIGINT AS n, octet_length(bytes) AS blen0
+        | FROM read_parquet('__SYNTH_DIR__/images/*.parquet')),
+        |c AS (
+        | SELECT image_id, w, h,
+        |  CASE WHEN n % 47 = 0 THEN NULL
+        |       WHEN n % 37 = 0 THEN 5
+        |       ELSE blen0 END AS blen,
+        |  CASE WHEN n % 41 = 0 THEN 'bmp' ELSE fmt END AS fmt,
+        |  CASE WHEN n % 43 = 0 THEN '' ELSE caption END AS caption
+        | FROM im),
+        |v AS (
+        | SELECT image_id, array_to_string(list_filter([
+        |   CASE WHEN blen IS NOT NULL THEN NULL ELSE 'bytes_present' END,
+        |   CASE WHEN blen = w * h + 8 THEN NULL ELSE 'bytes_length' END,
+        |   CASE WHEN w > 0 AND h > 0 THEN NULL ELSE 'dims_positive' END,
+        |   CASE WHEN fmt IN ('png', 'jpg') THEN NULL ELSE 'fmt_known' END,
+        |   CASE WHEN caption IS NOT NULL AND length(caption) > 0
+        |     THEN NULL ELSE 'caption_present' END
+        |  ], x -> x IS NOT NULL), ';') AS error_reasons
+        | FROM c)
+        |SELECT image_id, error_reasons FROM v
+        |WHERE error_reasons <> ''""".stripMargin,
 
     "q73_lineage_rows" ->
       s"""WITH ev AS (
