@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import graft.functions.{Dims, MusicTheory}
+import graft.functions.{Dims, LexMax, MusicTheory}
 import Q._
 
 /** F3-F5 scalar families (key/scale/meter/harmonic-function arithmetic)
@@ -384,6 +384,29 @@ object TheoryQueries {
             r6(col("trim_diff")).as(s"trim_diff_$sfx"),
             r6(col("trim_ratio")).as(s"trim_ratio_$sfx"))
       trim("st", "st").join(trim("ast", "abs"), Seq("user_id"))
+    }),
+
+    // A14 breadth: music21 native DURATION battery analog — unique-duration
+    // count, most-common duration and its prevalence (the D-prefixed
+    // music21 extractors run by `features/music21/handler.py:15-57`,
+    // e.g. UniqueNoteQuarterLengths / MostCommonNoteQuarterLength /
+    // MostCommonNoteQuarterLengthPrevalence). Deterministic tie-break:
+    // highest count then SMALLEST duration, as ONE hash aggregate via the
+    // native LexMax DeclarativeAggregate (no per-group sort — partial agg
+    // applies, survives a low-cardinality group key at scale).
+    "q82_duration_battery" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .withColumn("dur", pmod(col("event_id"), lit(8)) / 2.0)
+        .groupBy(col("user_id"), col("dur"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).cast("long").as("n_unique_durations"),
+          sum(col("cnt")).cast("long").as("n_notes"),
+          LexMax.lexMax(col("cnt"), -col("dur")).as("__m"))
+        .select(col("user_id"), col("n_unique_durations"), col("n_notes"),
+          (-col("__m.c1")).as("most_common_duration"),
+          r6(col("__m.c0") / col("n_notes")).as("mc_prevalence"))
     }))
 
   /** Chord-"changes" domain for q76: the reference's exact-match token, the
@@ -422,6 +445,24 @@ object TheoryQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q82_duration_battery" ->
+      """WITH d AS (
+        | SELECT user_id, (event_id % 8) / 2.0 AS dur FROM events),
+        |c AS (
+        | SELECT user_id, dur, count(*)::BIGINT AS cnt FROM d GROUP BY 1, 2),
+        |r AS (
+        | SELECT *,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, dur ASC) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n_uniq,
+        |  sum(cnt) OVER (PARTITION BY user_id) AS n_tot
+        | FROM c)
+        |SELECT user_id,
+        | n_uniq::BIGINT AS n_unique_durations,
+        | n_tot::BIGINT AS n_notes,
+        | dur AS most_common_duration,
+        | round(cnt / n_tot::DOUBLE + 3.7e-10, 6) AS mc_prevalence
+        |FROM r WHERE rn = 1""".stripMargin,
+
     "q70_melodic_motion" ->
       """WITH iv0 AS (
         | SELECT user_id, ts, event_id, value,

@@ -172,6 +172,53 @@ object WindowQueries {
         .agg(
           r6(sum(col("n_chords")).cast("double") / count(lit(1))).as("harmonic_rhythm"),
           r6(sum(col("n_chords")).cast("double") / sum(col("beats"))).as("harmonic_rhythm_beats"))
+    }),
+
+    // A-family completion: rhythm intensity + average duration
+    // (`extract/features/rhythm/handler.py:21-101`). The reference's
+    // RhythmInt appends one period value at every time-signature change,
+    // computed from the CUMULATIVE duration histogram and cumulative
+    // sounding beats of strictly-earlier measures — duration-weighted
+    // (`float(i)*j`) at mid-score boundaries but count/duration (`j/i`,
+    // zero-guarded) at the final flush: the reference's two-formula quirk is
+    // reproduced verbatim. AverageDuration is the mean over NONZERO
+    // durations (`handler.py:85-95`). Analog domain: minutes = measures,
+    // 5-minute blocks = time-signature periods (tsig changes at each block
+    // start, so the first block's boundary contributes the guard's 0),
+    // duration = pmod(event_id, 8)/2 quarter-lengths (includes exact zeros
+    // to exercise both guards). One scan: per-minute partial sums roll up
+    // through blocks; the cumulative window runs over users x blocks only.
+    "q81_rhythm_intensity" -> ((s, dir) => {
+      val perMin = t(s, dir, "events")
+        .withColumn("dur", pmod(col("event_id"), lit(8)) / 2.0)
+        .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("measure"))
+        .agg(
+          sum(col("dur")).as("dsum"),
+          sum(when(col("dur") =!= 0.0, lit(1.0) / col("dur")).otherwise(0.0)).as("invsum"),
+          sum(when(col("dur") =!= 0.0, col("dur"))).as("nzsum"),
+          sum(when(col("dur") =!= 0.0, 1L).otherwise(0L)).as("nzcnt"))
+        .withColumn("blk", (unix_timestamp(col("measure")) / 300).cast("long"))
+        .withColumn("tsig", element_at(typedLit(HrTimeSigs),
+          (pmod(col("blk"), lit(HrTimeSigs.size)) + 1).cast("int")))
+        .withColumn("num", split(col("tsig"), "/").getItem(0).cast("int"))
+        .withColumn("beats", MusicTheory.beatsPerMeasure(col("num"), lit(4)).cast("int"))
+      val perBlk = perMin.groupBy(col("user_id"), col("blk"))
+        .agg(sum(col("dsum")).as("dsum"), sum(col("invsum")).as("invsum"),
+          sum(col("beats")).cast("long").as("beats"),
+          sum(col("nzsum")).as("nzsum"), sum(col("nzcnt")).as("nzcnt"))
+      val wCum = Window.partitionBy(col("user_id")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perBlk
+        .withColumn("cum_dsum", sum(col("dsum")).over(wCum))
+        .withColumn("cum_beats", sum(col("beats")).over(wCum))
+        .withColumn("pval",
+          when(col("cum_beats") > 0, col("cum_dsum") / col("cum_beats")).otherwise(0.0))
+        .groupBy(col("user_id"))
+        .agg(
+          r6(when(sum(col("nzcnt")) > 0, sum(col("nzsum")) / sum(col("nzcnt"))))
+            .as("avg_duration"),
+          r6(sum(col("pval")) + sum(col("invsum")) / sum(col("beats")))
+            .as("rhythm_int"))
     }))
 
   private val sqlW = "PARTITION BY user_id ORDER BY ts, event_id"
@@ -335,5 +382,41 @@ object WindowQueries {
          |SELECT user_id,
          | round(sum(n_chords)::DOUBLE / count(*) + 3.7e-10, 6) AS harmonic_rhythm,
          | round(sum(n_chords)::DOUBLE / sum(beats) + 3.7e-10, 6) AS harmonic_rhythm_beats
-         |FROM b GROUP BY 1""".stripMargin)
+         |FROM b GROUP BY 1""".stripMargin,
+
+    "q81_rhythm_intensity" ->
+      s"""WITH d AS (
+         | SELECT user_id, date_trunc('minute', ts) AS measure,
+         |  (event_id % 8) / 2.0 AS dur
+         | FROM events),
+         |m AS (
+         | SELECT user_id, measure, sum(dur) AS dsum,
+         |  sum(CASE WHEN dur <> 0 THEN 1.0 / dur ELSE 0 END) AS invsum,
+         |  sum(CASE WHEN dur <> 0 THEN dur END) AS nzsum,
+         |  sum(CASE WHEN dur <> 0 THEN 1 ELSE 0 END)::BIGINT AS nzcnt
+         | FROM d GROUP BY 1, 2),
+         |t AS (
+         | SELECT *, (${sqlEpoch("measure")} // 300) AS blk,
+         |  (['4/4','6/8','3/4','9/8','12/8'])[((${sqlEpoch("measure")} // 300) % 5)::INT + 1] AS tsig
+         | FROM m),
+         |b AS (
+         | SELECT *, CASE WHEN num > 3 AND num % 3 = 0 THEN num // 3 ELSE num END AS beats
+         | FROM (SELECT *, string_split(tsig, '/')[1]::INT AS num FROM t)),
+         |g AS (
+         | SELECT user_id, blk, sum(dsum) AS dsum, sum(invsum) AS invsum,
+         |  sum(beats)::BIGINT AS beats, sum(nzsum) AS nzsum, sum(nzcnt)::BIGINT AS nzcnt
+         | FROM b GROUP BY 1, 2),
+         |c AS (
+         | SELECT *,
+         |  sum(dsum) OVER (PARTITION BY user_id ORDER BY blk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_dsum,
+         |  sum(beats) OVER (PARTITION BY user_id ORDER BY blk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_beats
+         | FROM g)
+         |SELECT user_id,
+         | round(CASE WHEN sum(nzcnt) > 0 THEN sum(nzsum) / sum(nzcnt) END + 3.7e-10, 6)
+         |   AS avg_duration,
+         | round(sum(CASE WHEN cum_beats > 0 THEN cum_dsum / cum_beats ELSE 0 END)
+         |   + sum(invsum) / sum(beats) + 3.7e-10, 6) AS rhythm_int
+         |FROM c GROUP BY 1""".stripMargin)
 }

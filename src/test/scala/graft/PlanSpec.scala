@@ -84,6 +84,27 @@ class PlanSpec extends SparkSpec {
       s"vote aggregation lost its hash-agg shape:\n$plan")
   }
 
+  test("q82 duration battery: two chained hash aggregates, no window sort") {
+    val plan = planOf(SparkEntry.queries("q82_duration_battery")(spark, sfDir))
+    assert(plan.contains("HashAggregate"), s"not hash-aggregated:\n$plan")
+    // LexMax keeps the argmax inside a hash aggregate — a max(struct)
+    // formulation would silently downgrade to SortAggregate here
+    assert(!plan.contains("SortAggregate"), s"sort agg downgrade:\n$plan")
+    assert(!plan.contains("Window"), s"window crept into the battery:\n$plan")
+  }
+
+  test("q81 rhythm intensity: cumulative window runs over the block rollup, not rows") {
+    val plan = planOf(SparkEntry.queries("q81_rhythm_intensity")(spark, sfDir))
+    // the per-minute and per-block hash aggregates must sit BELOW the
+    // cumulative window, so the per-user sort sees users x blocks rows only
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0, s"expected window over aggregate:\n$plan")
+    assert(plan.lastIndexOf("HashAggregate") > winIdx,
+      s"no aggregate below the cumulative window — it scans raw rows:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"product in rhythm intensity:\n$plan")
+  }
+
   test("q60 emphasized-degrees composite: no cartesian, bounded exchanges") {
     val plan = planOf(SparkEntry.queries("q60_emphasized_degrees")(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
