@@ -31,7 +31,14 @@ object Bench {
 
     val timed = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_FILTER: comma-separated substrings for local
+    // iteration on a few queries; unset (the driver's mode) = full battery
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").toSeq).getOrElse(Nil)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      nameFilter.isEmpty || nameFilter.exists(n.contains)
+    }
+    selected.foreach { case (name, fn) =>
       // min over passes = steady-state (first pass may pay page-cache and
       // codegen-cache misses that say nothing about the plan's cost)
       val times = (1 to passes).flatMap { _ =>

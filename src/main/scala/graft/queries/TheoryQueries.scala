@@ -372,18 +372,25 @@ object TheoryQueries {
         .withColumn("prev", lag(col("value"), 1).over(w))
         .where(col("prev").isNotNull)
         .withColumn("st", round(col("value") - col("prev"), 0).cast("int"))
-        .withColumn("ast", abs(col("st")))
-        .select(col("user_id"), col("ts"), col("event_id"), col("st"), col("ast"))
-      def trim(vc: String, sfx: String) =
-        graft.ops.Stats.trimmedStats(iv, Seq("user_id"), vc, 0.1,
-            Seq("ts", "event_id"))
-          .select(col("user_id"),
-            r6(col("trimmed_mean")).as(s"trimmed_mean_$sfx"),
-            r6(col("trimmed_std")).as(s"trimmed_std_$sfx"),
-            col("trimmed_n").as(s"trimmed_n_$sfx"),
-            r6(col("trim_diff")).as(s"trim_diff_$sfx"),
-            r6(col("trim_ratio")).as(s"trim_ratio_$sfx"))
-      trim("st", "st").join(trim("ast", "abs"), Seq("user_id"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("st"),
+          abs(col("st")).as("ast"))
+      // stack the signed and absolute streams so ONE lag scan and ONE
+      // two-phase trim chain (group key = user x metric) serve both sides —
+      // the previous two-call formulation paid the entity window sort and
+      // the trim chain twice; the stacked rank order per metric is
+      // unchanged, so the scipy positional semantics are identical
+      val stacked = iv.select(col("user_id"), col("ts"), col("event_id"),
+        explode(map(lit("st"), col("st"), lit("abs"), col("ast")))
+          .as(Seq("metric", "v")))
+      val trimmed = graft.ops.Stats.trimmedStats(stacked,
+        Seq("user_id", "metric"), "v", 0.1, Seq("ts", "event_id"))
+      val stats = Seq("trimmed_mean", "trimmed_std", "trimmed_n",
+        "trim_diff", "trim_ratio")
+      val aggs = for { sfx <- Seq("st", "abs"); stc <- stats } yield {
+        val v = max(when(col("metric") === sfx, col(stc)))
+        (if (stc == "trimmed_n") v else r6(v)).as(s"${stc}_$sfx")
+      }
+      trimmed.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
     }),
 
     // A14 breadth: music21 native DURATION battery analog — unique-duration
