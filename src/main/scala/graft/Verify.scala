@@ -43,6 +43,11 @@ object Verify {
       sources.SynthImages.images(spark, 20000, 64).drop("ts")
         .coalesce(1).write.mode("overwrite").parquet(s"$synthDir/images")
     }
+    // the raw audio clip table for the audio-features oracle, same pattern
+    if (selOracles.exists(_._2.contains("__SYNTH_DIR__/audio"))) {
+      sources.SynthAudio.clips(spark, 12000, 64).drop("ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$synthDir/audio")
+    }
 
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {

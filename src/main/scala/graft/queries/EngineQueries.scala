@@ -1,9 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.{ImageFunctions, Text, TextFunctions, Vectors}
+import graft.functions.{AudioFunctions, ImageFunctions, Text, TextFunctions, Vectors}
 import graft.pipeline.{FeaturePipeline, Lineage}
-import graft.sources.SynthImages
+import graft.sources.{SynthAudio, SynthImages}
 import Q._
 
 /** Engine-only operators (no SQL oracle — driver records rows-only; deep
@@ -190,9 +190,62 @@ object EngineQueries {
         .filterNot(_._1 == "ts_present") // the materialized dump drops ts
       val (_, bad) = graft.sources.ErrorChannel.split(corrupted, checks)
       bad.select(col("image_id"), col("error_reasons"))
+    }),
+
+    // Audio-leg multimodal features with a DRIVER-VISIBLE oracle (the q74
+    // pattern on the audio payload): the synthesized clip table (blobs
+    // included) is materialized and DuckDB re-parses the SAME stored bytes
+    // via hex slicing — header sr/n, decoded length, mean |x-128|
+    // amplitude, sign-flip zero crossings, and the per-frame RMS windowing
+    // (256-sample frames, partial tail) down to max-frame energy. Spark
+    // side = codegen'd Catalyst expressions (AudioExpressions), no UDF.
+    "q83_audio_features" -> ((s, dir) => {
+      val rms = AudioFunctions.frame_rms(col("samples"), lit(256))
+      SynthAudio.clips(s, 12000, 64).select(
+        col("clip_id"), col("fmt"), col("sr"),
+        length(col("samples")).cast("bigint").as("byte_len"),
+        substring(hex(col("samples")), 1, 8).as("magic_hex"),
+        conv(substring(hex(col("samples")), 9, 4), 16, 10).cast("int").as("sr_hdr"),
+        conv(substring(hex(col("samples")), 13, 4), 16, 10).cast("int").as("n_hdr"),
+        size(AudioFunctions.decode_audio(col("samples"))).as("n_samples"),
+        r6(AudioFunctions.mean_amplitude(col("samples"))).as("mean_amp"),
+        AudioFunctions.zero_crossings(col("samples")).as("zero_crossings"),
+        size(rms).as("n_frames"),
+        r6(array_max(rms)).as("max_rms"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "q83_audio_features" ->
+      """WITH au AS (
+        | SELECT clip_id, fmt, sr, samples, hex(samples) AS hx
+        | FROM read_parquet('__SYNTH_DIR__/audio/*.parquet')),
+        |sm AS (
+        | SELECT clip_id,
+        |  [('0x' || substr(hx, 17 + 2*i, 2))::INT
+        |    for i in range(0, (len(hx) - 16) // 2)] AS s
+        | FROM au),
+        |f AS (
+        | SELECT clip_id, len(s) AS n,
+        |  list_sum([abs(x - 128) for x in s]) AS abs_sum,
+        |  coalesce(list_sum([((s[i + 1] >= 128) <> (s[i] >= 128))::INT
+        |    for i in range(1, len(s))]), 0) AS zc,
+        |  [sqrt(list_sum([(x - 128) * (x - 128)
+        |      for x in s[fr * 256 + 1:least((fr + 1) * 256, len(s))]])::DOUBLE
+        |    / len(s[fr * 256 + 1:least((fr + 1) * 256, len(s))]))
+        |   for fr in range(0, (len(s) + 255) // 256)] AS rms
+        | FROM sm)
+        |SELECT au.clip_id, au.fmt, au.sr,
+        | octet_length(au.samples)::BIGINT AS byte_len,
+        | substr(au.hx, 1, 8) AS magic_hex,
+        | ('0x' || substr(au.hx, 9, 4))::INT AS sr_hdr,
+        | ('0x' || substr(au.hx, 13, 4))::INT AS n_hdr,
+        | f.n::INT AS n_samples,
+        | round(f.abs_sum::DOUBLE / f.n + 3.7e-10, 6) AS mean_amp,
+        | f.zc::INT AS zero_crossings,
+        | len(f.rms)::INT AS n_frames,
+        | round(list_max(f.rms) + 3.7e-10, 6) AS max_rms
+        |FROM au JOIN f USING (clip_id)""".stripMargin,
+
     "q74_image_fidelity" ->
       """WITH im AS (
         | SELECT image_id, fmt, w, h, bytes, hex(bytes) AS hx
