@@ -48,6 +48,11 @@ object Verify {
       sources.SynthAudio.clips(spark, 12000, 64).drop("ts")
         .coalesce(1).write.mode("overwrite").parquet(s"$synthDir/audio")
     }
+    // the raw video container table for the frame-sample oracle
+    if (selOracles.exists(_._2.contains("__SYNTH_DIR__/video"))) {
+      sources.SynthVideo.clips(spark, 3000, 64).drop("ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$synthDir/video")
+    }
 
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {

@@ -1,9 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.{AudioFunctions, ImageFunctions, Text, TextFunctions, Vectors}
+import graft.functions.{AudioFunctions, ImageFunctions, Text, TextFunctions, Vectors, VideoFunctions}
 import graft.pipeline.{FeaturePipeline, Lineage}
-import graft.sources.{SynthAudio, SynthImages}
+import graft.sources.{SynthAudio, SynthImages, SynthVideo}
 import Q._
 
 /** Engine-only operators (no SQL oracle — driver records rows-only; deep
@@ -212,9 +212,40 @@ object EngineQueries {
         AudioFunctions.zero_crossings(col("samples")).as("zero_crossings"),
         size(rms).as("n_frames"),
         r6(array_max(rms)).as("max_rms"))
+    }),
+
+    // Video-leg multimodal frame-sampling with a DRIVER-VISIBLE oracle:
+    // sample_frames explodes every 3rd frame of the binary container as an
+    // IMAGE payload (bytes copied, never regenerated), and the existing
+    // image expression computes per-frame brightness — DuckDB re-parses the
+    // SAME container blobs via hex slicing at each sampled frame offset.
+    // All expressions codegen'd; the explode is the only row multiplier.
+    "q84_video_frames" -> ((s, dir) => {
+      SynthVideo.clips(s, 3000, 64)
+        .select(col("clip_id"), col("w"), col("h"),
+          VideoFunctions.frame_count(col("video")).as("n_frames"),
+          posexplode(VideoFunctions.sample_frames(col("video"), lit(3)))
+            .as(Seq("pos", "frame")))
+        .select(col("clip_id"), col("w"), col("h"), col("n_frames"),
+          (col("pos") * 3).as("frame_idx"),
+          length(col("frame")).cast("bigint").as("frame_bytes"),
+          r6(ImageFunctions.mean_brightness(col("frame"))).as("mean_px"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "q84_video_frames" ->
+      """WITH v AS (
+        | SELECT clip_id, w, h, hex(video) AS hx,
+        |  ('0x' || substr(hex(video), 9, 4))::INT AS nf
+        | FROM read_parquet('__SYNTH_DIR__/video/*.parquet')),
+        |fr AS (
+        | SELECT clip_id, w, h, nf, hx, unnest(range(0, nf, 3)) AS f FROM v)
+        |SELECT clip_id, w, h, nf AS n_frames, f::INT AS frame_idx,
+        | (8 + w * h)::BIGINT AS frame_bytes,
+        | round(list_sum([('0x' || substr(hx, 21 + 2 * (f * w * h + i), 2))::INT
+        |     for i in range(0, w * h)])::DOUBLE / (w * h) + 3.7e-10, 6) AS mean_px
+        |FROM fr""".stripMargin,
+
     "q83_audio_features" ->
       """WITH au AS (
         | SELECT clip_id, fmt, sr, samples, hex(samples) AS hx
