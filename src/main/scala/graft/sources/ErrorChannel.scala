@@ -23,6 +23,25 @@ object ErrorChannel {
     "caption_present" -> (col("caption").isNotNull && length(col("caption")) > 0),
     "ts_present" -> col("ts").isNotNull)
 
+  /** Named validation checks for the audio clip table (same contract:
+    * header-derived length must match the typed metadata columns). */
+  def audioChecks: Seq[(String, Column)] = Seq(
+    "samples_present" -> col("samples").isNotNull,
+    "samples_length" ->
+      (length(col("samples")) === col("n") + graft.functions.AudioCodec.HeaderLen),
+    "sr_known" -> col("sr").isin(8000, 16000, 22050, 44100),
+    "n_positive" -> (col("n") > 0),
+    "fmt_known" -> col("fmt").isin("wav", "mp3"))
+
+  /** Named validation checks for the video container table. */
+  def videoChecks: Seq[(String, Column)] = Seq(
+    "video_present" -> col("video").isNotNull,
+    "video_length" ->
+      (length(col("video")) ===
+        col("n_frames") * col("w") * col("h") + graft.functions.VideoCodec.HeaderLen),
+    "dims_positive" -> (col("w") > 0 && col("h") > 0 && col("n_frames") > 0),
+    "fmt_known" -> (col("fmt") === "gv"))
+
   /** Adds `__errors: array<string>` of failed check names (empty = valid). */
   def validate(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     val errs = checks.map { case (name, pred) =>
