@@ -52,7 +52,17 @@ object GraftExtensions {
       LshBands(args.head,
         if (args.length > 1) intArg(args(1), "bands") else Text.MinHashBands) },
     "simhash" -> { args => SimHash(args.head) },
-    "hamming64" -> { args => Hamming64(args(0), args(1)) })
+    "hamming64" -> { args => Hamming64(args(0), args(1)) },
+    // audio payload family
+    "decode_audio" -> { args => DecodeAudio(args.head) },
+    "mean_amplitude" -> { args => MeanAmplitude(args.head) },
+    "zero_crossings" -> { args => ZeroCrossings(args.head) },
+    "frame_rms" -> { args => FrameRms(args(0), args(1)) },
+    "audio_psnr" -> { args => AudioPsnr(args(0), args(1)) },
+    // video container family
+    "frame_count" -> { args => VideoFrameCount(args.head) },
+    "sample_frames" -> { args => SampleFrames(args(0), args(1)) },
+    "extract_frame" -> { args => ExtractFrame(args(0), args(1)) })
 
   /** Register the SQL functions into an existing session (tests, REPLs). */
   def registerSql(spark: SparkSession): Unit =

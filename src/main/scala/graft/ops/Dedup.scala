@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Near-duplicate CLUSTER formation — the step after pairwise candidates:
+  * a training-data pipeline dedups by keeping one representative per
+  * connected component of the verified near-dup graph, not per pair
+  * (pairs alone double-drop A–B, B–C chains).
+  *
+  * [[connectedComponents]] is min-label propagation over the edge list:
+  * every node starts labeled with its own id; each round takes the min of
+  * its neighbors' labels; at fixpoint every node carries the min id of its
+  * component (the canonical representative). Rounds needed = graph
+  * diameter — near-dup components are shallow (a hub original with its
+  * copies, diameter ≤ 2–3), so the loop converges in a handful of rounds;
+  * `maxIter` bounds adversarial chains.
+  *
+  * Scale shape: each round is ONE join edges⋈labels + ONE min-aggregate —
+  * both hash-partitioned on node id, no windows, no collects (the only
+  * driver-side value is the converged-yet check, the standard iterative
+  * fixpoint test). Each round's labels are `localCheckpoint`ed: persist
+  * alone caches EXECUTION but the logical plan still compounds (the round-N
+  * plan embeds round-N−1 twice, so analysis blows up exponentially — the
+  * classic iterative-join OOM); checkpointing truncates the lineage to the
+  * materialized blocks, keeping every round's plan one join deep.
+  */
+object Dedup {
+
+  /** @param edges undirected edge list (columns `a`, `b`, one row per pair)
+    * @return (id, cluster_rep) — every node that appears in an edge, labeled
+    *         with the min id reachable from it. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // symmetrize once: propagation below only follows a -> b
+    val sym = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // min incoming neighbor label per node
+      val nbr = sym.join(labels, sym("a") === labels("id"))
+        .groupBy(sym("b").as("nid")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(nbr, labels("id") === nbr("nid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (col("nlbl") < col("lbl")).as("__improved"))
+        .localCheckpoint(true) // truncate lineage: one round deep, always
+      converged = next.where(col("__improved")).isEmpty
+      labels = next.drop("__improved")
+      it += 1
+    }
+    sym.unpersist(blocking = false)
+    labels.select(col("id"), col("lbl").as("cluster_rep"))
+  }
+}

@@ -167,6 +167,47 @@ object TextQueries {
         when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
         .reduce(_ + _)
       votes.select(col("doc_id"), col("n_tokens"), sim.as("simhash56"))
+    }),
+
+    // Dedup CLUSTERS: connected components over the VERIFIED near-dup graph
+    // (q59's formulation — LSH candidates, exact hashed-shingle Jaccard
+    // >= 0.6 — with a SECOND injected copy per original so components
+    // exceed pairs), labeled by min-id via Dedup.connectedComponents and
+    // sized. The step a real dedup pipeline needs beyond pairwise
+    // candidates: keep one representative per component, not per pair.
+    // Oracle = DuckDB all-pairs exact Jaccard edges + a recursive CTE
+    // computing the same min-reachable-id labels. Same pinned-corpus triage
+    // note as q59: a mismatch on other data is an LSH-recall miss first.
+    "q85_dedup_clusters" -> ((s, dir) => {
+      val base = t(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), Text.normText(col("text")).as("nt"))
+      def dup(offset: Long, suffix: String) = t(s, dir, "documents")
+        .where(col("doc_id") < 300 && pmod(col("doc_id"), lit(25)) === 0)
+        .select((col("doc_id") + offset).as("doc_id"),
+          Text.normText(concat(col("text"), lit(suffix))).as("nt"))
+      val all = base
+        .unionByName(dup(1000000L, " near duplicate suffix"))
+        .unionByName(dup(2000000L, " almost identical suffix"))
+        .withColumn("sh", transform(Text.charShingles(col("nt")), x => xxhash64(x)))
+        .withColumn("sig", TextFunctions.minhash(col("nt"), k = 32))
+        .withColumn("bucket", explode(TextFunctions.lsh_bands(col("sig"), bands = 16)))
+      val salted = graft.functions.Vectors.saltBuckets(all, "bucket", "doc_id",
+        cap = 1024, broadcastSizes = true)
+      val a = salted.select(col("bucket"), col("__salt"),
+        col("doc_id").as("d1"), col("sh").as("sh1"))
+      val b = salted.select(col("bucket"), col("__salt"),
+        col("doc_id").as("d2"), col("sh").as("sh2"))
+      val edges = a.join(b, Seq("bucket", "__salt"))
+        .where(col("d1") < col("d2"))
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+        .where(col("inter") /
+          (size(col("sh1")) + size(col("sh2")) - col("inter")) >= 0.6)
+        .select(col("d1").as("a"), col("d2").as("b")).distinct()
+      val cc = graft.ops.Dedup.connectedComponents(edges)
+      val sizes = cc.groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).cast("long").as("cluster_size"))
+      cc.join(sizes, Seq("cluster_rep"))
+        .select(col("id").as("doc_id"), col("cluster_rep"), col("cluster_size"))
     }))
 
   // exact whole-token count, mirroring Text.tokenOccurrences (split+filter)
@@ -304,6 +345,37 @@ object TextQueries {
            | FROM d a JOIN d b ON a.doc_id < b.doc_id)
            |SELECT d1, d2, round(inter / (la + lb - inter) + 3.7e-10, 6) AS jaccard
            |FROM p WHERE inter / (la + lb - inter) >= 0.6""".stripMargin,
+
+      "q85_dedup_clusters" ->
+        s"""WITH RECURSIVE base AS (
+           | SELECT doc_id, $norm AS nt FROM documents WHERE doc_id < 300
+           | UNION ALL
+           | SELECT doc_id + 1000000 AS doc_id,
+           |  ${sqlNorm("(text || ' near duplicate suffix')")} AS nt
+           | FROM documents WHERE doc_id < 300 AND doc_id % 25 = 0
+           | UNION ALL
+           | SELECT doc_id + 2000000 AS doc_id,
+           |  ${sqlNorm("(text || ' almost identical suffix')")} AS nt
+           | FROM documents WHERE doc_id < 300 AND doc_id % 25 = 0),
+           |d AS (
+           | SELECT doc_id,
+           |  list_distinct(list_transform(range(1, length(nt) - 3),
+           |    i -> nt[i:i+4])) AS sh
+           | FROM base),
+           |p AS (
+           | SELECT x.doc_id AS a, y.doc_id AS b
+           | FROM d x JOIN d y ON x.doc_id < y.doc_id
+           | WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+           |   (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.6),
+           |sym AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+           |reach AS (
+           | SELECT DISTINCT a AS id, a AS lbl FROM sym
+           | UNION
+           | SELECT s.a AS id, r.lbl FROM sym s JOIN reach r ON r.id = s.b),
+           |lab AS (SELECT id, min(lbl) AS cluster_rep FROM reach GROUP BY id)
+           |SELECT id AS doc_id, cluster_rep,
+           | count(*) OVER (PARTITION BY cluster_rep)::BIGINT AS cluster_size
+           |FROM lab""".stripMargin,
 
       "q75_simhash_verified" -> {
         val bitSums = (0 until 56).map(i =>

@@ -41,11 +41,36 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Int]("near_d") > 0)
   }
 
+  test("registerSql: audio + video payload families callable from SQL") {
+    import graft.functions.{AudioCodec, VideoCodec}
+    GraftExtensions.registerSql(spark)
+    Seq((AudioCodec.encode(3L, 8000, 100, lossy = false), VideoCodec.encode(4L, 5, 4, 4)))
+      .toDF("au", "vid").createOrReplaceTempView("clips")
+    val r = spark.sql(
+      """SELECT size(decode_audio(au)) AS ns, mean_amplitude(au) AS ma,
+        | zero_crossings(au) AS zc, size(frame_rms(au, 32)) AS nf,
+        | audio_psnr(au, au) AS ap,
+        | frame_count(vid) AS vf, size(sample_frames(vid, 2)) AS sf,
+        | mean_brightness(extract_frame(vid, 1)) AS fb
+        |FROM clips""".stripMargin).collect()(0)
+    val au = AudioCodec.encode(3L, 8000, 100, lossy = false)
+    assert(r.getAs[Int]("ns") === 100)
+    assert(math.abs(r.getAs[Double]("ma") - AudioCodec.meanAmplitude(au)) < 1e-12)
+    assert(r.getAs[Int]("zc") === AudioCodec.zeroCrossings(au))
+    assert(r.getAs[Int]("nf") === 4) // ceil(100/32)
+    assert(r.getAs[Double]("ap") === 99.0)
+    assert(r.getAs[Int]("vf") === 5 && r.getAs[Int]("sf") === 3)
+    val frame = VideoCodec.extractFrame(VideoCodec.encode(4L, 5, 4, 4), 1)
+    assert(math.abs(r.getAs[Double]("fb") - ImageCodec.meanBrightness(frame)) < 1e-12)
+  }
+
   test("extensions object wires the strategy and all sql functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders total
     assert(GraftExtensions.sqlFunctions.map(_._1).toSet === Set(
       "decode_image", "mean_brightness", "intensity_histogram", "psnr", "resize_image",
-      "minhash", "lsh_bands", "simhash", "hamming64"))
+      "minhash", "lsh_bands", "simhash", "hamming64",
+      "decode_audio", "mean_amplitude", "zero_crossings", "frame_rms", "audio_psnr",
+      "frame_count", "sample_frames", "extract_frame"))
   }
 }

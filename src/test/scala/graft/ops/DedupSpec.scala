@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Connected components: agreement with a driver-side union-find on
+  * randomized graphs, worst-case chain convergence, isolated-pair shape. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(x => x -> find(x)).toMap
+  }
+
+  test("randomized: labels == union-find min-id components") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = (1 to 80).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"), maxIter = 40)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(n, edges)
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("worst-case chain converges to the single min label") {
+    // 0-1-2-...-9: diameter 9, exercises the iteration bound
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges, maxIter = 15).collect()
+    assert(labels.length === 10)
+    assert(labels.forall(_.getLong(1) === 0L))
+  }
+
+  test("disjoint pairs keep distinct reps") {
+    val edges = Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+}
