@@ -105,6 +105,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"product in rhythm intensity:\n$plan")
   }
 
+  test("q83/q84 multimodal feature extraction is shuffle-free per-row work") {
+    for (q <- Seq("q83_audio_features", "q84_video_frames")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sfDir))
+      // decode/feature expressions are per-row: any Exchange here means the
+      // payload bytes are being shuffled — wrong at any scale
+      assert(!plan.contains("Exchange"), s"$q shuffles payload bytes:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q has a product:\n$plan")
+    }
+  }
+
   test("q60 emphasized-degrees composite: no cartesian, bounded exchanges") {
     val plan = planOf(SparkEntry.queries("q60_emphasized_degrees")(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
