@@ -59,4 +59,16 @@ object Dedup {
     sym.unpersist(blocking = false)
     labels.select(col("id"), col("lbl").as("cluster_rep"))
   }
+
+  /** The dedup step itself: drop every clustered row EXCEPT its component's
+    * representative (the min id). Rows not in any edge are untouched. One
+    * left-anti join against the non-representative id set — hash-partitioned
+    * on the id, no windows. */
+  def dropClusteredDuplicates(df: DataFrame, idCol: String, edges: DataFrame,
+                              maxIter: Int = 20): DataFrame = {
+    val nonReps = connectedComponents(edges, maxIter)
+      .where(col("id") =!= col("cluster_rep"))
+      .select(col("id").as(idCol))
+    df.join(nonReps, Seq(idCol), "left_anti")
+  }
 }

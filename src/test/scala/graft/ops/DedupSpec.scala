@@ -46,6 +46,15 @@ class DedupSpec extends SparkSpec {
     assert(labels.forall(_.getLong(1) === 0L))
   }
 
+  test("dropClusteredDuplicates keeps exactly one representative per component") {
+    val docs = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // components {1,2,3} and {7,8}; 0,4,5,6,9 untouched
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val kept = Dedup.dropClusteredDuplicates(docs, "doc_id", edges)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(0L, 1L, 4L, 5L, 6L, 7L, 9L))
+  }
+
   test("disjoint pairs keep distinct reps") {
     val edges = Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("a", "b")
     val got = Dedup.connectedComponents(edges)
