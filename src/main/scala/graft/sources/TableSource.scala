@@ -12,6 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    Iceberg jars ship in this sandbox, so this path is exercised only via
   *    the session catalog);
   *  - `synth:<n>` — deterministic synthesis at n rows (tests/benchmarks);
+  *  - `csv:<dir>` / `json:<dir>` / `orc:<dir>` — alternate file formats
+  *    (musif's multi-extension corpus reading,
+  *    `/root/reference/musif/__main__.py:17-66`: the same job runs over
+  *    whatever serialization the corpus arrived in); CSV uses the
+  *    [[CsvSink]] conventions so a CSV-exported table round-trips;
   *  - anything else — a parquet directory.
   *
   * Snapshot pinning for resumable runs: pass
@@ -28,6 +33,17 @@ object TableSource {
     rest match {
       case s if s.startsWith("table:") => reader.table(s.stripPrefix("table:"))
       case s if s.startsWith("synth:") => synth(spark, s.stripPrefix("synth:").toLong)
+      case s if s.startsWith("csv:") =>
+        // header'd + CsvSink timestamp convention; schema inferred unless
+        // forwarded via option:... (inference costs one extra pass — pass an
+        // explicit schema through options for production reads)
+        reader.option("header", "true")
+          .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+          .option("inferSchema", opts.collectFirst {
+            case ("inferSchema", v) => v }.getOrElse("true"))
+          .csv(s.stripPrefix("csv:"))
+      case s if s.startsWith("json:") => reader.json(s.stripPrefix("json:"))
+      case s if s.startsWith("orc:") => reader.orc(s.stripPrefix("orc:"))
       case dir => reader.parquet(dir)
     }
   }

@@ -20,6 +20,23 @@ class TableSourceSpec extends SparkSpec {
     assert(TableSource.load(spark, "table:ts_view", synthFn).count() === 1L)
   }
 
+  test("alternate formats: csv round-trips CsvSink output; json and orc load") {
+    val dir = Files.createTempDirectory("graft-ts-fmt").toString
+    val df = Seq((1L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:01")),
+      (2L, "b", java.sql.Timestamp.valueOf("2024-02-03 04:05:06")))
+      .toDF("id", "v", "ts")
+    CsvSink.write(df, s"$dir/c")
+    val back = TableSource.load(spark, s"csv:$dir/c", synthFn)
+    assert(back.count() === 2L)
+    assert(back.select("ts").collect().map(_.getTimestamp(0)).toSet ===
+      df.select("ts").collect().map(_.getTimestamp(0)).toSet)
+    df.write.json(s"$dir/j")
+    assert(TableSource.load(spark, s"json:$dir/j", synthFn).count() === 2L)
+    df.write.orc(s"$dir/o")
+    val orc = TableSource.load(spark, s"orc:$dir/o", synthFn)
+    assert(orc.count() === 2L && orc.schema.fieldNames.toSet === Set("id", "v", "ts"))
+  }
+
   test("option: prefixes are parsed and forwarded without breaking the path") {
     val dir = Files.createTempDirectory("graft-ts2").toString
     Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/t")
