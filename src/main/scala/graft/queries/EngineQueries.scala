@@ -230,6 +230,26 @@ object EngineQueries {
           (col("pos") * 3).as("frame_idx"),
           length(col("frame")).cast("bigint").as("frame_bytes"),
           r6(ImageFunctions.mean_brightness(col("frame"))).as("mean_px"))
+    }),
+
+    // Resize-path fidelity with a DRIVER-VISIBLE oracle: the multimodal
+    // resize operator (the brief's decode/extract/RESIZE/frame-sample
+    // quartet) verified cross-engine — DuckDB re-derives the resized
+    // header AND the resized mean brightness from the SAME stored source
+    // bytes by sampling pixel (min(h-1, y*h/8), min(w-1, x*w/8)) via hex
+    // slicing, exactly ImageCodec.resize's nearest-neighbor index
+    // arithmetic (integer division both sides). All Spark expressions
+    // codegen'd (ResizeImage + MeanBrightness), no UDF; synth images are
+    // 8..32 px per side so 8x8 is always a true downscale.
+    "q87_resize_fidelity" -> ((s, dir) => {
+      val rz = ImageFunctions.resize_image(col("bytes"), lit(8), lit(8))
+      SynthImages.images(s, 20000, 64).select(
+        col("image_id"), col("w"), col("h"),
+        length(rz).cast("bigint").as("rz_len"),
+        substring(hex(rz), 1, 8).as("rz_magic"),
+        conv(substring(hex(rz), 9, 4), 16, 10).cast("int").as("rz_w"),
+        conv(substring(hex(rz), 13, 4), 16, 10).cast("int").as("rz_h"),
+        r6(ImageFunctions.mean_brightness(rz)).as("rz_mean"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -295,6 +315,24 @@ object EngineQueries {
         | px.n_px AS n_pixels,
         | round(px.px_sum::DOUBLE / px.n_px + 3.7e-10, 6) AS mean_px
         |FROM im JOIN px USING (image_id)""".stripMargin,
+
+    "q87_resize_fidelity" ->
+      """WITH im AS (
+        | SELECT image_id, w, h, hex(bytes) AS hx
+        | FROM read_parquet('__SYNTH_DIR__/images/*.parquet')),
+        |px AS (
+        | SELECT image_id, w, h,
+        |  list_sum([('0x' || substr(hx,
+        |      17 + 2*(least(h - 1, (i // 8) * h // 8) * w
+        |              + least(w - 1, (i % 8) * w // 8)), 2))::INT
+        |    for i in range(0, 64)]) AS s64
+        | FROM im)
+        |SELECT image_id, w, h,
+        | 72::BIGINT AS rz_len,
+        | '47523031' AS rz_magic,
+        | 8::INT AS rz_w, 8::INT AS rz_h,
+        | round(s64::DOUBLE / 64 + 3.7e-10, 6) AS rz_mean
+        |FROM px""".stripMargin,
 
     "q80_error_channel" ->
       """WITH im AS (

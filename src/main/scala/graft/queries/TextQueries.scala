@@ -169,6 +169,29 @@ object TextQueries {
       votes.select(col("doc_id"), col("n_tokens"), sim.as("simhash56"))
     }),
 
+    // MinHash signatures with a DRIVER-VISIBLE oracle (the q75 pattern for
+    // the minhash layer): q50's production path is the codegen'd xxhash64
+    // TextFunctions.minhash (no DuckDB counterpart), so this variant runs
+    // the IDENTICAL affine-permutation MinHash algorithm over the
+    // cross-engine md5-56 shingle hash — lane i = min over shingles of
+    // (a_i * (h mod P) + b_i) mod P with P = 2^31 - 1; hp < 2^31 and
+    // a_i < 2^26 keep every product below 2^57, so both engines stay in
+    // exact i64. Explode + ONE hash aggregate (32 min lanes); partial agg
+    // combines the shingle explosion map-side, so the shape scales.
+    "q86_minhash_verified" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Text.charShingles(Text.normText(col("text")))).as("s"))
+        .withColumn("hp",
+          pmod(conv(substring(md5(col("s")), 1, 14), 16, 10).cast("long"),
+            lit(MinHashP)))
+      val lanes = MinHashParams.zipWithIndex.map { case ((a, b), i) =>
+        min(pmod(col("hp") * lit(a) + lit(b), lit(MinHashP))).as(f"mh$i%02d")
+      }
+      sh.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_shingles"), lanes: _*)
+    }),
+
     // Dedup CLUSTERS: connected components over the VERIFIED near-dup graph
     // (q59's formulation — LSH candidates, exact hashed-shingle Jaccard
     // >= 0.6 — with a SECOND injected copy per original so components
@@ -209,6 +232,16 @@ object TextQueries {
       cc.join(sizes, Seq("cluster_rep"))
         .select(col("id").as("doc_id"), col("cluster_rep"), col("cluster_size"))
     }))
+
+  /** Cross-engine MinHash permutation parameters (a_i, b_i) over the prime
+    * modulus P = 2^31 - 1 — ONE Seq generates both the Spark aggregates and
+    * the DuckDB mirror (the Dims-oracle pattern), so q86 is byte-exact by
+    * construction. a_i nonzero and < 2^26. */
+  private val MinHashP = 2147483647L
+  private val MinHashParams: Seq[(Long, Long)] =
+    (0 until 32).map { i =>
+      ((1000003L * (i + 1)) % MinHashP, (12345L + 999331L * i) % MinHashP)
+    }
 
   // exact whole-token count, mirroring Text.tokenOccurrences (split+filter)
   private def occSql(normExpr: String, word: String): String =
@@ -376,6 +409,25 @@ object TextQueries {
            |SELECT id AS doc_id, cluster_rep,
            | count(*) OVER (PARTITION BY cluster_rep)::BIGINT AS cluster_size
            |FROM lab""".stripMargin,
+
+      "q86_minhash_verified" -> {
+        val lanes = MinHashParams.zipWithIndex.map { case ((a, b), i) =>
+          f"min((hp * $a + $b) %% 2147483647)::BIGINT AS mh$i%02d"
+        }.mkString(",\n  ")
+        s"""WITH d AS (SELECT doc_id, $norm AS nt FROM documents),
+           |sh AS (
+           | SELECT doc_id,
+           |  unnest(list_distinct(list_transform(range(1, length(nt) - 3),
+           |    i -> nt[i:i+4]))) AS s
+           | FROM d WHERE length(nt) >= 5),
+           |h AS (
+           | SELECT doc_id,
+           |  ('0x' || substr(md5(s), 1, 14))::BIGINT % 2147483647 AS hp
+           | FROM sh)
+           |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+           |  $lanes
+           |FROM h GROUP BY doc_id""".stripMargin
+      },
 
       "q75_simhash_verified" -> {
         val bitSums = (0 until 56).map(i =>
