@@ -101,16 +101,34 @@ object Text {
     * engines compute identical fingerprints (Spark xxhash64 has no DuckDB
     * counterpart). Fully HOF-composed — no UDF; DuckDB mirror via
     * list_transform/list_slice/list_aggregate('min'). */
-  def winnowFingerprints(norm: Column, shingleLen: Int = 5, w: Int = 4): Column = {
-    // RAW shingle sequence — winnowing windows run over consecutive
-    // positions, so no dedup before hashing
-    val hashes = transform(charShinglesRaw(norm, shingleLen), x => md5(x.cast("binary")))
+  def winnowFingerprints(norm: Column, shingleLen: Int = 5, w: Int = 4): Column =
+    winnowFromHashes(shingleHashes(norm, shingleLen), w)
+
+  /** Hash sequence of the RAW (positional) shingles — winnowing stage 1.
+    *
+    * PERF CONTRACT for hot paths: bind this to its own column in a separate
+    * select, then apply [[winnowFromHashes]] on the bound column. The fused
+    * [[winnowFingerprints]] expression references the hash array from
+    * INSIDE the window lambda (`slice(hashes, ...)`), and HOF lambdas are
+    * interpreted, not codegen'd — every captured subtree re-evaluates per
+    * element. If Project-collapse inlines the whole tree (it does whenever
+    * the fingerprint column is referenced exactly once, e.g. under an
+    * `explode`), the shingle+md5+normalization work reruns once per window
+    * position: O(len²) per row. Binding the stages as columns keeps each
+    * referenced >1 time, which blocks CollapseProject and pins each stage
+    * to one evaluation per row. */
+  def shingleHashes(norm: Column, shingleLen: Int = 5): Column =
+    transform(charShinglesRaw(norm, shingleLen), x => md5(x.cast("binary")))
+
+  /** Winnowing stage 2: minimum hash of every window of `w` consecutive
+    * shingle hashes, dedup'd. See [[shingleHashes]] for the staging
+    * contract. */
+  def winnowFromHashes(hashes: Column, w: Int = 4): Column =
     when(size(hashes) >= w,
       array_distinct(transform(sequence(lit(0), size(hashes) - w),
         i => array_min(slice(hashes, i + lit(1), lit(w))))))
       .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
         .otherwise(array().cast("array<string>")))
-  }
 
   /** Distinct character n-gram (shingle) set of an already-normalized text
     * column — the exact-Jaccard ground truth the MinHash estimate

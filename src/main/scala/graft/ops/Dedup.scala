@@ -60,6 +60,35 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster_rep"))
   }
 
+  /** Benchmark decontamination: drop every candidate row that shares at
+    * least one fingerprint with the eval set — fingerprints are whatever
+    * the caller computed (token n-gram shingles for the C4/GPT-3-style
+    * overlap rule; `Text.winnowFingerprints` for char-run matching). The eval
+    * fingerprint set is distinct-ed and BROADCAST — it is benchmark-sized,
+    * not corpus-sized — so the probe under the explode is a broadcast join
+    * followed by one id-distinct + one left-anti, and the corpus is never
+    * shuffled by fingerprint.
+    *
+    * @param evalFps one fingerprint per row, column `fp` */
+  def decontaminate(candidates: DataFrame, idCol: String, fpsCol: String,
+                    evalFps: DataFrame): DataFrame = {
+    // no distinct on the probe side: left_anti dedups the right side
+    // implicitly, so de-duplicating contaminated ids first would only add
+    // a shuffle of the same rows. explode_OUTER, not explode: a plain
+    // explode makes InferFiltersFromGenerate add `size(fps) > 0` on the
+    // fps attribute, and PushDownPredicates then pushes that filter through
+    // the projections SUBSTITUTING the alias chain — re-fusing whatever
+    // expression built fps into a per-row predicate (for winnowing
+    // fingerprints that re-fusion is O(len²) per row — measured 1000×).
+    // The outer generate infers nothing; its null rows never match the
+    // equi-join key, so semantics are identical.
+    val contaminated = candidates
+      .select(col(idCol), explode_outer(col(fpsCol)).as("__fp"))
+      .join(broadcast(evalFps.select(col("fp").as("__fp")).distinct()), Seq("__fp"))
+      .select(idCol)
+    candidates.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** The dedup step itself: drop every clustered row EXCEPT its component's
     * representative (the min id). Rows not in any edge are untouched. One
     * left-anti join against the non-representative id set — hash-partitioned

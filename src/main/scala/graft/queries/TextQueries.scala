@@ -179,9 +179,15 @@ object TextQueries {
     // exact i64. Explode + ONE hash aggregate (32 min lanes); partial agg
     // combines the shingle explosion map-side, so the shape scales.
     "q86_minhash_verified" -> ((s, dir) => {
+      // nt staged as a bound column: charShinglesRaw's lambda captures the
+      // normalization, so fused it would re-run the regex once per shingle
+      // position (and explode_outer so no inferred size-filter re-fuses
+      // the stage — see q90)
       val sh = t(s, dir, "documents")
+        .select(col("doc_id"), Text.normText(col("text")).as("nt"))
         .select(col("doc_id"),
-          explode(Text.charShingles(Text.normText(col("text")))).as("s"))
+          explode_outer(Text.charShingles(col("nt"))).as("s"))
+        .where(col("s").isNotNull)
         .withColumn("hp",
           pmod(conv(substring(md5(col("s")), 1, 14), 16, 10).cast("long"),
             lit(MinHashP)))
@@ -190,6 +196,64 @@ object TextQueries {
       }
       sh.groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("long").as("n_shingles"), lanes: _*)
+    }),
+
+    // Deterministic hash split: the corpus-sampling op every training run
+    // starts with — split = first label whose cumulative weight share
+    // exceeds md5-56(id || ':' || salt)/2^56. Pure per-row expression, no
+    // RNG state, no shuffle; stable by id so a grown corpus never moves an
+    // existing row across the eval boundary. Oracle thresholds are the
+    // SAME Scala-computed partial sums (0.8 + 0.1 is 0.9000000000000001 in
+    // double — a hand-written 0.9 would disagree on ~1e-16 of rows).
+    "q88_hash_split" -> ((s, dir) =>
+      graft.ops.Sampling.hashSplit(
+        t(s, dir, "documents").select(col("doc_id")),
+        col("doc_id"), SplitWeights)
+        .select(col("doc_id"), col("split"))),
+
+    // Per-source quality quota cap: keep the top-k docs per source ranked
+    // by quality score — WITHOUT the low-cardinality windowed-sort trap
+    // (sources are few; a plain row_number would sort each source's whole
+    // corpus in one task). Sampling.topKPerGroup ranks within (source,
+    // salt) first, so the final rank sees at most k·salts rows per source.
+    // Ordering is total (quality DESC, doc_id ASC) so ranks are
+    // deterministic cross-engine.
+    "q89_quota_cap" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        r6(Text.qualityScore(col("text"))).as("quality"))
+      graft.ops.Sampling.topKPerGroup(d, Seq("source"),
+        Seq(col("quality").desc, col("doc_id").asc),
+        saltBy = col("doc_id"), k = 25)
+    }),
+
+    // Benchmark decontamination: docs with doc_id % 17 == 0 act as the
+    // held-out eval set; every training doc sharing ANY 5-token shingle
+    // with it (the C4/GPT-3-style n-gram-overlap rule) is dropped. Token
+    // n-grams, not char winnowing: on a templated corpus an 8-char run is
+    // shared by everything (0 rows survive), while 5-token sequences
+    // isolate the genuinely copied docs. The eval fingerprint set is
+    // benchmark-sized and broadcast, so the corpus is never shuffled by
+    // fingerprint.
+    "q90_decontaminate" -> ((s, dir) => {
+      // token array STAGED as a bound column (referenced 4x below, which
+      // blocks CollapseProject): fused, the lambda would recompute the
+      // split+regex once per shingle position — O(len²) per row
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split(Text.normText(col("text")), " ").as("ts"))
+        .select(col("doc_id"),
+          when(size(col("ts")) >= 5,
+            array_distinct(transform(sequence(lit(0), size(col("ts")) - 5),
+              i => array_join(slice(col("ts"), i + lit(1), lit(5)), " "))))
+            .otherwise(array().cast("array<string>")).as("fps"))
+      val isEval = pmod(col("doc_id"), lit(17L)) === 0
+      // explode_outer for the same reason as Dedup.decontaminate: a plain
+      // explode's inferred size-filter would push through the stages and
+      // re-fuse the tree; the null fp from empty arrays never matches a
+      // candidate fingerprint
+      val evalFps = d.where(isEval).select(explode_outer(col("fps")).as("fp"))
+        .where(col("fp").isNotNull)
+      graft.ops.Dedup.decontaminate(d.where(!isEval), "doc_id", "fps", evalFps)
+        .select(col("doc_id"))
     }),
 
     // Dedup CLUSTERS: connected components over the VERIFIED near-dup graph
@@ -232,6 +296,10 @@ object TextQueries {
       cc.join(sizes, Seq("cluster_rep"))
         .select(col("id").as("doc_id"), col("cluster_rep"), col("cluster_size"))
     }))
+
+  /** Split weights shared by q88's Spark side and its oracle — one Seq so
+    * the cumulative thresholds agree bit-for-bit. */
+  private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   /** Cross-engine MinHash permutation parameters (a_i, b_i) over the prime
     * modulus P = 2^31 - 1 — ONE Seq generates both the Spark aggregates and
@@ -409,6 +477,61 @@ object TextQueries {
            |SELECT id AS doc_id, cluster_rep,
            | count(*) OVER (PARTITION BY cluster_rep)::BIGINT AS cluster_size
            |FROM lab""".stripMargin,
+
+      "q88_hash_split" -> {
+        val cums = graft.ops.Sampling.cumulativeShares(SplitWeights)
+        val cases = SplitWeights.init.zip(cums.init).map { case ((l, _), hi) =>
+          s"WHEN f < $hi THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT doc_id,
+           | CASE $cases ELSE '${SplitWeights.last._1}' END AS split
+           |FROM (SELECT doc_id,
+           |  ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 14))::BIGINT
+           |    / 72057594037927936.0 AS f
+           | FROM documents) t""".stripMargin
+      },
+
+      "q89_quota_cap" ->
+        s"""WITH n AS (
+           | SELECT doc_id, source, $norm AS nt FROM documents),
+           |m AS (
+           | SELECT doc_id, source, nt,
+           |  (CASE WHEN length(nt) = 0 THEN 0
+           |    ELSE len(string_split(nt, ' ')) END)::DOUBLE AS toks,
+           |  len(list_distinct(string_split(nt, ' ')))::DOUBLE AS dtoks
+           | FROM n),
+           |q AS (
+           | SELECT doc_id, source,
+           |  round(CASE WHEN toks = 0 THEN 0
+           |   ELSE 0.4 * least(1.0, toks / 100.0)
+           |      + 0.3 * (dtoks / toks)
+           |      + 0.3 * least(1.0, ((length(nt) - (toks - 1)) / toks) / 8.0) END + 3.7e-10, 6) AS quality
+           | FROM m),
+           |r AS (
+           | SELECT doc_id, source, quality,
+           |  row_number() OVER (PARTITION BY source
+           |    ORDER BY quality DESC, doc_id) AS rank
+           | FROM q)
+           |SELECT doc_id, source, quality, rank::INT AS rank
+           |FROM r WHERE rank <= 25""".stripMargin,
+
+      "q90_decontaminate" ->
+        s"""WITH tk AS (
+           | SELECT doc_id, string_split($norm, ' ') AS ts FROM documents),
+           |w AS (
+           | SELECT doc_id,
+           |  CASE WHEN len(ts) >= 5 THEN
+           |    list_distinct(list_transform(range(1, len(ts) - 3),
+           |      i -> array_to_string(ts[i:i+4], ' ')))
+           |  ELSE [] END AS fps
+           | FROM tk),
+           |e AS (SELECT DISTINCT unnest(fps) AS fp FROM w WHERE doc_id % 17 = 0),
+           |c AS (
+           | SELECT DISTINCT doc_id FROM
+           |  (SELECT doc_id, unnest(fps) AS fp FROM w WHERE doc_id % 17 <> 0) t
+           | WHERE fp IN (SELECT fp FROM e))
+           |SELECT doc_id FROM w
+           |WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT doc_id FROM c)""".stripMargin,
 
       "q86_minhash_verified" -> {
         val lanes = MinHashParams.zipWithIndex.map { case ((a, b), i) =>
