@@ -30,6 +30,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("UDF"), s"Scala UDF survives in the signature path:\n$plan")
   }
 
+  test("q86/q90 explodes: no HOF tree re-fused into a Filter predicate") {
+    // regression gate for the InferFiltersFromGenerate + PushDownPredicates
+    // re-fusion: a plain explode over a single-use expensive array column
+    // gets a size(col) > 0 filter inferred, and pushing it through the
+    // staged projections substitutes the alias chain — the whole
+    // shingle/fingerprint expression then re-evaluates per input row inside
+    // the predicate (O(len²) under interpreted HOF lambdas; measured 1000×
+    // on q90). The staged + explode_outer formulation must keep every
+    // Filter condition lambda-free.
+    for (q <- Seq("q86_minhash_verified", "q90_decontaminate")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sfDir))
+      val refused = plan.linesIterator
+        .filter(_.contains("Filter "))
+        .filter(_.contains("lambdafunction"))
+        .toSeq
+      assert(refused.isEmpty,
+        s"$q: HOF expression re-fused into a Filter predicate:\n${refused.mkString("\n")}")
+    }
+  }
+
   test("q06 argmax is a hash aggregate, not a per-group windowed sort") {
     val plan = planOf(SparkEntry.queries("q06_argmax")(spark, sfDir))
     assert(plan.contains("HashAggregate"), s"argmax not a hash aggregate:\n$plan")
