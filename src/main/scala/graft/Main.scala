@@ -13,6 +13,7 @@ import scala.jdk.CollectionConverters._
   *     --images <dir|synth:N> --labels <dir|synth:N> --out <dir> \
   *     [--config <properties>] [--set k=v ...] [--resume] \
   *     [--format csv] [--sliding <size>,<overlap>]
+  *     [--split train:0.8,val:0.1,test:0.1]
   *
   * Reads the image+caption table (any Spark source — parquet in the
   * sandbox, an Iceberg catalog table in production via
@@ -67,6 +68,15 @@ object Main {
         Some(java.nio.file.Files.readAllLines(pinPath).asScala.toSeq.filter(_.nonEmpty))
       else None
 
+    // --split train:0.8,val:0.1,test:0.1 — deterministic per-entity split
+    // column (Sampling.hashSplit) appended to the feature output
+    val split: Option[Seq[(String, Double)]] = opts.get("split").map { v =>
+      v.split(",").toSeq.map { p =>
+        val kv = p.split(":")
+        require(kv.length == 2, s"--split expects label:weight, got '$p'")
+        (kv(0), kv(1).toDouble)
+      }
+    }
     // musif's native windowed mode from the CLI: --sliding <size>,<overlap>
     // emits one feature row per sliding event-window instead of per time
     // window (extract.py:416-464); lineage then keys on (entity, window_id)
@@ -103,7 +113,15 @@ object Main {
           java.nio.file.Files.writeString(pinPath, d.columns.mkString("\n"))
           d
       }
-      PostProcessor.ordered(kept, Seq("entity", "window_start"))
+      val o = PostProcessor.ordered(kept, Seq("entity", "window_start"))
+      // optional training split — BY ENTITY, not by row, so every window
+      // of an entity lands in the same split (a row-level split would leak
+      // seen entities into eval)
+      split match {
+        case Some(ws) => ops.Sampling.hashSplit(o,
+          org.apache.spark.sql.functions.col("entity"), ws)
+        case None => o
+      }
     }
 
     val result = Lineage.runResumable(spark, images, "phash", "ts", cfg.lineageBuckets,
@@ -145,6 +163,7 @@ object Main {
       case "--config" :: v :: rest => parseArgs(rest, acc + ("config" -> v))
       case "--format" :: v :: rest => parseArgs(rest, acc + ("format" -> v))
       case "--sliding" :: v :: rest => parseArgs(rest, acc + ("sliding" -> v))
+      case "--split" :: v :: rest  => parseArgs(rest, acc + ("split" -> v))
       case "--set" :: v :: rest =>
         parseArgs(rest, acc + ("set" -> (acc.get("set").map(_ + ";;").getOrElse("") + v)))
       case "--resume" :: rest      => parseArgs(rest, acc + ("resume" -> "true"))

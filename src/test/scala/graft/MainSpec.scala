@@ -40,6 +40,31 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === n1)
   }
 
+  test("--split: per-entity training split — all windows of an entity share one label") {
+    val cfg = pipeline.GraftConfig()
+    val images = sources.SynthImages.images(spark, 1500, 16)
+    val labels = sources.SynthImages.labels(spark, 1500, 16)
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val feats = ops.Sampling.hashSplit(
+      pipeline.FeaturePipeline.features(images, labels, cfg),
+      col("entity"), weights)
+    val byEntity = feats.groupBy("entity")
+      .agg(countDistinct(col("split")).as("n_splits"),
+        first(col("split")).as("split"))
+      .collect()
+    assert(byEntity.nonEmpty)
+    // entity-level split: no entity straddles the train/eval boundary
+    assert(byEntity.forall(_.getLong(1) === 1L))
+    assert(byEntity.map(_.getString(2)).toSet.subsetOf(Set("train", "val", "test")))
+    // deterministic: same assignment on recompute
+    val again = ops.Sampling.hashSplit(
+      pipeline.FeaturePipeline.features(images, labels, cfg),
+      col("entity"), weights)
+      .groupBy("entity").agg(first(col("split")).as("split")).collect()
+      .map(r => r.get(0) -> r.getString(1)).toMap
+    byEntity.foreach(r => assert(again(r.get(0)) === r.getString(2)))
+  }
+
   test("auto max_nan_rows adapts to output null density (musif __main__ analog)") {
     import spark.implicits._
     val cfg = pipeline.GraftConfig().withOverrides(Map("max_null_row_ratio" -> "auto"))
