@@ -62,7 +62,26 @@ object GraftExtensions {
     // video container family
     "frame_count" -> { args => VideoFrameCount(args.head) },
     "sample_frames" -> { args => SampleFrames(args(0), args(1)) },
-    "extract_frame" -> { args => ExtractFrame(args(0), args(1)) })
+    "extract_frame" -> { args => ExtractFrame(args(0), args(1)) },
+    // corpus sampling: split_fraction(id[, salt]) — the deterministic
+    // [0,1) split coordinate. Built as a concrete Catalyst tree (the
+    // Column->Expression bridge yields an unresolved ColumnNodeExpression
+    // that the function registry can't evaluate); the spec asserts
+    // bit-equality with Sampling.splitFraction's Column formulation.
+    "split_fraction" -> { args =>
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Conv, Divide, Literal, Md5, Substring}
+      import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType}
+      val salt = args.lift(1).map {
+        case Literal(s, _) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"salt must be a string literal, got: $other")
+      }.getOrElse("split")
+      val hex = Md5(Cast(Concat(Seq(
+        Cast(args.head, StringType), Literal(":" + salt))), BinaryType))
+      val hp = Cast(Conv(Substring(hex, Literal(1), Literal(14)),
+        Literal(16), Literal(10)), LongType)
+      Divide(Cast(hp, DoubleType), Literal((1L << 56).toDouble))
+    })
 
   /** Register the SQL functions into an existing session (tests, REPLs). */
   def registerSql(spark: SparkSession): Unit =

@@ -64,6 +64,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("fb") - ImageCodec.meanBrightness(frame)) < 1e-12)
   }
 
+  test("registerSql: split_fraction callable from SQL, matches Sampling") {
+    GraftExtensions.registerSql(spark)
+    spark.range(0, 50).createOrReplaceTempView("ids")
+    val got = spark.sql(
+      "SELECT id, split_fraction(id) AS f, split_fraction(id, 'other') AS g FROM ids")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val want = graft.ops.Sampling
+    got.foreach { case (_, f, g) =>
+      assert(f >= 0.0 && f < 1.0 && g >= 0.0 && g < 1.0)
+    }
+    // matches the Column API bit-for-bit, and salts are independent
+    val api = spark.range(0, 50)
+      .select(org.apache.spark.sql.functions.col("id"),
+        want.splitFraction(org.apache.spark.sql.functions.col("id"), "split").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, f, g) => assert(api(id) === f); }
+    assert(got.count { case (_, f, g) => f != g } > 40)
+  }
+
   test("extensions object wires the strategy and all sql functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders total
@@ -71,6 +90,6 @@ class GraftExtensionsSpec extends SparkSpec {
       "decode_image", "mean_brightness", "intensity_histogram", "psnr", "resize_image",
       "minhash", "lsh_bands", "simhash", "hamming64",
       "decode_audio", "mean_amplitude", "zero_crossings", "frame_rms", "audio_psnr",
-      "frame_count", "sample_frames", "extract_frame"))
+      "frame_count", "sample_frames", "extract_frame", "split_fraction"))
   }
 }
