@@ -238,55 +238,89 @@ object TheoryQueries {
             (col("expected") + col("qoff"))).cast("int"))
         .withColumn("diff", abs(col("semitones")) - col("expected"))
         .withColumn("perf", col("s0").isin(0, 3, 4))
+      // qc/sc carried as SMALL INT codes (Q72Quals index / 0=repeated,
+      // 1=stepwise, 2=leap): the 55 conditional sums below compare these
+      // per buffer update, and with string codes the generated equality
+      // calls alone pushed the aggregate method past janino's 64 KB limit
+      def qcCode(name: String): Int = Q72Quals.indexWhere(_._1 == name)
       val qc = when(col("perf"),
-          when(col("diff") === 0, "perfect")
-            .when(col("diff") === 1, "augmented")
-            .when(col("diff") === 2, "double_augmented")
-            .when(col("diff") === -1, "diminished")
-            .when(col("diff") === -2, "double_diminished"))
+          when(col("diff") === 0, qcCode("perfect"))
+            .when(col("diff") === 1, qcCode("augmented"))
+            .when(col("diff") === 2, qcCode("double_augmented"))
+            .when(col("diff") === -1, qcCode("diminished"))
+            .when(col("diff") === -2, qcCode("double_diminished")))
         .otherwise(
-          when(col("diff") === 0, "major")
-            .when(col("diff") === -1, "minor")
-            .when(col("diff") === 1, "augmented")
-            .when(col("diff") === 2, "double_augmented")
-            .when(col("diff") === -2, "diminished")
-            .when(col("diff") === -3, "double_diminished"))
+          when(col("diff") === 0, qcCode("major"))
+            .when(col("diff") === -1, qcCode("minor"))
+            .when(col("diff") === 1, qcCode("augmented"))
+            .when(col("diff") === 2, qcCode("double_augmented"))
+            .when(col("diff") === -2, qcCode("diminished"))
+            .when(col("diff") === -3, qcCode("double_diminished")))
       val iv = derived.withColumn("qc", qc).where(col("qc").isNotNull).select(
         col("user_id"), col("semitones"), col("qc"),
-        when(col("g") === 1, "repeated").when(col("g") === 2, "stepwise")
-          .otherwise("leap").as("sc"),
+        when(col("g") === 1, 0).when(col("g") === 2, 1)
+          .otherwise(2).as("sc"),
         (abs(col("semitones")) <= 12).as("wo"))
-      val asc = col("semitones") > 0
-      val desc = col("semitones") < 0
-      val n = count(lit(1)).cast("double")
-      def cnt(cond: Column) = sum(when(cond, 1).otherwise(0)).cast("bigint")
+      // TWO chained hash aggregates (the q63/q82 shape): the previous
+      // single 55-aggregate battery ran the WHOLE event stream through one
+      // update method that janino refuses ("Code grows beyond 64 KB" —
+      // avg/stddev Welford buffers × wide predicates; splitAggregateFunc
+      // can't rescue it), so the full scan fell back to interpreted eval.
+      // Phase 1 rolls the stream up to ≤ |qc|·|sc|·2·3 cells per user
+      // carrying (count, Σs, Σs², min, max) — small enough to stay inside
+      // whole-stage codegen, and it is the only operator that touches
+      // event-stream volume. Phase 2 is plain conditional SUMS over the
+      // bounded cells (mean/std derived post-agg from the power sums —
+      // exact: semitones are small ints, so Σs/Σs² are exact integers in
+      // double, and r6's epsilon absorbs the last-bit difference vs a
+      // streaming stddev); its 43 buffers still exceed the 64 KB method
+      // limit, but the interpreted fallback now runs over ≤126 rows per
+      // user instead of every event — immaterial at any scale.
+      val cells = iv.groupBy(col("user_id"), col("qc"), col("sc"), col("wo"),
+          signum(col("semitones")).cast("int").as("dir"))
+        .agg(count(lit(1)).as("c"),
+          sum(col("semitones")).as("s"),
+          sum(col("semitones") * col("semitones")).as("ss"),
+          max(col("semitones")).as("mx"),
+          min(col("semitones")).as("mn"))
+      val asc = col("dir") === 1
+      val desc = col("dir") === -1
+      val n = sum(col("c")).cast("double")
+      def cnt(cond: Column) =
+        coalesce(sum(when(cond, col("c"))), lit(0L)).cast("bigint")
       def triple(pre: String, cond: Column) = Seq(
         cnt(cond && asc).as(s"${pre}_asc"),
         cnt(cond && desc).as(s"${pre}_desc"),
         cnt(cond).as(s"${pre}_all"),
         r6(cnt(cond) / n).as(s"${pre}_per"))
-      val qualAggs = Q72Quals.flatMap { case (q, pre) =>
-        triple(pre, col("qc") === q)
+      val qualAggs = Q72Quals.zipWithIndex.flatMap { case ((_, pre), code) =>
+        triple(pre, col("qc") === code)
       }
-      def dirStat(pre: String, cond: Column) = Seq(
-        r6(coalesce(avg(when(cond, col("semitones"))), lit(0.0))).as(s"${pre}_mean"),
-        r6(coalesce(nanvl(stddev_samp(when(cond, col("semitones"))), lit(0.0)),
-          lit(0.0))).as(s"${pre}_std"),
-        coalesce(sum(when(cond, col("semitones"))), lit(0L)).cast("bigint")
-          .as(s"${pre}_semi_sum"))
+      def dirStat(pre: String, cond: Column) = {
+        val cN = coalesce(sum(when(cond, col("c"))), lit(0L)).cast("double")
+        val sS = coalesce(sum(when(cond, col("s"))), lit(0L)).cast("double")
+        val sSS = coalesce(sum(when(cond, col("ss"))), lit(0L)).cast("double")
+        Seq(
+          r6(when(cN > 0, sS / cN).otherwise(0.0)).as(s"${pre}_mean"),
+          r6(when(cN >= 2,
+            sqrt(greatest(lit(0.0), (sSS - sS * sS / cN) / (cN - 1))))
+            .otherwise(0.0)).as(s"${pre}_std"),
+          coalesce(sum(when(cond, col("s"))), lit(0L)).cast("bigint")
+            .as(s"${pre}_semi_sum"))
+      }
       val aggs: Seq[Column] =
-        Seq(count(lit(1)).cast("bigint").as("n_intervals"),
-          cnt(col("sc") === "repeated").as("rep_all"),
-          r6(cnt(col("sc") === "repeated") / n).as("rep_per")) ++
-        triple("stw", col("sc") === "stepwise") ++
-        triple("leap", col("sc") === "leap") ++
+        Seq(sum(col("c")).cast("bigint").as("n_intervals"),
+          cnt(col("sc") === 0).as("rep_all"),
+          r6(cnt(col("sc") === 0) / n).as("rep_per")) ++
+        triple("stw", col("sc") === 1) ++
+        triple("leap", col("sc") === 2) ++
         triple("within_oct", col("wo")) ++
         triple("beyond_oct", !col("wo")) ++
         qualAggs ++
         dirStat("asc", asc) ++ dirStat("desc", desc) ++
-        Seq(max(when(asc, col("semitones"))).as("largest_asc_semi"),
-          min(when(desc, col("semitones"))).as("largest_desc_semi"))
-      iv.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+        Seq(max(when(asc, col("mx"))).as("largest_asc_semi"),
+          min(when(desc, col("mn"))).as("largest_desc_semi"))
+      cells.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
     }),
 
     // F5/harmony completion: chord-additions classing

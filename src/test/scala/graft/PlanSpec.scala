@@ -88,12 +88,19 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"$exchanges exchanges — entity partitioning lost:\n$plan")
   }
 
-  test("q72 interval-type battery: single hash aggregate, no window, no join") {
+  test("q72 interval-type battery: two chained hash aggregates, no window, no join") {
     val plan = planOf(SparkEntry.queries("q72_interval_types")(spark, sfDir))
     assert(plan.contains("HashAggregate"), s"not hash-aggregated:\n$plan")
     assert(!plan.contains("Window"), s"window crept into the battery:\n$plan")
     assert(!plan.contains("SortAggregate"), s"sort agg downgrade:\n$plan")
     assert(!plan.contains("Join"), s"join crept into the battery:\n$plan")
+    // the cell rollup must exist below the wide battery: the single-
+    // aggregate form ran the whole event stream through one >64 KB update
+    // method (janino refuses -> interpreted fallback on the full scan);
+    // with the rollup, only the bounded per-user cell set reaches the
+    // 43-buffer aggregate
+    assert("HashAggregate".r.findAllIn(plan).length >= 4, // partial+final x2
+      s"cell rollup missing below the battery:\n$plan")
   }
 
   test("q75 simhash: explode + ONE partial-aggregating hash agg, no UDF") {
