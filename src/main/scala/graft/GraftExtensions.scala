@@ -78,9 +78,9 @@ object GraftExtensions {
       }.getOrElse("split")
       val hex = Md5(Cast(Concat(Seq(
         Cast(args.head, StringType), Literal(":" + salt))), BinaryType))
-      val hp = Cast(Conv(Substring(hex, Literal(1), Literal(14)),
+      val hp = Cast(Conv(Substring(hex, Literal(1), Literal(13)),
         Literal(16), Literal(10)), LongType)
-      Divide(Cast(hp, DoubleType), Literal((1L << 56).toDouble))
+      Divide(Cast(hp, DoubleType), Literal((1L << 52).toDouble))
     })
 
   /** Register the SQL functions into an existing session (tests, REPLs). */

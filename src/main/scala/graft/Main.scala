@@ -70,13 +70,7 @@ object Main {
 
     // --split train:0.8,val:0.1,test:0.1 — deterministic per-entity split
     // column (Sampling.hashSplit) appended to the feature output
-    val split: Option[Seq[(String, Double)]] = opts.get("split").map { v =>
-      v.split(",").toSeq.map { p =>
-        val kv = p.split(":")
-        require(kv.length == 2, s"--split expects label:weight, got '$p'")
-        (kv(0), kv(1).toDouble)
-      }
-    }
+    val split: Option[Seq[(String, Double)]] = opts.get("split").map(parseSplitArg)
     // musif's native windowed mode from the CLI: --sliding <size>,<overlap>
     // emits one feature row per sliding event-window instead of per time
     // window (extract.py:416-464); lineage then keys on (entity, window_id)
@@ -104,24 +98,28 @@ object Main {
         if (rowThreshold < 1.0)
           PostProcessor.dropHighNullRows(feats, rowThreshold)
         else feats
+      // optional training split — BY ENTITY, not by row, so every window
+      // of an entity lands in the same split (a row-level split would leak
+      // seen entities into eval). Applied BEFORE the pinned-column logic:
+      // the pin file must capture 'split' so a resumed run that toggles
+      // --split fails loudly on the column select instead of silently
+      // writing mixed-schema partitions into the same outDir (the exact
+      // drift class the pin exists to prevent).
+      val withSplit = split match {
+        case Some(ws) => ops.Sampling.hashSplit(rowFiltered,
+          org.apache.spark.sql.functions.col("entity"), ws)
+        case None => rowFiltered
+      }
       val kept = pinned match {
         case Some(cols) =>
-          rowFiltered.select(cols.map(org.apache.spark.sql.functions.col): _*)
+          withSplit.select(cols.map(org.apache.spark.sql.functions.col): _*)
         case None =>
-          val d = PostProcessor.dropHighNullColumns(rowFiltered, cfg.maxNullColumnRatio,
-            protect = Seq("entity", "window_start"))
+          val d = PostProcessor.dropHighNullColumns(withSplit, cfg.maxNullColumnRatio,
+            protect = Seq("entity", "window_start", "split"))
           java.nio.file.Files.writeString(pinPath, d.columns.mkString("\n"))
           d
       }
-      val o = PostProcessor.ordered(kept, Seq("entity", "window_start"))
-      // optional training split — BY ENTITY, not by row, so every window
-      // of an entity lands in the same split (a row-level split would leak
-      // seen entities into eval)
-      split match {
-        case Some(ws) => ops.Sampling.hashSplit(o,
-          org.apache.spark.sql.functions.col("entity"), ws)
-        case None => o
-      }
+      PostProcessor.ordered(kept, Seq("entity", "window_start"))
     }
 
     val result = Lineage.runResumable(spark, images, "phash", "ts", cfg.lineageBuckets,
@@ -154,8 +152,15 @@ object Main {
     }
   }
 
+  private[graft] def parseSplitArg(v: String): Seq[(String, Double)] =
+    v.split(",").toSeq.map { p =>
+      val kv = p.split(":")
+      require(kv.length == 2, s"--split expects label:weight, got '$p'")
+      (kv(0), kv(1).toDouble)
+    }
+
   @annotation.tailrec
-  private def parseArgs(args: List[String], acc: Map[String, String]): Map[String, String] =
+  private[graft] def parseArgs(args: List[String], acc: Map[String, String]): Map[String, String] =
     args match {
       case "--images" :: v :: rest => parseArgs(rest, acc + ("images" -> v))
       case "--labels" :: v :: rest => parseArgs(rest, acc + ("labels" -> v))

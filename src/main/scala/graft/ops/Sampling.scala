@@ -14,14 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform-[0,1) fraction from the md5-56 of `id || ':' || salt` — the
+  /** Uniform-[0,1) fraction from the md5-52 of `id || ':' || salt` — the
     * split coordinate. Pure expression: reproducible across runs, cluster
-    * sizes, and engines (md5 is DuckDB-mirrorable, and hp / 2^56 is exact
-    * in double, so threshold comparisons can never straddle engines).
-    * Re-hashing with a different salt yields an independent split. */
+    * sizes, and engines (md5 is DuckDB-mirrorable). 13 hex chars = 52
+    * bits, NOT more: a 52-bit integer is exact in double and hp/2^52 is
+    * strictly below 1.0, whereas a 56-bit value near the top of the range
+    * rounds UP to 2^56 in the long→double cast and the fraction lands
+    * exactly on 1.0, violating [0,1). Re-hashing with a different salt
+    * yields an independent split. */
   def splitFraction(id: Column, salt: String): Column =
-    conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 14), 16, 10)
-      .cast("long").cast("double") / lit((1L << 56).toDouble)
+    conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit((1L << 52).toDouble)
 
   /** Deterministic hash split: adds a `split` column with the first label
     * whose cumulative weight share exceeds the row's [[splitFraction]].
@@ -37,9 +40,10 @@ object Sampling {
   }
 
   /** The CASE chain over precomputed cumulative thresholds — exposed so an
-    * oracle can interpolate the SAME Scala-computed partial sums (0.8 + 0.1
-    * is 0.9000000000000001 in double; a hand-written 0.9 would disagree on
-    * ~1e-16 of rows). */
+    * oracle can interpolate the SAME Scala-computed partial sums: for
+    * weights whose running sums aren't exactly representable (1/3, 0.7+0.2,
+    * …) a hand-written decimal threshold would disagree with the engine's
+    * double by ~1e-16, misclassifying the rare row that lands in the gap. */
   def cumulativeShares(weights: Seq[(String, Double)]): Seq[Double] = {
     val total = weights.map(_._2).sum
     weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)

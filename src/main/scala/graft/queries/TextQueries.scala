@@ -200,11 +200,12 @@ object TextQueries {
 
     // Deterministic hash split: the corpus-sampling op every training run
     // starts with — split = first label whose cumulative weight share
-    // exceeds md5-56(id || ':' || salt)/2^56. Pure per-row expression, no
-    // RNG state, no shuffle; stable by id so a grown corpus never moves an
-    // existing row across the eval boundary. Oracle thresholds are the
-    // SAME Scala-computed partial sums (0.8 + 0.1 is 0.9000000000000001 in
-    // double — a hand-written 0.9 would disagree on ~1e-16 of rows).
+    // exceeds md5-52(id || ':' || salt)/2^52 (52 bits: exact in double and
+    // strictly < 1.0 — see Sampling.splitFraction). Pure per-row
+    // expression, no RNG state, no shuffle; stable by id so a grown corpus
+    // never moves an existing row across the eval boundary. Oracle
+    // thresholds interpolate the SAME Scala-computed partial sums so
+    // non-representable running sums can't straddle engines.
     "q88_hash_split" -> ((s, dir) =>
       graft.ops.Sampling.hashSplit(
         t(s, dir, "documents").select(col("doc_id")),
@@ -486,8 +487,8 @@ object TextQueries {
         s"""SELECT doc_id,
            | CASE $cases ELSE '${SplitWeights.last._1}' END AS split
            |FROM (SELECT doc_id,
-           |  ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 14))::BIGINT
-           |    / 72057594037927936.0 AS f
+           |  ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 13))::BIGINT
+           |    / 4503599627370496.0 AS f
            | FROM documents) t""".stripMargin
       },
 

@@ -9,7 +9,9 @@ import org.apache.spark.sql.types.StructType
   * a schema'd read-back round-trips exactly. */
 object CsvSink {
 
-  private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+  // shared with TableSource's csv: reader so the round-trip convention has
+  // exactly one definition
+  private[sources] val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
 
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")

@@ -36,11 +36,14 @@ object TableSource {
       case s if s.startsWith("csv:") =>
         // header'd + CsvSink timestamp convention; schema inferred unless
         // forwarded via option:... (inference costs one extra pass — pass an
-        // explicit schema through options for production reads)
-        reader.option("header", "true")
-          .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
-          .option("inferSchema", opts.collectFirst {
-            case ("inferSchema", v) => v }.getOrElse("true"))
+        // explicit schema through options for production reads). Defaults
+        // are applied FIRST so any user-forwarded option: overrides them
+        // (DataFrameReader is last-set-wins).
+        val defaults = Seq("header" -> "true",
+          "timestampFormat" -> CsvSink.TsFormat, "inferSchema" -> "true")
+        opts.foldLeft(defaults.foldLeft(spark.read) {
+          case (r, (k, v)) => r.option(k, v)
+        }) { case (r, (k, v)) => r.option(k, v) }
           .csv(s.stripPrefix("csv:"))
       case s if s.startsWith("json:") => reader.json(s.stripPrefix("json:"))
       case s if s.startsWith("orc:") => reader.orc(s.stripPrefix("orc:"))

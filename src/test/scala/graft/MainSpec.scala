@@ -40,6 +40,15 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === n1)
   }
 
+  test("--split CLI plumbing: parseArgs routes the flag, parseSplitArg parses weights") {
+    assert(Main.parseArgs(List("--split", "train:0.8,val:0.1,test:0.1"), Map.empty)
+      === Map("split" -> "train:0.8,val:0.1,test:0.1"))
+    assert(Main.parseSplitArg("train:0.8,val:0.1,test:0.1")
+      === Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    intercept[IllegalArgumentException](Main.parseSplitArg("train=0.8"))
+    intercept[NumberFormatException](Main.parseSplitArg("train:lots"))
+  }
+
   test("--split: per-entity training split — all windows of an entity share one label") {
     val cfg = pipeline.GraftConfig()
     val images = sources.SynthImages.images(spark, 1500, 16)
