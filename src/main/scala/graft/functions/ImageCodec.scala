@@ -134,6 +134,39 @@ object ImageCodec {
     out
   }
 
+  /** Average-hash (aHash) perceptual fingerprint: nearest-neighbor sample
+    * to an 8x8 grid (the `resize` index arithmetic), then bit i is set iff
+    * sample i is strictly above the grid mean. The comparison is kept in
+    * exact integer space (px*64 > sum) so a DuckDB mirror replaying the
+    * same stored bytes composes the identical 64-bit value. Short payloads
+    * hash to 0 (total on corrupt input, like the other codec functions). */
+  def aHash64(bytes: Array[Byte]): Long = {
+    val w = width(bytes); val h = height(bytes)
+    if (w <= 0 || h <= 0 || bytes.length < HeaderLen + w * h) return 0L
+    val s = new Array[Int](64)
+    var sum = 0
+    var y = 0
+    while (y < 8) {
+      val sy = math.min(h - 1, y * h / 8)
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(w - 1, x * w / 8)
+        val p = bytes(HeaderLen + sy * w + sx) & 0xff
+        s(y * 8 + x) = p
+        sum += p
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (s(i) * 64 > sum) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
   /** 16-bin intensity histogram (normalized shares). */
   def intensityHistogram(bytes: Array[Byte]): Array[Double] = {
     val px = decode(bytes)

@@ -19,6 +19,7 @@ object ImageExprHelpers {
   def brightness(bytes: Array[Byte]): Double = ImageCodec.meanBrightness(bytes)
   def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
     ImageCodec.resize(bytes, w, h)
+  def ahash(bytes: Array[Byte]): Long = ImageCodec.aHash64(bytes)
 }
 
 /** decode(bytes) -> array<int> pixels. Graft analog of musif's per-file
@@ -73,6 +74,19 @@ case class ResizeImage(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** ahash64(bytes) -> bigint average-hash perceptual fingerprint — the
+  * payload-derived analog of the input table's `phash` column; the key the
+  * image near-dup stage (q91) bands and joins on. */
+case class AHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    ImageExprHelpers.ahash(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageExprHelpers.ahash($c)")
+  override protected def withNewChildInternal(c: Expression): AHash64 = copy(child = c)
+}
+
 case class IntensityHistogram(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -96,4 +110,6 @@ object ImageFunctions {
       ColumnBridge.expression(c), ColumnBridge.expression(w), ColumnBridge.expression(h)))
   def intensity_histogram(c: Column): Column =
     ColumnBridge.column(IntensityHistogram(ColumnBridge.expression(c)))
+  def ahash64(c: Column): Column =
+    ColumnBridge.column(AHash64(ColumnBridge.expression(c)))
 }

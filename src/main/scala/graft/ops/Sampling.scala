@@ -88,4 +88,35 @@ object Sampling {
       .where(col("rank") <= k)
       .drop("__salt")
   }
+
+  /** Training-sequence packing (the GPT-style pack-and-chunk pretraining
+    * layout): concatenate each hash-bucket's document stream in id order
+    * and cut every `budget` tokens. Adds `bucket` (md5-56 of the id mod
+    * `nBuckets` — cross-engine reproducible, id-stable), `pack_id` /
+    * `pack_offset` (where the doc's token stream starts), and `n_chunks`
+    * (how many budget-sized chunks the doc spans; 0 for empty docs).
+    *
+    * All arithmetic is exact-integer (`div`, not floating floor). Scale
+    * shape: ONE running-sum window per bucket — bucket count is the
+    * parallelism knob (set it ≈ shuffle width at scale); no global sort,
+    * no driver state, and a grown corpus only ever appends to the tail of
+    * each bucket's existing packs (ids hash to stable buckets). */
+  def packSequences(df: DataFrame, id: Column, tokens: Column,
+                    nBuckets: Int, budget: Long): DataFrame = {
+    require(nBuckets > 0 && budget > 0,
+      "packSequences needs nBuckets > 0 and budget > 0")
+    val w = Window.partitionBy(col("bucket")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("bucket",
+        pmod(conv(substring(md5(id.cast("string")), 1, 14), 16, 10)
+          .cast("long"), lit(nBuckets.toLong)))
+      .withColumn("__toks", tokens.cast("long"))
+      .withColumn("__start", coalesce(sum(col("__toks")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"__start div $budget"))
+      .withColumn("pack_offset", pmod(col("__start"), lit(budget)))
+      .withColumn("n_chunks", when(col("__toks") === 0, lit(0L)).otherwise(
+        expr(s"(__start + __toks - 1) div $budget") -
+          col("pack_id") + 1L))
+      .drop("__toks", "__start")
+  }
 }

@@ -250,7 +250,90 @@ object EngineQueries {
         conv(substring(hex(rz), 9, 4), 16, 10).cast("int").as("rz_w"),
         conv(substring(hex(rz), 13, 4), 16, 10).cast("int").as("rz_h"),
         r6(ImageFunctions.mean_brightness(rz)).as("rz_mean"))
+    }),
+
+    // IMAGE near-dup via perceptual hashing — the payload-side analog of
+    // the text MinHash family, and the op the north star's "duplicate phash
+    // cluster" skew story starts from: aHash64 (codegen'd Catalyst expr —
+    // 8x8 nearest-neighbor sample of the stored bytes, bit = px above grid
+    // mean in exact integer space) banded into 4 x 16-bit LSH buckets and
+    // self-joined. Pigeonhole gives the banding 100% candidate recall at
+    // hamming <= 3 (a pair differing in <= 3 bits cannot differ in all 4
+    // bands), so the exact-hamming verify after the band join makes the
+    // result set DETERMINISTIC — the DuckDB oracle computes ALL pairs at
+    // hamming <= 3 by re-deriving the same 64 samples from the same stored
+    // blobs via hex slicing (q87's index arithmetic), and a hash match
+    // proves the banded path lost nothing. Near-dups injected by byte
+    // surgery (pixel (0,0) forced to 0xFF: flips that bit + any
+    // mean-borderline bits, typically hamming 1-3); corpus bounded
+    // (img < 2000) so the oracle's all-pairs side stays feasible while the
+    // Spark side keeps the banded+salted scale formulation.
+    "q91_phash_neardup" -> ((s, dir) => ahashPairs(ahashCorpus(s), 3)),
+
+    // IMAGE dedup clusters — the step after q91's pairs: connected
+    // components over the tight near-dup graph (hamming <= 1; components
+    // stay small and semantically "same image"), min-id representative per
+    // component, and a kept flag for EVERY corpus image (the drop set is
+    // the complement — Dedup.dropClusteredDuplicates' semantics surfaced
+    // as a labeled table). Pigeonhole makes the hamming <= 1 edge set
+    // deterministic through the banded path, so the DuckDB recursive-CTE
+    // closure over all-pairs edges is an exact oracle (the q85 pattern on
+    // the image leg).
+    "q95_image_dedup" -> ((s, dir) => {
+      val hashed = ahashCorpus(s)
+      val edges = ahashPairs(hashed, 1)
+        .select(col("d1").as("a"), col("d2").as("b"))
+      val cc = graft.ops.Dedup.connectedComponents(edges)
+        .withColumnRenamed("id", "img")
+      hashed.join(cc, Seq("img"), "left")
+        .select(col("img"),
+          coalesce(col("cluster_rep"), col("img")).as("rep"),
+          (coalesce(col("cluster_rep"), col("img")) === col("img")).as("kept"))
     }))
+
+  /** The q91/q95 image corpus: 2000 synthesized images + byte-surgery
+    * near-dups (pixel (0,0) forced to 0xFF) for every img % 25 == 0,
+    * reduced to (img, aHash64). */
+  private def ahashCorpus(s: org.apache.spark.sql.SparkSession) = {
+    val base = SynthImages.images(s, 2000, 64)
+      .select(substring(col("image_id"), 4, 12).cast("long").as("img"),
+        col("bytes"))
+    val dups = base.where(pmod(col("img"), lit(25)) === 0)
+      .select((col("img") + 1000000L).as("img"),
+        concat(substring(col("bytes"), 1, 8),
+          lit(Array(0xFF.toByte)),
+          substring(col("bytes"), 10, Int.MaxValue)).as("bytes"))
+    base.unionByName(dups)
+      .select(col("img"), ImageFunctions.ahash64(col("bytes")).as("ah"))
+  }
+
+  /** Banded aHash self-join: 4 x 16-bit LSH bands over the 64-bit hash
+    * (pigeonhole: any pair at hamming <= 3 shares a band, so for
+    * maxHamming <= 3 the candidate stage has 100% recall and the exact
+    * bit_count verify makes the pair set deterministic). Cap 1024 cannot
+    * activate at this corpus size (gradient-correlated hashes put ~230
+    * images in the densest band bucket), so no candidate is ever
+    * salt-split away; at scale the same cap bounds degenerate buckets. */
+  private def ahashPairs(hashed: org.apache.spark.sql.DataFrame,
+                         maxHamming: Int) = {
+    val banded = hashed.select(col("img"), col("ah"),
+      explode(array((0 until 4).map(i =>
+        lit(i.toLong * 65536L) +
+          shiftright(col("ah"), 16 * i).bitwiseAND(lit(0xFFFFL))): _*))
+        .as("bucket"))
+    val salted = Vectors.saltBuckets(banded, "bucket", "img",
+      cap = 1024, broadcastSizes = true)
+    val a = salted.select(col("bucket"), col("__salt"),
+      col("img").as("d1"), col("ah").as("a1"))
+    val b = salted.select(col("bucket"), col("__salt"),
+      col("img").as("d2"), col("ah").as("a2"))
+    a.join(b, Seq("bucket", "__salt"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("a1").bitwiseXOR(col("a2"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
 
   val oracles: Map[String, String] = Map(
     "q84_video_frames" ->
@@ -315,6 +398,82 @@ object EngineQueries {
         | px.n_px AS n_pixels,
         | round(px.px_sum::DOUBLE / px.n_px + 3.7e-10, 6) AS mean_px
         |FROM im JOIN px USING (image_id)""".stripMargin,
+
+    // all pairs at exact aHash hamming <= 3 over the same stored bytes —
+    // the banded Spark path must surface every one (pigeonhole recall)
+    "q91_phash_neardup" ->
+      """WITH im AS (
+        | SELECT substr(image_id, 4)::BIGINT AS img, w, h, hex(bytes) AS hx
+        | FROM read_parquet('__SYNTH_DIR__/images/*.parquet')
+        | WHERE substr(image_id, 4)::BIGINT < 2000),
+        |base AS (
+        | SELECT img, w, h, hx, false AS dup FROM im
+        | UNION ALL
+        | SELECT img + 1000000 AS img, w, h, hx, true AS dup
+        | FROM im WHERE img % 25 = 0),
+        |s AS (
+        | SELECT img,
+        |  [CASE WHEN dup AND i = 0 THEN 255
+        |    ELSE ('0x' || substr(hx, 17 + 2*(least(h - 1, (i // 8) * h // 8) * w
+        |            + least(w - 1, (i % 8) * w // 8)), 2))::INT END
+        |   for i in range(0, 64)] AS px
+        | FROM base),
+        |m AS (SELECT img, px, list_sum(px) AS sm FROM s),
+        |hsh AS (
+        | SELECT img,
+        |  list_sum([(px[i + 1] * 64 > sm)::BIGINT * (1::BIGINT << i)
+        |    for i in range(0, 32)]) AS lo,
+        |  list_sum([(px[i + 33] * 64 > sm)::BIGINT * (1::BIGINT << i)
+        |    for i in range(0, 32)]) AS hi
+        | FROM m),
+        |p AS (
+        | SELECT a.img AS d1, c.img AS d2,
+        |  (bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)))::INT AS hamming
+        | FROM hsh a JOIN hsh c ON a.img < c.img)
+        |SELECT d1, d2, hamming FROM p WHERE hamming <= 3""".stripMargin,
+
+    // the q91 hash pipeline + recursive-CTE transitive closure over the
+    // exact hamming <= 1 edge set -> same min-reachable-id labels + kept
+    // flags the Spark connectedComponents path produces
+    "q95_image_dedup" ->
+      """WITH RECURSIVE im AS (
+        | SELECT substr(image_id, 4)::BIGINT AS img, w, h, hex(bytes) AS hx
+        | FROM read_parquet('__SYNTH_DIR__/images/*.parquet')
+        | WHERE substr(image_id, 4)::BIGINT < 2000),
+        |base AS (
+        | SELECT img, w, h, hx, false AS dup FROM im
+        | UNION ALL
+        | SELECT img + 1000000 AS img, w, h, hx, true AS dup
+        | FROM im WHERE img % 25 = 0),
+        |s AS (
+        | SELECT img,
+        |  [CASE WHEN dup AND i = 0 THEN 255
+        |    ELSE ('0x' || substr(hx, 17 + 2*(least(h - 1, (i // 8) * h // 8) * w
+        |            + least(w - 1, (i % 8) * w // 8)), 2))::INT END
+        |   for i in range(0, 64)] AS px
+        | FROM base),
+        |m AS (SELECT img, px, list_sum(px) AS sm FROM s),
+        |hsh AS (
+        | SELECT img,
+        |  list_sum([(px[i + 1] * 64 > sm)::BIGINT * (1::BIGINT << i)
+        |    for i in range(0, 32)]) AS lo,
+        |  list_sum([(px[i + 33] * 64 > sm)::BIGINT * (1::BIGINT << i)
+        |    for i in range(0, 32)]) AS hi
+        | FROM m),
+        |p AS (
+        | SELECT a.img AS d1, c.img AS d2
+        | FROM hsh a JOIN hsh c ON a.img < c.img
+        | WHERE bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) <= 1),
+        |sym AS (SELECT d1 AS a, d2 AS b FROM p
+        |        UNION ALL SELECT d2 AS a, d1 AS b FROM p),
+        |reach AS (
+        | SELECT DISTINCT a AS id, a AS lbl FROM sym
+        | UNION
+        | SELECT s.a AS id, r.lbl FROM sym s JOIN reach r ON r.id = s.b),
+        |lab AS (SELECT id, min(lbl) AS cluster_rep FROM reach GROUP BY id)
+        |SELECT h.img, coalesce(l.cluster_rep, h.img) AS rep,
+        | (coalesce(l.cluster_rep, h.img) = h.img) AS kept
+        |FROM hsh h LEFT JOIN lab l ON l.id = h.img""".stripMargin,
 
     "q87_resize_fidelity" ->
       """WITH im AS (

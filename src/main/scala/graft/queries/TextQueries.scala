@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Text, TextFunctions}
 import graft.ops.Stats
@@ -296,7 +297,94 @@ object TextQueries {
         .agg(count(lit(1)).cast("long").as("cluster_size"))
       cc.join(sizes, Seq("cluster_rep"))
         .select(col("id").as("doc_id"), col("cluster_rep"), col("cluster_size"))
-    }))
+    }),
+
+  // Gopher-style within-document repetition signals — the quality family's
+  // missing leg (q37 scores length/diversity; this scores REPETITION): the
+  // distinct-token ratio, the share of 2-gram occurrences taken by the most
+  // frequent 2-gram, and the share of 3-gram occurrences whose gram repeats
+  // (the "fraction of characters in duplicate n-grams" rule, token-counted).
+  // Shape: explode -> (doc, gram) hash agg -> (doc) hash agg — partial agg
+  // combines the gram explosion map-side, so the shape scales; no windows.
+  "q92_repetition" -> ((s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), Text.normText(col("text")).as("nt"))
+      .where(length(col("nt")) > 0)
+      .select(col("doc_id"), split(col("nt"), " ").as("ts"))
+    def grams(n: Int) = d.where(size(col("ts")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ts")) - n),
+          i => concat_ws(" ", (0 until n).map(j =>
+            element_at(col("ts"), i + lit(j + 1))): _*))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val g2 = grams(2).groupBy("doc_id")
+      .agg(max(col("c")).as("top2"), sum(col("c")).as("n2"))
+    val g3 = grams(3).groupBy("doc_id")
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3"),
+        sum(col("c")).as("n3"))
+    d.join(g2, Seq("doc_id"), "left").join(g3, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
+        r6(size(array_distinct(col("ts"))).cast("double") / size(col("ts")))
+          .as("distinct_ratio"),
+        r6(coalesce(col("top2").cast("double") / col("n2"), lit(0.0)))
+          .as("top2gram_frac"),
+        r6(coalesce(col("dup3").cast("double") / col("n3"), lit(0.0)))
+          .as("dup3gram_frac"))
+  }),
+
+  // PII scrub: the redaction pass a web-scale corpus runs before training.
+  // Deterministic PII (email + phone + IP built from the doc id) is
+  // injected by BOTH engines into doc_id % 13 == 0 rows, then counted and
+  // replaced in the order email -> IP -> phone (emails and IPs contain
+  // digit runs, so the order is load-bearing). Patterns are RE2-safe so
+  // Java regex and DuckDB agree; the scrub is verified by md5 fingerprint
+  // of the redacted text, not just counts. Pure per-row codegen'd
+  // expressions — no shuffle at all.
+  "q93_pii_scrub" -> ((s, dir) => {
+    val pii = concat(lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.org or call 555"),
+      lpad(pmod(col("doc_id") * 7, lit(10000L)).cast("string"), 4, "0"),
+      lit("99 from 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+      lit(".7"))
+    val txt = when(pmod(col("doc_id"), lit(13L)) === 0,
+      concat(Text.normText(col("text")), pii))
+      .otherwise(Text.normText(col("text")))
+    val email = PiiEmail
+    val ip = PiiIp
+    val phone = PiiPhone
+    val scrubbed = regexp_replace(
+      regexp_replace(regexp_replace(txt, email, "<EMAIL>"), ip, "<IP>"),
+      phone, "<PHONE>")
+    t(s, dir, "documents").select(col("doc_id"),
+      size(regexp_extract_all(txt, lit(email), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(txt, lit(ip), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(txt, lit(phone), lit(0))).cast("long").as("n_phones"),
+      length(scrubbed).cast("long").as("scrub_len"),
+      md5(scrubbed).as("scrub_fp"))
+  }),
+
+  // Training-sequence packing: concatenate each hash-bucket's doc stream
+  // and cut every B=256 tokens (sized so the sf0.01 corpus genuinely crosses pack boundaries) (the GPT-style pack-and-chunk pretraining
+  // layout) — each doc gets its pack id, offset in the pack, and how many
+  // chunk boundaries it straddles. All arithmetic is exact-integer (div,
+  // not floating floor) so both engines agree bit-for-bit. Scale shape:
+  // ONE window per hash bucket (bucket count = shuffle width at scale), a
+  // running sum over rows — no global sort, no driver state.
+  "q94_seq_pack" -> ((s, dir) => {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      Text.tokenCount(col("text")).cast("long").as("toks"))
+    graft.ops.Sampling.packSequences(d, col("doc_id"), col("toks"),
+        nBuckets = 32, budget = 256)
+      .select(col("doc_id"), col("bucket"), col("toks"),
+        col("pack_id"), col("pack_offset"), col("n_chunks"))
+  }))
+
+  /** PII patterns shared verbatim by the Spark side and the DuckDB oracle
+    * (RE2-safe: no backrefs/lookaround, so Java regex and RE2 agree). */
+  private[queries] final val PiiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[queries] final val PiiIp =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private[queries] final val PiiPhone = "[0-9]{7,}"
 
   /** Split weights shared by q88's Spark side and its oracle — one Seq so
     * the cumulative thresholds agree bit-for-bit. */
@@ -321,6 +409,75 @@ object TextQueries {
   val oracles: Map[String, String] = {
     val norm = sqlNorm("text")
     Map(
+      "q92_repetition" ->
+        s"""WITH d AS (
+           | SELECT doc_id, string_split(nt, ' ') AS ts
+           | FROM (SELECT doc_id, $norm AS nt FROM documents)
+           | WHERE length(nt) > 0),
+           |e2 AS (
+           | SELECT doc_id,
+           |  unnest([ts[i+1] || ' ' || ts[i+2] for i in range(0, len(ts) - 1)]) AS g
+           | FROM d WHERE len(ts) >= 2),
+           |c2 AS (SELECT doc_id, g, count(*) AS c FROM e2 GROUP BY 1, 2),
+           |g2 AS (SELECT doc_id, max(c) AS top2, sum(c) AS n2 FROM c2 GROUP BY 1),
+           |e3 AS (
+           | SELECT doc_id,
+           |  unnest([ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+           |    for i in range(0, len(ts) - 2)]) AS g
+           | FROM d WHERE len(ts) >= 3),
+           |c3 AS (SELECT doc_id, g, count(*) AS c FROM e3 GROUP BY 1, 2),
+           |g3 AS (SELECT doc_id,
+           |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3, sum(c) AS n3
+           | FROM c3 GROUP BY 1)
+           |SELECT d.doc_id, len(ts)::BIGINT AS n_tokens,
+           | round(len(list_distinct(ts))::DOUBLE / len(ts) + 3.7e-10, 6) AS distinct_ratio,
+           | round(coalesce(top2::DOUBLE / n2, 0) + 3.7e-10, 6) AS top2gram_frac,
+           | round(coalesce(dup3::DOUBLE / n3, 0) + 3.7e-10, 6) AS dup3gram_frac
+           |FROM d LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)""".stripMargin,
+
+      "q93_pii_scrub" ->
+        s"""WITH base AS (
+           | SELECT doc_id,
+           |  CASE WHEN doc_id % 13 = 0 THEN $norm || ' contact user' ||
+           |    doc_id::VARCHAR || '@mail.example.org or call 555' ||
+           |    lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') ||
+           |    '99 from 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+           |   ELSE $norm END AS txt
+           | FROM documents),
+           |s AS (
+           | SELECT doc_id, txt,
+           |  regexp_replace(regexp_replace(regexp_replace(txt,
+           |    '$PiiEmail', '<EMAIL>', 'g'),
+           |    '$PiiIp', '<IP>', 'g'),
+           |    '$PiiPhone', '<PHONE>', 'g') AS scrubbed
+           | FROM base)
+           |SELECT doc_id,
+           | len(regexp_extract_all(txt, '$PiiEmail'))::BIGINT AS n_emails,
+           | len(regexp_extract_all(txt, '$PiiIp'))::BIGINT AS n_ips,
+           | len(regexp_extract_all(txt, '$PiiPhone'))::BIGINT AS n_phones,
+           | length(scrubbed)::BIGINT AS scrub_len,
+           | md5(scrubbed) AS scrub_fp
+           |FROM s""".stripMargin,
+
+      "q94_seq_pack" ->
+        s"""WITH d AS (
+           | SELECT doc_id,
+           |  (CASE WHEN length($norm) = 0 THEN 0
+           |    ELSE len(string_split($norm, ' ')) END)::BIGINT AS toks,
+           |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT % 32 AS bucket
+           | FROM documents),
+           |w AS (
+           | SELECT doc_id, bucket, toks,
+           |  coalesce(sum(toks) OVER (PARTITION BY bucket ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+           | FROM d)
+           |SELECT doc_id, bucket, toks,
+           | (start_tok // 256)::BIGINT AS pack_id,
+           | (start_tok % 256)::BIGINT AS pack_offset,
+           | (CASE WHEN toks = 0 THEN 0
+           |   ELSE ((start_tok + toks - 1) // 256) - (start_tok // 256) + 1
+           |  END)::BIGINT AS n_chunks
+           |FROM w""".stripMargin,
       "q34_token_count" ->
         s"""SELECT doc_id,
            | (CASE WHEN length($norm) = 0 THEN 0

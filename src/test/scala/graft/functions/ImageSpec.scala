@@ -65,4 +65,48 @@ class ImageSpec extends SparkSpec {
       assert(r.getAs[Double]("p") === 99.0)
     }
   }
+
+  test("aHash64: bits match the resize path; corrupt input hashes to 0") {
+    for (seed <- 0L until 20L; (w, h) <- Seq((8, 8), (12, 9), (32, 17))) {
+      val bytes = ImageCodec.encode(seed, w, h, lossy = seed % 2 == 0)
+      val hash = ImageCodec.aHash64(bytes)
+      // independent reference: the documented semantics via the resize
+      // operator — sample to 8x8 (same index arithmetic), bit = px above
+      // the integer grid mean
+      val s = ImageCodec.decode(ImageCodec.resize(bytes, 8, 8))
+      val sum = s.sum
+      val expected = (0 until 64).foldLeft(0L) { (acc, i) =>
+        if (s(i) * 64 > sum) acc | (1L << i) else acc
+      }
+      assert(hash === expected, s"seed=$seed w=$w h=$h")
+    }
+    // total on corrupt payloads (error-channel rows flow through the same
+    // codegen'd expressions before being split off)
+    assert(ImageCodec.aHash64(Array.empty[Byte]) === 0L)
+    assert(ImageCodec.aHash64(Array[Byte](1, 2, 3)) === 0L)
+    assert(ImageCodec.aHash64(
+      ImageCodec.encode(1L, 4, 4, lossy = false).take(10)) === 0L)
+  }
+
+  test("aHash64 expression: parity with codec, small hamming on a near-dup") {
+    val df = Seq(0L, 1L, 2L, 3L).map { seed =>
+      (seed, ImageCodec.encode(seed, 16, 16, lossy = false))
+    }.toDF("seed", "bytes")
+    val rows = df.select(col("seed"),
+        ImageFunctions.ahash64(col("bytes")).as("ah"),
+        // byte surgery on pixel (0,0) — the q91 near-dup injection
+        ImageFunctions.ahash64(concat(
+          substring(col("bytes"), 1, 8),
+          lit(Array(0xFF.toByte)),
+          substring(col("bytes"), 10, Int.MaxValue))).as("ah_dup"))
+      .collect()
+    rows.foreach { r =>
+      val seed = r.getAs[Long]("seed")
+      val exp = ImageCodec.aHash64(ImageCodec.encode(seed, 16, 16, lossy = false))
+      assert(r.getAs[Long]("ah") === exp, s"seed=$seed")
+      // flipping one sampled pixel moves the hash by only a few bits
+      val d = java.lang.Long.bitCount(r.getAs[Long]("ah") ^ r.getAs[Long]("ah_dup"))
+      assert(d >= 1 && d <= 8, s"seed=$seed hamming=$d")
+    }
+  }
 }

@@ -53,6 +53,48 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: chunk boundaries match a straight-line reference") {
+    // single bucket so the packing order (by id) is fully determined
+    val toks = Seq(4L, 5L, 3L, 12L, 0L, 7L, 10L, 1L)
+    val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "toks")
+    val got = Sampling.packSequences(df, col("id"), col("toks"),
+        nBuckets = 1, budget = 10)
+      .orderBy("id")
+      .select("id", "pack_id", "pack_offset", "n_chunks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference: running start offset, straight-line arithmetic
+    var start = 0L
+    val expected = toks.zipWithIndex.map { case (t, i) =>
+      val packId = start / 10
+      val off = start % 10
+      val chunks = if (t == 0) 0L else (start + t - 1) / 10 - packId + 1
+      start += t
+      (i.toLong, packId, off, chunks)
+    }
+    assert(got.toSeq === expected)
+    // doc 3 (12 tokens starting at offset 2 of pack 1) straddles 2 chunks
+    assert(got(3) === ((3L, 1L, 2L, 2L)))
+    // empty doc spans no chunks but holds its position
+    assert(got(4) === ((4L, 2L, 4L, 0L)))
+  }
+
+  test("packSequences: bucket assignment is id-stable under corpus growth") {
+    val small = Sampling.packSequences(
+      spark.range(0, 200).toDF("id").withColumn("toks", lit(5L)),
+      col("id"), col("toks"), nBuckets = 8, budget = 50)
+      .select("id", "bucket", "pack_id", "pack_offset")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // appending ids 200.. must not move any existing id's bucket, and ids
+    // that sort after the old tail must not disturb existing pack layout
+    val grown = Sampling.packSequences(
+      spark.range(0, 400).toDF("id").withColumn("toks", lit(5L)),
+      col("id"), col("toks"), nBuckets = 8, budget = 50)
+      .select("id", "bucket", "pack_id", "pack_offset")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    small.foreach { case (id, v) => assert(grown(id) === v, s"id=$id moved") }
+  }
+
   test("decontaminate: drops exactly the fingerprint-sharing candidates") {
     val candidates = Seq(
       (1L, Seq("a", "b")),   // shares "b" with eval -> dropped
