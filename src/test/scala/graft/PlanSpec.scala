@@ -204,6 +204,41 @@ class PlanSpec extends SparkSpec {
       s"brightness computed above the as-of join (bytes shuffled):\n$plan")
   }
 
+  test("q91 phash near-dup: ahash codegen'd, no cartesian, hash-agg dedup") {
+    val plan = planOf(SparkEntry.queries("q91_phash_neardup")(spark, sfDir))
+    // the hash is the Catalyst expression, never a UDF (the only UDF in
+    // the plan is SynthImages' synthesis encoder, a test-harness input)
+    assert(plan.contains("ahash64("), s"aHash expression missing:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pair stage degenerated to a cross product:\n$plan")
+  }
+
+  test("q92 repetition: gram explode feeds partial-aggregating hash aggs") {
+    val plan = planOf(SparkEntry.queries("q92_repetition")(spark, sfDir))
+    // two-level (doc, gram) -> (doc) rollup must be hash aggregates with a
+    // map-side partial pass, never a windowed sort over the gram stream
+    assert("partial_(max|count|sum)".r.findFirstIn(plan).isDefined,
+      s"no partial aggregation below the gram exchange:\n$plan")
+    assert(!plan.contains("Window"), s"window sneaked into the rollup:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"hash agg downgraded:\n$plan")
+  }
+
+  test("q93 pii scrub is shuffle-free per-row work") {
+    val plan = planOf(SparkEntry.queries("q93_pii_scrub")(spark, sfDir))
+    assert(!plan.contains("Exchange"), s"scrub shuffles:\n$plan")
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"),
+      s"no codegen span:\n$plan")
+  }
+
+  test("q94 packing: one bucket exchange, running sum over rows") {
+    val plan = planOf(SparkEntry.queries("q94_seq_pack")(spark, sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one bucket exchange, got $exchanges:\n$plan")
+    assert(plan.contains("Window"), s"running sum missing:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort in the packing path:\n$plan")
+  }
+
   test("image expressions run inside whole-stage codegen") {
     val df = SynthImages.images(spark, 50, 4)
       .select(graft.functions.ImageFunctions.mean_brightness(col("bytes")).as("b"))
