@@ -13,7 +13,7 @@ import scala.jdk.CollectionConverters._
   *     --images <dir|synth:N> --labels <dir|synth:N> --out <dir> \
   *     [--config <properties>] [--set k=v ...] [--resume] \
   *     [--format csv] [--sliding <size>,<overlap>]
-  *     [--split train:0.8,val:0.1,test:0.1]
+  *     [--split train:0.8,val:0.1,test:0.1] [--dedup <maxHamming>]
   *
   * Reads the image+caption table (any Spark source — parquet in the
   * sandbox, an Iceberg catalog table in production via
@@ -43,9 +43,23 @@ object Main {
       (s, n) => sources.SynthImages.labels(s, n, 1024))
 
     // corrupt-row channel: bad rows to <out>_errors, good rows onward
-    val (images, errors) = sources.ErrorChannel.split(rawImages, sources.ErrorChannel.imageChecks)
+    val (validated, errors) = sources.ErrorChannel.split(rawImages, sources.ErrorChannel.imageChecks)
     val outDir = opts("out")
     errors.write.mode("overwrite").parquet(s"${outDir}_errors")
+
+    // --dedup <maxHamming>: perceptual near-dup dedup BEFORE feature
+    // extraction — aHash band join -> connected components -> keep one
+    // representative per cluster (duplicate images would otherwise weight
+    // their entity's feature vectors by copy count). Runs after the error
+    // channel so corrupt payloads (which all hash to 0) can't form a
+    // giant fake cluster.
+    val images = opts.get("dedup") match {
+      case Some(h) =>
+        val edges = ops.Dedup.perceptualEdges(validated, "image_id", "bytes",
+          maxHamming = h.trim.toInt)
+        ops.Dedup.dropClusteredDuplicates(validated, "image_id", edges)
+      case None => validated
+    }
 
     // ONE on-disk layout for both modes (bucket-partitioned, dynamic
     // overwrite, via runResumable): running once without --resume and later
@@ -169,6 +183,7 @@ object Main {
       case "--format" :: v :: rest => parseArgs(rest, acc + ("format" -> v))
       case "--sliding" :: v :: rest => parseArgs(rest, acc + ("sliding" -> v))
       case "--split" :: v :: rest  => parseArgs(rest, acc + ("split" -> v))
+      case "--dedup" :: v :: rest  => parseArgs(rest, acc + ("dedup" -> v))
       case "--set" :: v :: rest =>
         parseArgs(rest, acc + ("set" -> (acc.get("set").map(_ + ";;").getOrElse("") + v)))
       case "--resume" :: rest      => parseArgs(rest, acc + ("resume" -> "true"))

@@ -100,4 +100,40 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(nonReps, Seq(idCol), "left_anti")
   }
+
+  /** Near-dup IMAGE edge list by perceptual hash — the payload-side
+    * candidate stage (the image analog of the MinHash band join): aHash64
+    * over the bytes column (codegen'd Catalyst expression), 4 x 16-bit
+    * band LSH self-join, exact `bit_count(xor)` hamming verify. Pigeonhole
+    * gives the banding 100% candidate recall for `maxHamming` <= 3 (a pair
+    * differing in <= 3 bits cannot differ in all 4 bands), so the edge set
+    * is deterministic, not probabilistic. `cap` salt-splits degenerate
+    * buckets (monochrome/boilerplate images all sharing a band) so the
+    * self-join never goes quadratic on them; within an over-cap bucket
+    * recall degrades gracefully (documented sampling, as saltBuckets).
+    *
+    * Feed the result to [[connectedComponents]] /
+    * [[dropClusteredDuplicates]] — `Main --dedup <h>` wires exactly that
+    * chain in front of the feature pipeline. */
+  def perceptualEdges(df: DataFrame, idCol: String, bytesCol: String,
+                      maxHamming: Int = 1, cap: Int = 4096): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band LSH guarantees recall only for maxHamming <= 3")
+    val hashed = df.select(col(idCol).as("__id"),
+      graft.functions.ImageFunctions.ahash64(col(bytesCol)).as("__ah"))
+    val banded = hashed.select(col("__id"), col("__ah"),
+      explode(array((0 until 4).map(i =>
+        lit(i.toLong * 65536L) +
+          shiftright(col("__ah"), 16 * i).bitwiseAND(lit(0xFFFFL))): _*))
+        .as("__bucket"))
+    val salted = graft.functions.Vectors.saltBuckets(banded, "__bucket", "__id", cap = cap)
+    val a = salted.select(col("__bucket"), col("__salt"),
+      col("__id").as("a"), col("__ah").as("__ha"))
+    val b = salted.select(col("__bucket"), col("__salt"),
+      col("__id").as("b"), col("__ah").as("__hb"))
+    a.join(b, Seq("__bucket", "__salt"))
+      .where(col("a") < col("b"))
+      .where(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= maxHamming)
+      .select(col("a"), col("b")).distinct()
+  }
 }

@@ -40,6 +40,31 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === n1)
   }
 
+  test("--dedup: perceptual dedup stage drops copies before the pipeline") {
+    import spark.implicits._
+    // synth rows + an exact copy of every 100th image under a new id — the
+    // --dedup stage (as Main wires it: error split, then edges + drop)
+    // must keep exactly one representative per copy pair
+    val base = sources.SynthImages.images(spark, 400, 8)
+    val copies = base.where(pmod(expr("CAST(substring(image_id, 4) AS LONG)"), lit(100L)) === 0)
+      .withColumn("image_id", concat(lit("dup_"), col("image_id")))
+    val all = base.unionByName(copies)
+    val (good, _) = sources.ErrorChannel.split(all, sources.ErrorChannel.imageChecks)
+    val edges = ops.Dedup.perceptualEdges(good, "image_id", "bytes", maxHamming = 0)
+    val deduped = ops.Dedup.dropClusteredDuplicates(good, "image_id", edges)
+    val keptIds = deduped.select("image_id").as[String].collect().toSet
+    // at maxHamming = 0 components are exactly the aHash-equality classes,
+    // so the kept set is one min-id representative per distinct hash value
+    val byHash = good
+      .select(col("image_id"), functions.ImageFunctions.ahash64(col("bytes")).as("ah"))
+      .as[(String, Long)].collect()
+      .groupBy(_._2).map { case (_, g) => g.map(_._1).min }.toSet
+    assert(keptIds === byHash)
+    // the injected copies really collapsed: strictly fewer rows than input
+    assert(deduped.count() < all.count())
+    assert(Main.parseArgs(List("--dedup", "1"), Map.empty) === Map("dedup" -> "1"))
+  }
+
   test("--split CLI plumbing: parseArgs routes the flag, parseSplitArg parses weights") {
     assert(Main.parseArgs(List("--split", "train:0.8,val:0.1,test:0.1"), Map.empty)
       === Map("split" -> "train:0.8,val:0.1,test:0.1"))

@@ -55,6 +55,32 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq === Seq(0L, 1L, 4L, 5L, 6L, 7L, 9L))
   }
 
+  test("perceptualEdges: exact copies and 1-byte near-dups edge; others don't") {
+    import graft.functions.ImageCodec
+    def img(seed: Long): Array[Byte] = ImageCodec.encode(seed, 16, 16, lossy = false)
+    def nudge(b: Array[Byte]): Array[Byte] = {
+      val c = b.clone(); c(8) = 0xff.toByte; c } // pixel (0,0) -> 255
+    val rows = Seq(
+      ("a1", img(1L)), ("a2", img(1L)),          // exact copy pair
+      ("b1", img(2L)), ("b2", nudge(img(2L))),   // near-dup pair
+      ("c1", img(3L))                            // singleton
+    ).toDF("image_id", "bytes")
+    val edges = Dedup.perceptualEdges(rows, "image_id", "bytes", maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(edges.contains(("a1", "a2")))
+    assert(edges.contains(("b1", "b2")))
+    // brute-force reference: the banded path must find EXACTLY the pairs
+    // at hamming <= 3 (pigeonhole recall + exact verify = no more, no less)
+    val hs = Seq("a1" -> img(1L), "a2" -> img(1L), "b1" -> img(2L),
+      "b2" -> nudge(img(2L)), "c1" -> img(3L))
+      .map { case (id, b) => id -> ImageCodec.aHash64(b) }
+    val want = (for {
+      (i, hi) <- hs; (j, hj) <- hs if i < j
+      if java.lang.Long.bitCount(hi ^ hj) <= 3
+    } yield (i, j)).toSet
+    assert(edges === want)
+  }
+
   test("disjoint pairs keep distinct reps") {
     val edges = Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("a", "b")
     val got = Dedup.connectedComponents(edges)
