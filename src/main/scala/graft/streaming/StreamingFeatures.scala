@@ -96,6 +96,24 @@ object StreamingFeatures {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming PERCEPTUAL image dedup — the ingest-time counterpart of
+    * `Main --dedup` (batch cares about near-dup clusters; an ingest stream
+    * drops exact perceptual copies as they arrive): key the
+    * watermark-bounded dedup state on the codegen'd aHash64 of the payload
+    * bytes, so re-encoded/requantized copies of the same image (identical
+    * 8x8 average-hash) dedup even when their bytes differ. State is one
+    * entry per distinct hash inside the watermark horizon. */
+  def dedupImagesStream(
+      images: DataFrame,
+      bytesCol: String = "bytes",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes"): DataFrame =
+    images
+      .withColumn("__ah", graft.functions.ImageFunctions.ahash64(col(bytesCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__ah")
+      .drop("__ah")
+
   /** Gap-based sessions via the native session_window — the streaming
     * counterpart of WindowOps.sessionize (state is per open session, bounded
     * by the watermark instead of unbounded per-entity history). */

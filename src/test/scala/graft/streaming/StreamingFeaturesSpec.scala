@@ -158,4 +158,37 @@ class StreamingFeaturesSpec extends SparkSpec {
       assert(ids === Set(1L, 3L), s"got $ids")
     } finally q.stop()
   }
+
+  test("streaming perceptual dedup keys on aHash: re-encoded copies drop") {
+    import graft.functions.ImageCodec
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val out = StreamingFeatures.dedupImagesStream(
+      in.toDF.toDF("img", "ts", "bytes"), watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("imgdedup")
+      .outputMode("append").start()
+    try {
+      // find content whose lossy re-encode preserves the average-hash
+      // (quantization flips mean-borderline bits with p ~ 0.03/bit, so a
+      // hash-preserving seed exists in any small range — deterministic)
+      val seed = (0L until 200L).find { s =>
+        ImageCodec.aHash64(ImageCodec.encode(s, 16, 16, lossy = false)) ==
+          ImageCodec.aHash64(ImageCodec.encode(s, 16, 16, lossy = true))
+      }.getOrElse(fail("no hash-preserving seed in range"))
+      val lossless = ImageCodec.encode(seed, 16, 16, lossy = false)
+      val lossy = ImageCodec.encode(seed, 16, 16, lossy = true)
+      // DIFFERENT bytes, same 8x8 average-hash — perceptual dedup drops
+      // the re-encode, byte-fingerprint dedup would not
+      assert(!java.util.Arrays.equals(lossless, lossy))
+      val other = ImageCodec.encode(99L, 16, 16, lossy = false)
+      in.addData(
+        (1L, ts("2024-01-01 00:01:00"), lossless),
+        (2L, ts("2024-01-01 00:02:00"), lossy),
+        (3L, ts("2024-01-01 00:03:00"), other))
+      q.processAllAvailable()
+      val ids = spark.table("imgdedup").select("img")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
 }
