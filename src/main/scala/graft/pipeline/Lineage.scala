@@ -65,6 +65,11 @@ object Lineage {
     * rows. Lineage digests are computed from a read-back of the data
     * actually written (not a second execution of the job), so the recorded
     * digest always matches the files on disk.
+    *
+    * Each run additionally appends ONE metrics row to
+    * `<lineageDir>_metrics` — `(run_at, buckets_completed, buckets_skipped,
+    * rows_written, wall_ms)` — so a resumed job's progress is auditable
+    * from the lineage tables alone.
     */
   def runResumable(
       spark: SparkSession,
@@ -76,6 +81,7 @@ object Lineage {
       lineageDir: String,
       resultEntityCol: Option[String] = None,
       resultTsCol: Option[String] = None)(job: DataFrame => DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
     // the job may rename the entity/ts columns in its output (e.g. phash ->
     // entity); bucket ids stay aligned because the VALUES are unchanged
     val outEntity = resultEntityCol.getOrElse(entityCol)
@@ -122,9 +128,31 @@ object Lineage {
     val written = spark.read.parquet(outDir)
     val freshBuckets = written.select(col("__bucket"))
       .join(broadcast(done), Seq("__bucket"), "left_anti").distinct()
-    compute(written.join(broadcast(freshBuckets), Seq("__bucket"), "left_semi")
+    val lineage = compute(
+      written.join(broadcast(freshBuckets), Seq("__bucket"), "left_semi")
         .drop("__bucket"), outEntity, outTs, nBuckets)
-      .write.mode("append").parquet(lineageDir)
+    // <= nBuckets rows — collected once so the lineage append and the
+    // metrics row are derived from the SAME materialized values
+    val lineageRows = lineage.collect()
+    spark.createDataFrame(
+        java.util.Arrays.asList(lineageRows: _*), lineage.schema)
+      .coalesce(1).write.mode("append").parquet(lineageDir)
+
+    // per-run METRICS row beside the lineage table (north rule: "lineage +
+    // metrics"): what this run did and how long it took — enough for an
+    // operator to audit a resumed job's progress without re-scanning output
+    {
+      import spark.implicits._
+      val priorBuckets = done.distinct().count()
+      Seq((java.time.Instant.now().toString,
+          lineageRows.length.toLong,
+          priorBuckets,
+          lineageRows.map(_.getAs[Long]("row_count")).sum,
+          (System.nanoTime() - t0) / 1000000L))
+        .toDF("run_at", "buckets_completed", "buckets_skipped",
+          "rows_written", "wall_ms")
+        .coalesce(1).write.mode("append").parquet(s"${lineageDir}_metrics")
+    }
     written.drop("__bucket")
   }
 }

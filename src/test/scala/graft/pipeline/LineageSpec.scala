@@ -47,5 +47,17 @@ class LineageSpec extends SparkSpec {
     val dupes = out2.groupBy("id").count().where(col("count") > 1).count()
     assert(dupes === 0L)
     assert(out2.count() === 200L)
+
+    // per-run metrics: one row per run; run 2's skipped count = run 1's
+    // completed count, and rows_written across runs sums to the output
+    val metrics = spark.read.parquet(s"${linDir}_metrics")
+      .orderBy("run_at")
+      .select("buckets_completed", "buckets_skipped", "rows_written")
+      .collect()
+    assert(metrics.length === 2)
+    assert(metrics(0).getLong(0) === lineageAfter1)
+    assert(metrics(0).getLong(1) === 0L)
+    assert(metrics(1).getLong(1) === lineageAfter1)
+    assert(metrics.map(_.getLong(2)).sum === 200L)
   }
 }
