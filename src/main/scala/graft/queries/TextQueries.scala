@@ -306,31 +306,9 @@ object TextQueries {
   // (the "fraction of characters in duplicate n-grams" rule, token-counted).
   // Shape: explode -> (doc, gram) hash agg -> (doc) hash agg — partial agg
   // combines the gram explosion map-side, so the shape scales; no windows.
-  "q92_repetition" -> ((s, dir) => {
-    val d = t(s, dir, "documents")
-      .select(col("doc_id"), Text.normText(col("text")).as("nt"))
-      .where(length(col("nt")) > 0)
-      .select(col("doc_id"), split(col("nt"), " ").as("ts"))
-    def grams(n: Int) = d.where(size(col("ts")) >= n)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("ts")) - n),
-          i => concat_ws(" ", (0 until n).map(j =>
-            element_at(col("ts"), i + lit(j + 1))): _*))).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    val g2 = grams(2).groupBy("doc_id")
-      .agg(max(col("c")).as("top2"), sum(col("c")).as("n2"))
-    val g3 = grams(3).groupBy("doc_id")
-      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3"),
-        sum(col("c")).as("n3"))
-    d.join(g2, Seq("doc_id"), "left").join(g3, Seq("doc_id"), "left")
-      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
-        r6(size(array_distinct(col("ts"))).cast("double") / size(col("ts")))
-          .as("distinct_ratio"),
-        r6(coalesce(col("top2").cast("double") / col("n2"), lit(0.0)))
-          .as("top2gram_frac"),
-        r6(coalesce(col("dup3").cast("double") / col("n3"), lit(0.0)))
-          .as("dup3gram_frac"))
-  }),
+  "q92_repetition" -> ((s, dir) =>
+    repetitionSignals(t(s, dir, "documents")
+      .select(col("doc_id"), Text.normText(col("text")).as("nt")))),
 
   // PII scrub: the redaction pass a web-scale corpus runs before training.
   // Deterministic PII (email + phone + IP built from the doc id) is
@@ -378,6 +356,35 @@ object TextQueries {
       .select(col("doc_id"), col("bucket"), col("toks"),
         col("pack_id"), col("pack_offset"), col("n_chunks"))
   }))
+
+  /** q92's body over a (doc_id, nt) frame — exposed so the randomized spec
+    * can drive it against a straight-line Scala reference. Shape: explode
+    * -> (doc, gram) hash agg -> (doc) hash agg; partial agg combines the
+    * gram explosion map-side. */
+  private[graft] def repetitionSignals(docs: org.apache.spark.sql.DataFrame) = {
+    val d = docs
+      .where(length(col("nt")) > 0)
+      .select(col("doc_id"), split(col("nt"), " ").as("ts"))
+    def grams(n: Int) = d.where(size(col("ts")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ts")) - n),
+          i => concat_ws(" ", (0 until n).map(j =>
+            element_at(col("ts"), i + lit(j + 1))): _*))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val g2 = grams(2).groupBy("doc_id")
+      .agg(max(col("c")).as("top2"), sum(col("c")).as("n2"))
+    val g3 = grams(3).groupBy("doc_id")
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3"),
+        sum(col("c")).as("n3"))
+    d.join(g2, Seq("doc_id"), "left").join(g3, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
+        r6(size(array_distinct(col("ts"))).cast("double") / size(col("ts")))
+          .as("distinct_ratio"),
+        r6(coalesce(col("top2").cast("double") / col("n2"), lit(0.0)))
+          .as("top2gram_frac"),
+        r6(coalesce(col("dup3").cast("double") / col("n3"), lit(0.0)))
+          .as("dup3gram_frac"))
+  }
 
   /** PII patterns shared verbatim by the Spark side and the DuckDB oracle
     * (RE2-safe: no backrefs/lookaround, so Java regex and RE2 agree). */
