@@ -52,13 +52,21 @@ object Main {
     // representative per cluster (duplicate images would otherwise weight
     // their entity's feature vectors by copy count). Runs after the error
     // channel so corrupt payloads (which all hash to 0) can't form a
-    // giant fake cluster.
+    // giant fake cluster. Deduping the WHOLE corpus (not just remaining
+    // buckets) is required on partial resume — representatives must not
+    // depend on which buckets already completed — but when the lineage
+    // table already covers every bucket the job is a no-op, so the eager
+    // connected-components fixpoint is skipped entirely.
+    val lineageComplete = opts.contains("resume") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"${outDir}_lineage")) &&
+      spark.read.parquet(s"${outDir}_lineage")
+        .select("partition_id").distinct().count() >= cfg.lineageBuckets
     val images = opts.get("dedup") match {
-      case Some(h) =>
+      case Some(h) if !lineageComplete =>
         val edges = ops.Dedup.perceptualEdges(validated, "image_id", "bytes",
           maxHamming = h.trim.toInt)
         ops.Dedup.dropClusteredDuplicates(validated, "image_id", edges)
-      case None => validated
+      case _ => validated
     }
 
     // ONE on-disk layout for both modes (bucket-partitioned, dynamic

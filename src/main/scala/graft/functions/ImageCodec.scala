@@ -111,7 +111,11 @@ object ImageCodec {
     s / n
   }
 
-  /** Nearest-neighbor resize to (nw, nh); returns a lossless payload. */
+  /** Nearest-neighbor resize to (nw, nh); returns a lossless payload.
+    * Total on corrupt input (same contract as decode/aHash64): a source
+    * whose header dims don't match its payload — including forged dims
+    * whose product overflows Int — yields the requested-size payload with
+    * zero pixels instead of an out-of-bounds crash. */
   def resize(bytes: Array[Byte], nw: Int, nh: Int): Array[Byte] = {
     val w = width(bytes); val h = height(bytes)
     val px = decode(bytes)
@@ -120,6 +124,7 @@ object ImageCodec {
     while (i < 4) { out(i) = MagicLossless.charAt(i).toByte; i += 1 }
     out(4) = ((nw >> 8) & 0xff).toByte; out(5) = (nw & 0xff).toByte
     out(6) = ((nh >> 8) & 0xff).toByte; out(7) = (nh & 0xff).toByte
+    if (w <= 0 || h <= 0 || px.length < w.toLong * h) return out
     var y = 0
     while (y < nh) {
       val sy = math.min(h - 1, y * h / nh)
@@ -142,7 +147,11 @@ object ImageCodec {
     * hash to 0 (total on corrupt input, like the other codec functions). */
   def aHash64(bytes: Array[Byte]): Long = {
     val w = width(bytes); val h = height(bytes)
-    if (w <= 0 || h <= 0 || bytes.length < HeaderLen + w * h) return 0L
+    // w.toLong * h: a forged header can declare dims whose product
+    // overflows Int (46341^2 wraps negative), which would slip past the
+    // guard and crash the sampling loop — totality on arbitrary binary is
+    // the contract here
+    if (w <= 0 || h <= 0 || bytes.length < HeaderLen + w.toLong * h) return 0L
     val s = new Array[Int](64)
     var sum = 0
     var y = 0

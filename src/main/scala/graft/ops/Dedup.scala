@@ -116,24 +116,39 @@ object Dedup {
     * [[dropClusteredDuplicates]] — `Main --dedup <h>` wires exactly that
     * chain in front of the feature pipeline. */
   def perceptualEdges(df: DataFrame, idCol: String, bytesCol: String,
-                      maxHamming: Int = 1, cap: Int = 4096): DataFrame = {
+                      maxHamming: Int = 1, cap: Int = 4096): DataFrame =
+    perceptualEdgesFromHashes(
+      df.select(col(idCol).as("__id"),
+        graft.functions.ImageFunctions.ahash64(col(bytesCol)).as("__ah")),
+      "__id", "__ah", maxHamming, cap)
+      .select(col("a"), col("b"))
+
+  /** The band-LSH pair stage over a precomputed (id, 64-bit hash) frame —
+    * the single implementation behind [[perceptualEdges]] and the oracled
+    * q91/q95 queries, so the pigeonhole-recall formula exists once.
+    * Emits (a, b, hamming) with the EXACT hamming distance. */
+  def perceptualEdgesFromHashes(hashed: DataFrame, idCol: String, hashCol: String,
+                                maxHamming: Int, cap: Int = 4096,
+                                broadcastSizes: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band LSH guarantees recall only for maxHamming <= 3")
-    val hashed = df.select(col(idCol).as("__id"),
-      graft.functions.ImageFunctions.ahash64(col(bytesCol)).as("__ah"))
-    val banded = hashed.select(col("__id"), col("__ah"),
+    val base = hashed.select(col(idCol).as("__id"), col(hashCol).as("__ah"))
+    val banded = base.select(col("__id"), col("__ah"),
       explode(array((0 until 4).map(i =>
         lit(i.toLong * 65536L) +
           shiftright(col("__ah"), 16 * i).bitwiseAND(lit(0xFFFFL))): _*))
         .as("__bucket"))
-    val salted = graft.functions.Vectors.saltBuckets(banded, "__bucket", "__id", cap = cap)
+    val salted = graft.functions.Vectors.saltBuckets(banded, "__bucket", "__id",
+      cap = cap, broadcastSizes = broadcastSizes)
     val a = salted.select(col("__bucket"), col("__salt"),
       col("__id").as("a"), col("__ah").as("__ha"))
     val b = salted.select(col("__bucket"), col("__salt"),
       col("__id").as("b"), col("__ah").as("__hb"))
     a.join(b, Seq("__bucket", "__salt"))
       .where(col("a") < col("b"))
-      .where(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= maxHamming)
-      .select(col("a"), col("b")).distinct()
+      .select(col("a"), col("b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

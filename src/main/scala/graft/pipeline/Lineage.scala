@@ -67,9 +67,10 @@ object Lineage {
     * digest always matches the files on disk.
     *
     * Each run additionally appends ONE metrics row to
-    * `<lineageDir>_metrics` — `(run_at, buckets_completed, buckets_skipped,
-    * rows_written, wall_ms)` — so a resumed job's progress is auditable
-    * from the lineage tables alone.
+    * `<lineageDir>_metrics` — `(run_at_ms, run_at, buckets_completed,
+    * buckets_skipped, rows_written, wall_ms)` — so a resumed job's
+    * progress is auditable from the lineage tables alone (order runs by
+    * `run_at_ms`).
     */
   def runResumable(
       spark: SparkSession,
@@ -144,12 +145,17 @@ object Lineage {
     {
       import spark.implicits._
       val priorBuckets = done.distinct().count()
-      Seq((java.time.Instant.now().toString,
+      // run_at_ms is the ordering key: Instant.toString has VARIABLE
+      // fractional precision ("..T10:00:00Z" vs "..T10:00:00.400Z"), so
+      // lexicographic order can disagree with chronological order right at
+      // second boundaries — the ISO string is display-only
+      Seq((System.currentTimeMillis(),
+          java.time.Instant.now().toString,
           lineageRows.length.toLong,
           priorBuckets,
           lineageRows.map(_.getAs[Long]("row_count")).sum,
           (System.nanoTime() - t0) / 1000000L))
-        .toDF("run_at", "buckets_completed", "buckets_skipped",
+        .toDF("run_at_ms", "run_at", "buckets_completed", "buckets_skipped",
           "rows_written", "wall_ms")
         .coalesce(1).write.mode("append").parquet(s"${lineageDir}_metrics")
     }

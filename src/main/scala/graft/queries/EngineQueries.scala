@@ -307,33 +307,19 @@ object EngineQueries {
       .select(col("img"), ImageFunctions.ahash64(col("bytes")).as("ah"))
   }
 
-  /** Banded aHash self-join: 4 x 16-bit LSH bands over the 64-bit hash
-    * (pigeonhole: any pair at hamming <= 3 shares a band, so for
-    * maxHamming <= 3 the candidate stage has 100% recall and the exact
-    * bit_count verify makes the pair set deterministic). Cap 1024 cannot
-    * activate at this corpus size (gradient-correlated hashes put ~230
-    * images in the densest band bucket), so no candidate is ever
-    * salt-split away; at scale the same cap bounds degenerate buckets. */
+  /** Banded aHash self-join — delegates to the single band-LSH
+    * implementation (`Dedup.perceptualEdgesFromHashes`; pigeonhole: any
+    * pair at hamming <= 3 shares one of the 4 x 16-bit bands, so the
+    * candidate stage has 100% recall and the exact bit_count verify makes
+    * the pair set deterministic). Cap 1024 cannot activate at this corpus
+    * size (gradient-correlated hashes put ~230 images in the densest band
+    * bucket), so no candidate is ever salt-split away; at scale the same
+    * cap bounds degenerate buckets. */
   private def ahashPairs(hashed: org.apache.spark.sql.DataFrame,
-                         maxHamming: Int) = {
-    val banded = hashed.select(col("img"), col("ah"),
-      explode(array((0 until 4).map(i =>
-        lit(i.toLong * 65536L) +
-          shiftright(col("ah"), 16 * i).bitwiseAND(lit(0xFFFFL))): _*))
-        .as("bucket"))
-    val salted = Vectors.saltBuckets(banded, "bucket", "img",
-      cap = 1024, broadcastSizes = true)
-    val a = salted.select(col("bucket"), col("__salt"),
-      col("img").as("d1"), col("ah").as("a1"))
-    val b = salted.select(col("bucket"), col("__salt"),
-      col("img").as("d2"), col("ah").as("a2"))
-    a.join(b, Seq("bucket", "__salt"))
-      .where(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        bit_count(col("a1").bitwiseXOR(col("a2"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
-  }
+                         maxHamming: Int) =
+    graft.ops.Dedup.perceptualEdgesFromHashes(hashed, "img", "ah",
+        maxHamming, cap = 1024, broadcastSizes = true)
+      .select(col("a").as("d1"), col("b").as("d2"), col("hamming"))
 
   val oracles: Map[String, String] = Map(
     "q84_video_frames" ->

@@ -102,17 +102,35 @@ object StreamingFeatures {
     * watermark-bounded dedup state on the codegen'd aHash64 of the payload
     * bytes, so re-encoded/requantized copies of the same image (identical
     * 8x8 average-hash) dedup even when their bytes differ. State is one
-    * entry per distinct hash inside the watermark horizon. */
+    * entry per distinct hash inside the watermark horizon.
+    *
+    * Only STRUCTURALLY VALID payloads (header dims matching the byte
+    * length) enter the dedup state: corrupt rows all hash to 0 by the
+    * codec's totality contract, so keying them would silently collapse
+    * distinct broken rows into one — instead they bypass dedup untouched
+    * for the downstream error channel to flag (the ordering `Main` gets
+    * from running the error split BEFORE --dedup). Genuinely uniform
+    * images share hash 0 and DO dedup — that is the perceptual semantics,
+    * not a defect. */
   def dedupImagesStream(
       images: DataFrame,
       bytesCol: String = "bytes",
       tsCol: String = "ts",
-      watermark: String = "30 minutes"): DataFrame =
-    images
+      watermark: String = "30 minutes"): DataFrame = {
+    val whdr = conv(hex(substring(col(bytesCol), 5, 2)), 16, 10).cast("long")
+    val hhdr = conv(hex(substring(col(bytesCol), 7, 2)), 16, 10).cast("long")
+    val valid = coalesce(
+      col(bytesCol).isNotNull && whdr > 0 && hhdr > 0 &&
+        length(col(bytesCol)) ===
+          lit(graft.functions.ImageCodec.HeaderLen.toLong) + whdr * hhdr,
+      lit(false))
+    val deduped = images.where(valid)
       .withColumn("__ah", graft.functions.ImageFunctions.ahash64(col(bytesCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__ah")
       .drop("__ah")
+    deduped.unionByName(images.where(!valid))
+  }
 
   /** Gap-based sessions via the native session_window — the streaming
     * counterpart of WindowOps.sessionize (state is per open session, bounded

@@ -86,6 +86,18 @@ class ImageSpec extends SparkSpec {
     assert(ImageCodec.aHash64(Array[Byte](1, 2, 3)) === 0L)
     assert(ImageCodec.aHash64(
       ImageCodec.encode(1L, 4, 4, lossy = false).take(10)) === 0L)
+    // forged header whose w*h overflows Int (46341^2 wraps negative):
+    // must hash to 0, not crash the sampling loop
+    val forged = ("GR01".getBytes("ASCII") ++
+      Array[Byte](0xB5.toByte, 0x05, 0xB5.toByte, 0x05, 1, 2, 3, 4))
+    assert(ImageCodec.aHash64(forged) === 0L)
+    // resize shares the totality contract: forged/truncated sources yield
+    // the requested-size zero payload, never an out-of-bounds read
+    val rzForged = ImageCodec.resize(forged, 8, 8)
+    assert(rzForged.length === ImageCodec.HeaderLen + 64)
+    assert(ImageCodec.decode(rzForged).forall(_ == 0))
+    assert(ImageCodec.decode(ImageCodec.resize(
+      ImageCodec.encode(1L, 8, 8, lossy = false).take(20), 4, 4)).forall(_ == 0))
   }
 
   test("aHash64 expression: parity with codec, small hamming on a near-dup") {

@@ -51,7 +51,7 @@ class LineageSpec extends SparkSpec {
     // per-run metrics: one row per run; run 2's skipped count = run 1's
     // completed count, and rows_written across runs sums to the output
     val metrics = spark.read.parquet(s"${linDir}_metrics")
-      .orderBy("run_at")
+      .orderBy("run_at_ms")
       .select("buckets_completed", "buckets_skipped", "rows_written")
       .collect()
     assert(metrics.length === 2)

@@ -181,14 +181,20 @@ class StreamingFeaturesSpec extends SparkSpec {
       // the re-encode, byte-fingerprint dedup would not
       assert(!java.util.Arrays.equals(lossless, lossy))
       val other = ImageCodec.encode(99L, 16, 16, lossy = false)
+      // corrupt payloads (all hash 0) must BYPASS the dedup state — two
+      // distinct broken rows both survive for the error channel
+      val corruptA = Array[Byte](1, 2, 3)
+      val corruptB = lossless.take(5)
       in.addData(
         (1L, ts("2024-01-01 00:01:00"), lossless),
         (2L, ts("2024-01-01 00:02:00"), lossy),
-        (3L, ts("2024-01-01 00:03:00"), other))
+        (3L, ts("2024-01-01 00:03:00"), other),
+        (4L, ts("2024-01-01 00:03:30"), corruptA),
+        (5L, ts("2024-01-01 00:04:00"), corruptB))
       q.processAllAvailable()
       val ids = spark.table("imgdedup").select("img")
         .collect().map(_.getLong(0)).toSet
-      assert(ids === Set(1L, 3L), s"got $ids")
+      assert(ids === Set(1L, 3L, 4L, 5L), s"got $ids")
     } finally q.stop()
   }
 }
