@@ -355,36 +355,23 @@ object TextQueries {
         nBuckets = 32, budget = 256)
       .select(col("doc_id"), col("bucket"), col("toks"),
         col("pack_id"), col("pack_offset"), col("n_chunks"))
-  }))
+  }),
 
-  /** q92's body over a (doc_id, nt) frame — exposed so the randomized spec
-    * can drive it against a straight-line Scala reference. Shape: explode
-    * -> (doc, gram) hash agg -> (doc) hash agg; partial agg combines the
-    * gram explosion map-side. */
-  private[graft] def repetitionSignals(docs: org.apache.spark.sql.DataFrame) = {
-    val d = docs
-      .where(length(col("nt")) > 0)
-      .select(col("doc_id"), split(col("nt"), " ").as("ts"))
-    def grams(n: Int) = d.where(size(col("ts")) >= n)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("ts")) - n),
-          i => concat_ws(" ", (0 until n).map(j =>
-            element_at(col("ts"), i + lit(j + 1))): _*))).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    val g2 = grams(2).groupBy("doc_id")
-      .agg(max(col("c")).as("top2"), sum(col("c")).as("n2"))
-    val g3 = grams(3).groupBy("doc_id")
-      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3"),
-        sum(col("c")).as("n3"))
-    d.join(g2, Seq("doc_id"), "left").join(g3, Seq("doc_id"), "left")
-      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
-        r6(size(array_distinct(col("ts"))).cast("double") / size(col("ts")))
-          .as("distinct_ratio"),
-        r6(coalesce(col("top2").cast("double") / col("n2"), lit(0.0)))
-          .as("top2gram_frac"),
-        r6(coalesce(col("dup3").cast("double") / col("n3"), lit(0.0)))
-          .as("dup3gram_frac"))
-  }
+  // C4/Gopher-style keep/drop DECISION layer: named quality rules
+  // (length, diversity, repetition, word shape, stopword presence)
+  // composed over the q37/q92 signal families, every drop attributable to
+  // its ';'-joined reason list (the text-side ErrorChannel). Thresholds
+  // are the QualityFilter defaults; both engines compute the identical
+  // signal expression trees so boundary comparisons agree.
+  "q96_quality_filter" -> ((s, dir) =>
+    graft.ops.QualityFilter.classify(
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.normText(col("text")).as("nt")))))
+
+  /** q92's body — the op lives in [[graft.ops.Repetition]]; kept as an
+    * alias for the randomized spec and q92/q96. */
+  private[graft] def repetitionSignals(docs: org.apache.spark.sql.DataFrame) =
+    graft.ops.Repetition.signals(docs)
 
   /** PII patterns shared verbatim by the Spark side and the DuckDB oracle
     * (RE2-safe: no backrefs/lookaround, so Java regex and RE2 agree). */
@@ -441,6 +428,58 @@ object TextQueries {
            | round(coalesce(top2::DOUBLE / n2, 0) + 3.7e-10, 6) AS top2gram_frac,
            | round(coalesce(dup3::DOUBLE / n3, 0) + 3.7e-10, 6) AS dup3gram_frac
            |FROM d LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)""".stripMargin,
+
+      "q96_quality_filter" ->
+        s"""WITH src AS (SELECT doc_id, $norm AS nt FROM documents),
+           |base AS (
+           | SELECT doc_id, nt,
+           |  (CASE WHEN length(nt) = 0 THEN 0
+           |    ELSE len(string_split(nt, ' ')) END)::BIGINT AS toks,
+           |  (${scoreSql(Text.EnMarkers)})::BIGINT AS stopwords,
+           |  length(nt)::BIGINT AS chars
+           | FROM src),
+           |d AS (SELECT doc_id, string_split(nt, ' ') AS ts
+           |      FROM src WHERE length(nt) > 0),
+           |e2 AS (
+           | SELECT doc_id,
+           |  unnest([ts[i+1] || ' ' || ts[i+2] for i in range(0, len(ts) - 1)]) AS g
+           | FROM d WHERE len(ts) >= 2),
+           |c2 AS (SELECT doc_id, g, count(*) AS c FROM e2 GROUP BY 1, 2),
+           |g2 AS (SELECT doc_id, max(c) AS top2, sum(c) AS n2 FROM c2 GROUP BY 1),
+           |e3 AS (
+           | SELECT doc_id,
+           |  unnest([ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+           |    for i in range(0, len(ts) - 2)]) AS g
+           | FROM d WHERE len(ts) >= 3),
+           |c3 AS (SELECT doc_id, g, count(*) AS c FROM e3 GROUP BY 1, 2),
+           |g3 AS (SELECT doc_id,
+           |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3, sum(c) AS n3
+           | FROM c3 GROUP BY 1),
+           |sig AS (
+           | SELECT d.doc_id,
+           |  round(len(list_distinct(ts))::DOUBLE / len(ts) + 3.7e-10, 6) AS distinct_ratio,
+           |  round(coalesce(top2::DOUBLE / n2, 0) + 3.7e-10, 6) AS top2gram_frac,
+           |  round(coalesce(dup3::DOUBLE / n3, 0) + 3.7e-10, 6) AS dup3gram_frac
+           | FROM d LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)),
+           |j AS (
+           | SELECT b.doc_id, b.toks, b.stopwords, b.chars,
+           |  s.distinct_ratio, s.top2gram_frac, s.dup3gram_frac
+           | FROM base b LEFT JOIN sig s USING (doc_id)),
+           |r AS (
+           | SELECT doc_id, toks AS n_tokens,
+           |  coalesce(array_to_string(list_filter([
+           |   CASE WHEN toks = 0 THEN 'empty' END,
+           |   CASE WHEN toks > 0 AND toks < 5 THEN 'too_few_tokens' END,
+           |   CASE WHEN toks > 1000 THEN 'too_many_tokens' END,
+           |   CASE WHEN distinct_ratio < 0.3 THEN 'low_distinct_ratio' END,
+           |   CASE WHEN toks >= 10 AND top2gram_frac > 0.2 THEN 'high_top2gram' END,
+           |   CASE WHEN toks >= 10 AND dup3gram_frac > 0.2 THEN 'high_dup3gram' END,
+           |   CASE WHEN toks > 0 AND ((chars - (toks - 1))::DOUBLE / toks < 2.0
+           |     OR (chars - (toks - 1))::DOUBLE / toks > 12.0) THEN 'word_length' END,
+           |   CASE WHEN toks > 0 AND stopwords < 1 THEN 'low_stopword' END
+           |  ], x -> x IS NOT NULL), ';'), '') AS reasons
+           | FROM j)
+           |SELECT doc_id, n_tokens, reasons, (reasons = '') AS keep FROM r""".stripMargin,
 
       "q93_pii_scrub" ->
         s"""WITH base AS (
