@@ -357,6 +357,43 @@ object TextQueries {
         col("pack_id"), col("pack_offset"), col("n_chunks"))
   }),
 
+  // Cross-document SHARED-PASSAGE detection (the MOSS plagiarism-pair /
+  // copied-boilerplate semantics, distinct from q90's anti-join vs an eval
+  // set): docs sharing >= 2 distinct 5-token shingles pair up with their
+  // overlap count. Shingles with document frequency > 50 are dropped
+  // first — stop-shingle removal, which is simultaneously the correctness
+  // choice (boilerplate is not a copied passage) and the scale choice (it
+  // bounds the per-shingle join fan-out, so the pair join can't go
+  // quadratic on a templated corpus). A spliced 20-token excerpt of every
+  // doc_id % 40 == 0 doc is injected so true copied passages exist; the
+  // corpus is bounded (doc_id < 300) to keep the oracle's all-pairs
+  // intersection feasible.
+  "q97_shared_passages" -> ((s, dir) => {
+    val base = t(s, dir, "documents").where(col("doc_id") < 300)
+      .select(col("doc_id"), split(Text.normText(col("text")), " ").as("ts"))
+    val spliced = base.where(pmod(col("doc_id"), lit(40L)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(slice(col("ts"), 6, 20),
+          array(lit("spliced"), lit("tail"))).as("ts"))
+    val fps = base.unionByName(spliced)
+      .select(col("doc_id"),
+        explode_outer(when(size(col("ts")) >= 5,
+          array_distinct(transform(sequence(lit(0), size(col("ts")) - 5),
+            i => array_join(slice(col("ts"), i + lit(1), lit(5)), " "))))
+          .otherwise(array().cast("array<string>"))).as("fp"))
+      .where(col("fp").isNotNull)
+    val rare = fps.groupBy("fp")
+      .agg(count(lit(1)).as("df")).where(col("df") <= 50).select("fp")
+    val kept = fps.join(rare, Seq("fp"))
+    val a = kept.select(col("fp"), col("doc_id").as("d1"))
+    val b = kept.select(col("fp"), col("doc_id").as("d2"))
+    a.join(b, Seq("fp"))
+      .where(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+  }),
+
   // C4/Gopher-style keep/drop DECISION layer: named quality rules
   // (length, diversity, repetition, word shape, stopword presence)
   // composed over the q37/q92 signal families, every drop attributable to
@@ -428,6 +465,32 @@ object TextQueries {
            | round(coalesce(top2::DOUBLE / n2, 0) + 3.7e-10, 6) AS top2gram_frac,
            | round(coalesce(dup3::DOUBLE / n3, 0) + 3.7e-10, 6) AS dup3gram_frac
            |FROM d LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)""".stripMargin,
+
+      "q97_shared_passages" ->
+        s"""WITH base AS (
+           | SELECT doc_id, string_split($norm, ' ') AS ts
+           | FROM documents WHERE doc_id < 300),
+           |allx AS (
+           | SELECT doc_id, ts FROM base
+           | UNION ALL
+           | SELECT doc_id + 1000000 AS doc_id,
+           |  ts[6:25] || ['spliced', 'tail'] AS ts
+           | FROM base WHERE doc_id % 40 = 0),
+           |sh AS (
+           | SELECT doc_id,
+           |  CASE WHEN len(ts) >= 5 THEN
+           |   list_distinct([array_to_string(ts[i+1:i+5], ' ')
+           |     for i in range(0, len(ts) - 4)])
+           |  ELSE [] END AS fps
+           | FROM allx),
+           |f AS (SELECT doc_id, unnest(fps) AS fp FROM sh),
+           |rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
+           |k AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)),
+           |p AS (
+           | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS n_shared
+           | FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           | GROUP BY 1, 2)
+           |SELECT d1, d2, n_shared FROM p WHERE n_shared >= 2""".stripMargin,
 
       "q96_quality_filter" ->
         s"""WITH src AS (SELECT doc_id, $norm AS nt FROM documents),
