@@ -44,6 +44,7 @@ object GraftExtensions {
     "psnr" -> { args => Psnr(args(0), args(1)) },
     "resize_image" -> { args => ResizeImage(args(0), args(1), args(2)) },
     "ahash64" -> { args => AHash64(args.head) },
+    "pixel_std" -> { args => PixelStd(args.head) },
     // text-signature family: minhash(text[, k]), lsh_bands(sig[, bands]),
     // simhash(text), hamming64(a, b)
     "minhash" -> { args =>

@@ -139,6 +139,26 @@ object ImageCodec {
     out
   }
 
+  /** Population standard deviation of the pixel values, computed from
+    * EXACT integer sum/sum-of-squares (both < 2^53, so the derived doubles
+    * are identical in any engine that accumulates the same integers —
+    * the property the image-quality oracle's threshold compares rely on).
+    * Empty/corrupt payloads yield 0. */
+  def pixelStd(bytes: Array[Byte]): Double = {
+    val n = bytes.length - HeaderLen
+    if (n <= 0) return 0.0
+    var s = 0L
+    var sq = 0L
+    var i = HeaderLen
+    while (i < bytes.length) {
+      val p = bytes(i) & 0xff
+      s += p; sq += p.toLong * p
+      i += 1
+    }
+    val mean = s.toDouble / n
+    math.sqrt(sq.toDouble / n - mean * mean)
+  }
+
   /** Average-hash (aHash) perceptual fingerprint: nearest-neighbor sample
     * to an 8x8 grid (the `resize` index arithmetic), then bit i is set iff
     * sample i is strictly above the grid mean. The comparison is kept in

@@ -20,6 +20,7 @@ object ImageExprHelpers {
   def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
     ImageCodec.resize(bytes, w, h)
   def ahash(bytes: Array[Byte]): Long = ImageCodec.aHash64(bytes)
+  def pixelStd(bytes: Array[Byte]): Double = ImageCodec.pixelStd(bytes)
 }
 
 /** decode(bytes) -> array<int> pixels. Graft analog of musif's per-file
@@ -87,6 +88,18 @@ case class AHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): AHash64 = copy(child = c)
 }
 
+/** pixel_std(bytes) -> double population std of pixel values (exact
+  * integer moments; the image-quality contrast signal). */
+case class PixelStd(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    ImageExprHelpers.pixelStd(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageExprHelpers.pixelStd($c)")
+  override protected def withNewChildInternal(c: Expression): PixelStd = copy(child = c)
+}
+
 case class IntensityHistogram(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -112,4 +125,6 @@ object ImageFunctions {
     ColumnBridge.column(IntensityHistogram(ColumnBridge.expression(c)))
   def ahash64(c: Column): Column =
     ColumnBridge.column(AHash64(ColumnBridge.expression(c)))
+  def pixel_std(c: Column): Column =
+    ColumnBridge.column(PixelStd(ColumnBridge.expression(c)))
 }

@@ -270,6 +270,27 @@ object EngineQueries {
     // Spark side keeps the banded+salted scale formulation.
     "q91_phash_neardup" -> ((s, dir) => ahashPairs(ahashCorpus(s), 3)),
 
+    // Image-side keep/drop DECISION layer (the q96 analog on the payload
+    // axis): named rules over structure (q80's deterministic corruption
+    // injection reused so `corrupt`/`caption_missing` have a live
+    // population), geometry (pixel count, aspect), and pixel statistics
+    // (mean brightness + contrast std from exact integer moments, so the
+    // DuckDB replay of the same stored bytes compares thresholds
+    // identically). Statistic rules arm only on structurally valid
+    // payloads. Pure per-row expressions — zero shuffle.
+    "q98_image_quality" -> ((s, dir) => {
+      val img = SynthImages.images(s, 20000, 64).drop("ts")
+      val n = substring(col("image_id"), 4, 12).cast("long")
+      val corrupted = img
+        .withColumn("bytes",
+          when(pmod(n, lit(47L)) === 0, lit(null).cast("binary"))
+            .when(pmod(n, lit(37L)) === 0, expr("substring(bytes, 1, 5)"))
+            .otherwise(col("bytes")))
+        .withColumn("caption",
+          when(pmod(n, lit(43L)) === 0, "").otherwise(col("caption")))
+      graft.ops.ImageQuality.classify(corrupted)
+    }),
+
     // IMAGE dedup clusters — the step after q91's pairs: connected
     // components over the tight near-dup graph (hamming <= 1; components
     // stay small and semantically "same image"), min-id representative per
@@ -417,6 +438,48 @@ object EngineQueries {
         |  (bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)))::INT AS hamming
         | FROM hsh a JOIN hsh c ON a.img < c.img)
         |SELECT d1, d2, hamming FROM p WHERE hamming <= 3""".stripMargin,
+
+    "q98_image_quality" ->
+      """WITH im AS (
+        | SELECT image_id, w, h, caption, substr(image_id, 4)::BIGINT AS n,
+        |  bytes, hex(bytes) AS hx
+        | FROM read_parquet('__SYNTH_DIR__/images/*.parquet')),
+        |c AS (
+        | SELECT image_id, w, h,
+        |  CASE WHEN n % 47 = 0 THEN NULL
+        |       WHEN n % 37 = 0 THEN substr(hx, 1, 10)
+        |       ELSE hx END AS hx2,
+        |  CASE WHEN n % 47 = 0 THEN NULL
+        |       WHEN n % 37 = 0 THEN 5 ELSE octet_length(bytes) END AS blen,
+        |  CASE WHEN n % 43 = 0 THEN '' ELSE caption END AS caption
+        | FROM im),
+        |st AS (
+        | SELECT image_id, w, h, caption,
+        |  (blen IS NOT NULL AND blen = w * h + 8) AS valid,
+        |  CASE WHEN blen IS NOT NULL AND blen = w * h + 8 THEN
+        |   list_sum([('0x' || substr(hx2, 17 + 2*i, 2))::BIGINT
+        |     for i in range(0, w * h)]) END AS s,
+        |  CASE WHEN blen IS NOT NULL AND blen = w * h + 8 THEN
+        |   list_sum([(('0x' || substr(hx2, 17 + 2*i, 2))::BIGINT *
+        |              ('0x' || substr(hx2, 17 + 2*i, 2))::BIGINT)
+        |     for i in range(0, w * h)]) END AS sq
+        | FROM c),
+        |r AS (
+        | SELECT image_id,
+        |  coalesce(array_to_string(list_filter([
+        |   CASE WHEN NOT valid THEN 'corrupt' END,
+        |   CASE WHEN w * h < 256 THEN 'too_small' END,
+        |   CASE WHEN w > 2 * h OR h > 2 * w THEN 'extreme_aspect' END,
+        |   CASE WHEN valid AND s::DOUBLE / (w * h) < 124.0 THEN 'too_dark' END,
+        |   CASE WHEN valid AND s::DOUBLE / (w * h) > 129.0 THEN 'too_bright' END,
+        |   CASE WHEN valid AND sqrt(sq::DOUBLE / (w * h)
+        |     - (s::DOUBLE / (w * h)) * (s::DOUBLE / (w * h))) < 56.0
+        |    THEN 'low_contrast' END,
+        |   CASE WHEN caption IS NULL OR length(caption) = 0
+        |    THEN 'caption_missing' END
+        |  ], x -> x IS NOT NULL), ';'), '') AS reasons
+        | FROM st)
+        |SELECT image_id, reasons, (reasons = '') AS keep FROM r""".stripMargin,
 
     // the q91 hash pipeline + recursive-CTE transitive closure over the
     // exact hamming <= 1 edge set -> same min-reachable-id labels + kept

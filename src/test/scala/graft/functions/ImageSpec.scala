@@ -100,6 +100,23 @@ class ImageSpec extends SparkSpec {
       ImageCodec.encode(1L, 8, 8, lossy = false).take(20), 4, 4)).forall(_ == 0))
   }
 
+  test("pixelStd: exact integer moments; corrupt input yields 0") {
+    for (seed <- 0L until 10L) {
+      val bytes = ImageCodec.encode(seed, 12, 9, lossy = false)
+      val px = ImageCodec.decode(bytes)
+      val mean = px.sum.toDouble / px.length
+      val ref = math.sqrt(px.map(p => p.toDouble * p).sum / px.length - mean * mean)
+      assert(math.abs(ImageCodec.pixelStd(bytes) - ref) < 1e-9, s"seed=$seed")
+    }
+    assert(ImageCodec.pixelStd(Array.empty[Byte]) === 0.0)
+    assert(ImageCodec.pixelStd(Array[Byte](1, 2, 3)) === 0.0)
+    // uniform pixels -> zero contrast
+    val flat = Array.fill[Byte](8 + 16)(0x40)
+    System.arraycopy("GR01".getBytes("ASCII"), 0, flat, 0, 4)
+    flat(4) = 0; flat(5) = 4; flat(6) = 0; flat(7) = 4
+    assert(ImageCodec.pixelStd(flat) === 0.0)
+  }
+
   test("aHash64 expression: parity with codec, small hamming on a near-dup") {
     val df = Seq(0L, 1L, 2L, 3L).map { seed =>
       (seed, ImageCodec.encode(seed, 16, 16, lossy = false))
