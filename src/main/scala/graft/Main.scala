@@ -13,7 +13,7 @@ import scala.jdk.CollectionConverters._
   *     --images <dir|synth:N> --labels <dir|synth:N> --out <dir> \
   *     [--config <properties>] [--set k=v ...] [--resume] \
   *     [--format csv] [--sliding <size>,<overlap>]
-  *     [--split train:0.8,val:0.1,test:0.1] [--dedup <maxHamming>]
+  *     [--split train:0.8,val:0.1,test:0.1] [--dedup <maxHamming>] [--quality]
   *
   * Reads the image+caption table (any Spark source — parquet in the
   * sandbox, an Iceberg catalog table in production via
@@ -61,13 +61,28 @@ object Main {
       java.nio.file.Files.exists(java.nio.file.Paths.get(s"${outDir}_lineage")) &&
       spark.read.parquet(s"${outDir}_lineage")
         .select("partition_id").distinct().count() >= cfg.lineageBuckets
-    val images = opts.get("dedup") match {
+    val deduped = opts.get("dedup") match {
       case Some(h) if !lineageComplete =>
         val edges = ops.Dedup.perceptualEdges(validated, "image_id", "bytes",
           maxHamming = h.trim.toInt)
         ops.Dedup.dropClusteredDuplicates(validated, "image_id", edges)
       case _ => validated
     }
+
+    // --quality: the image keep/drop decision layer AFTER dedup (dedup
+    // first, so a low-quality cluster representative doesn't let its
+    // higher-quality copies through). Dropped rows land with their reason
+    // lists in <out>_dropped — every exclusion stays attributable.
+    val images = if (opts.contains("quality") && !lineageComplete) {
+      val verdicts = ops.ImageQuality.classify(deduped)
+      verdicts.where(!org.apache.spark.sql.functions.col("keep"))
+        .select("image_id", "reasons")
+        .write.mode("overwrite").parquet(s"${outDir}_dropped")
+      deduped.join(
+        verdicts.where(org.apache.spark.sql.functions.col("keep"))
+          .select("image_id"),
+        Seq("image_id"), "left_semi")
+    } else deduped
 
     // ONE on-disk layout for both modes (bucket-partitioned, dynamic
     // overwrite, via runResumable): running once without --resume and later
@@ -192,6 +207,7 @@ object Main {
       case "--sliding" :: v :: rest => parseArgs(rest, acc + ("sliding" -> v))
       case "--split" :: v :: rest  => parseArgs(rest, acc + ("split" -> v))
       case "--dedup" :: v :: rest  => parseArgs(rest, acc + ("dedup" -> v))
+      case "--quality" :: rest     => parseArgs(rest, acc + ("quality" -> "true"))
       case "--set" :: v :: rest =>
         parseArgs(rest, acc + ("set" -> (acc.get("set").map(_ + ";;").getOrElse("") + v)))
       case "--resume" :: rest      => parseArgs(rest, acc + ("resume" -> "true"))

@@ -65,6 +65,22 @@ class MainSpec extends SparkSpec {
     assert(Main.parseArgs(List("--dedup", "1"), Map.empty) === Map("dedup" -> "1"))
   }
 
+  test("--quality: decision stage drops flagged images with attributable reasons") {
+    import spark.implicits._
+    val imgs = sources.SynthImages.images(spark, 600, 8).drop("ts")
+    val verdicts = ops.ImageQuality.classify(imgs)
+    val keep = verdicts.where(col("keep")).count()
+    val drop = verdicts.where(!col("keep")).count()
+    assert(keep > 0 && drop > 0, s"thresholds don't split: keep=$keep drop=$drop")
+    // the Main wiring: left-semi on kept ids preserves exactly the keepers
+    val kept = imgs.join(verdicts.where(col("keep")).select("image_id"),
+      Seq("image_id"), "left_semi")
+    assert(kept.count() === keep)
+    // every dropped row names at least one rule
+    assert(verdicts.where(!col("keep") && length(col("reasons")) === 0).count() === 0)
+    assert(Main.parseArgs(List("--quality"), Map.empty) === Map("quality" -> "true"))
+  }
+
   test("--split CLI plumbing: parseArgs routes the flag, parseSplitArg parses weights") {
     assert(Main.parseArgs(List("--split", "train:0.8,val:0.1,test:0.1"), Map.empty)
       === Map("split" -> "train:0.8,val:0.1,test:0.1"))
