@@ -29,9 +29,58 @@ import org.apache.spark.storage.StorageLevel
 object Dedup {
 
   /** @param edges undirected edge list (columns `a`, `b`, one row per pair)
+    * @param driverEdgeLimit near-dup graphs are usually tiny relative to
+    *        the corpus (pairs, not rows) — when the edge list fits under
+    *        this bound it is collected once and union-find runs on the
+    *        driver in O(E α), skipping the iterative join loop whose
+    *        ~0.5 s/round fixed cost (join + localCheckpoint) dominates on
+    *        small graphs. Above the bound the distributed min-label loop
+    *        runs unchanged. 0 disables the fast path.
     * @return (id, cluster_rep) — every node that appears in an edge, labeled
     *         with the min id reachable from it. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          driverEdgeLimit: Int = 100000): DataFrame = {
+    if (driverEdgeLimit > 0) {
+      // one action either way: collect limit+1 rows; a short result IS the
+      // whole edge list, otherwise fall through to the distributed loop
+      val sample = edges.select(col("a"), col("b"))
+        .limit(driverEdgeLimit + 1).collect()
+      if (sample.length <= driverEdgeLimit) {
+        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+        def find(x0: Any): Any = {
+          var x = x0
+          while (parent(x) != x) {
+            parent(x) = parent(parent(x)); x = parent(x)
+          }
+          x
+        }
+        def lt(x: Any, y: Any): Boolean = (x, y) match {
+          case (a: Long, b: Long) => a < b
+          case (a: Int, b: Int) => a < b
+          case (a: String, b: String) => a < b
+          case (a: java.lang.Number, b: java.lang.Number) =>
+            a.doubleValue < b.doubleValue
+          case _ => String.valueOf(x) < String.valueOf(y)
+        }
+        sample.foreach { r =>
+          val (a, b) = (r.get(0), r.get(1))
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val spark = edges.sparkSession
+        val idType = edges.schema("a").dataType
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("cluster_rep", idType)))
+        val rows = parent.keys.toSeq.map(k =>
+          org.apache.spark.sql.Row(k, find(k)))
+        return spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema)
+      }
+    }
     // symmetrize once: propagation below only follows a -> b
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))

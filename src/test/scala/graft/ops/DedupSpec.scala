@@ -39,11 +39,33 @@ class DedupSpec extends SparkSpec {
   }
 
   test("worst-case chain converges to the single min label") {
-    // 0-1-2-...-9: diameter 9, exercises the iteration bound
+    // 0-1-2-...-9: diameter 9, exercises the iteration bound of the
+    // DISTRIBUTED loop (fast path disabled)
     val edges = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = Dedup.connectedComponents(edges, maxIter = 15).collect()
+    val labels = Dedup.connectedComponents(edges, maxIter = 15,
+      driverEdgeLimit = 0).collect()
     assert(labels.length === 10)
     assert(labels.forall(_.getLong(1) === 0L))
+  }
+
+  test("driver fast path == distributed loop on the same random graphs") {
+    val rnd = new Random(23)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val edges = (1 to 60).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.toDF("a", "b")
+      def asMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fast = asMap(Dedup.connectedComponents(edges))
+      val dist = asMap(Dedup.connectedComponents(edges, driverEdgeLimit = 0))
+      assert(fast === dist, s"trial $trial")
+    }
+    // string ids take the lexicographic min root on the fast path too
+    val sEdges = Seq(("img_b", "img_a"), ("img_c", "img_b")).toDF("a", "b")
+    val labels = Dedup.connectedComponents(sEdges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels === Map("img_a" -> "img_a", "img_b" -> "img_a", "img_c" -> "img_a"))
   }
 
   test("dropClusteredDuplicates keeps exactly one representative per component") {
