@@ -45,6 +45,7 @@ object GraftExtensions {
     "resize_image" -> { args => ResizeImage(args(0), args(1), args(2)) },
     "ahash64" -> { args => AHash64(args.head) },
     "pixel_std" -> { args => PixelStd(args.head) },
+    "crop_image" -> { args => CropImage(args(0), args(1), args(2), args(3)) },
     // text-signature family: minhash(text[, k]), lsh_bands(sig[, bands]),
     // simhash(text), hamming64(a, b)
     "minhash" -> { args =>

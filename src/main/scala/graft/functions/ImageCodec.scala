@@ -159,6 +159,34 @@ object ImageCodec {
     math.sqrt(sq.toDouble / n - mean * mean)
   }
 
+  /** Square crop of side `s` at source offset (x, y); pixels outside the
+    * source bounds are zero-filled (so crops near edges stay total and
+    * deterministic). Same totality contract as resize: a corrupt source
+    * yields the requested-size zero payload. */
+  def crop(bytes: Array[Byte], x: Int, y: Int, s: Int): Array[Byte] = {
+    val w = width(bytes); val h = height(bytes)
+    val px = decode(bytes)
+    val out = new Array[Byte](HeaderLen + s * s)
+    var i = 0
+    while (i < 4) { out(i) = MagicLossless.charAt(i).toByte; i += 1 }
+    out(4) = ((s >> 8) & 0xff).toByte; out(5) = (s & 0xff).toByte
+    out(6) = ((s >> 8) & 0xff).toByte; out(7) = (s & 0xff).toByte
+    if (w <= 0 || h <= 0 || px.length < w.toLong * h) return out
+    var dy = 0
+    while (dy < s) {
+      val sy = y + dy
+      var dx = 0
+      while (dx < s) {
+        val sx = x + dx
+        if (sx >= 0 && sy >= 0 && sx < w && sy < h)
+          out(HeaderLen + dy * s + dx) = px(sy * w + sx).toByte
+        dx += 1
+      }
+      dy += 1
+    }
+    out
+  }
+
   /** Average-hash (aHash) perceptual fingerprint: nearest-neighbor sample
     * to an 8x8 grid (the `resize` index arithmetic), then bit i is set iff
     * sample i is strictly above the grid mean. The comparison is kept in

@@ -21,6 +21,8 @@ object ImageExprHelpers {
     ImageCodec.resize(bytes, w, h)
   def ahash(bytes: Array[Byte]): Long = ImageCodec.aHash64(bytes)
   def pixelStd(bytes: Array[Byte]): Double = ImageCodec.pixelStd(bytes)
+  def crop(bytes: Array[Byte], x: Int, y: Int, s: Int): Array[Byte] =
+    ImageCodec.crop(bytes, x, y, s)
 }
 
 /** decode(bytes) -> array<int> pixels. Graft analog of musif's per-file
@@ -88,6 +90,25 @@ case class AHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): AHash64 = copy(child = c)
 }
 
+/** crop_image(bytes, x, y, s) -> binary square crop of side s at source
+  * offset (x, y), zero-filled outside source bounds — the random-crop
+  * transform of a vision training pipeline (deterministic given (x, y)). */
+case class CropImage(first: Expression, second: Expression,
+                     third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any, x: Any, y: Any, s: Any): Any =
+    ImageExprHelpers.crop(b.asInstanceOf[Array[Byte]],
+      x.asInstanceOf[Int], y.asInstanceOf[Int], s.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (b, x, y, s) => s"graft.functions.ImageExprHelpers.crop($b, $x, $y, $s)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): CropImage =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 /** pixel_std(bytes) -> double population std of pixel values (exact
   * integer moments; the image-quality contrast signal). */
 case class PixelStd(child: Expression) extends UnaryExpression {
@@ -127,4 +148,8 @@ object ImageFunctions {
     ColumnBridge.column(AHash64(ColumnBridge.expression(c)))
   def pixel_std(c: Column): Column =
     ColumnBridge.column(PixelStd(ColumnBridge.expression(c)))
+  def crop_image(c: Column, x: Column, y: Column, s: Column): Column =
+    ColumnBridge.column(CropImage(ColumnBridge.expression(c),
+      ColumnBridge.expression(x), ColumnBridge.expression(y),
+      ColumnBridge.expression(s)))
 }

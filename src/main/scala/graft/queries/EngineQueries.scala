@@ -252,6 +252,28 @@ object EngineQueries {
         r6(ImageFunctions.mean_brightness(rz)).as("rz_mean"))
     }),
 
+    // Crop-path fidelity with a DRIVER-VISIBLE oracle (the q87 pattern for
+    // the crop leg, completing the decode/resize/CROP/frame-sample
+    // transform family): a deterministic per-image 8x8 crop at offset
+    // (id%5, id%7) — the random-crop augmentation with the randomness
+    // derived from the id, so both engines replay it. DuckDB re-derives
+    // the cropped mean from the SAME stored bytes via hex slicing,
+    // including the zero-fill outside source bounds.
+    "q99_crop_fidelity" -> ((s, dir) => {
+      val n = substring(col("image_id"), 4, 12).cast("long")
+      val cr = ImageFunctions.crop_image(col("bytes"),
+        pmod(n, lit(5L)).cast("int"), pmod(n, lit(7L)).cast("int"), lit(8))
+      SynthImages.images(s, 20000, 64).select(
+        col("image_id"),
+        pmod(n, lit(5L)).cast("int").as("cx"),
+        pmod(n, lit(7L)).cast("int").as("cy"),
+        length(cr).cast("bigint").as("crop_len"),
+        substring(hex(cr), 1, 8).as("crop_magic"),
+        conv(substring(hex(cr), 9, 4), 16, 10).cast("int").as("crop_w"),
+        conv(substring(hex(cr), 13, 4), 16, 10).cast("int").as("crop_h"),
+        r6(ImageFunctions.mean_brightness(cr)).as("crop_mean"))
+    }),
+
     // IMAGE near-dup via perceptual hashing — the payload-side analog of
     // the text MinHash family, and the op the north star's "duplicate phash
     // cluster" skew story starts from: aHash64 (codegen'd Catalyst expr —
@@ -480,6 +502,30 @@ object EngineQueries {
         |  ], x -> x IS NOT NULL), ';'), '') AS reasons
         | FROM st)
         |SELECT image_id, reasons, (reasons = '') AS keep FROM r""".stripMargin,
+
+    "q99_crop_fidelity" ->
+      """WITH im AS (
+        | SELECT image_id, w, h, substr(image_id, 4)::BIGINT AS n,
+        |  hex(bytes) AS hx
+        | FROM read_parquet('__SYNTH_DIR__/images/*.parquet')),
+        |par AS (
+        | SELECT image_id, w, h, hx,
+        |  (n % 5)::INT AS cx, (n % 7)::INT AS cy FROM im),
+        |px AS (
+        | SELECT image_id, w, h, cx, cy,
+        |  list_sum([
+        |   CASE WHEN cx + (i % 8) < w AND cy + (i // 8) < h
+        |    THEN ('0x' || substr(hx,
+        |      17 + 2*((cy + (i // 8)) * w + cx + (i % 8)), 2))::INT
+        |    ELSE 0 END
+        |   for i in range(0, 64)]) AS s64
+        | FROM par)
+        |SELECT image_id, cx, cy,
+        | 72::BIGINT AS crop_len,
+        | '47523031' AS crop_magic,
+        | 8::INT AS crop_w, 8::INT AS crop_h,
+        | round(s64::DOUBLE / 64 + 3.7e-10, 6) AS crop_mean
+        |FROM px""".stripMargin,
 
     // the q91 hash pipeline + recursive-CTE transitive closure over the
     // exact hamming <= 1 edge set -> same min-reachable-id labels + kept

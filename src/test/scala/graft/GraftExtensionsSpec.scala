@@ -88,7 +88,8 @@ class GraftExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext) // must not throw; builders total
     assert(GraftExtensions.sqlFunctions.map(_._1).toSet === Set(
       "decode_image", "mean_brightness", "intensity_histogram", "psnr", "resize_image",
-      "ahash64", "pixel_std", "minhash", "lsh_bands", "simhash", "hamming64",
+      "ahash64", "pixel_std", "crop_image", "minhash", "lsh_bands", "simhash",
+      "hamming64",
       "decode_audio", "mean_amplitude", "zero_crossings", "frame_rms", "audio_psnr",
       "frame_count", "sample_frames", "extract_frame", "split_fraction"))
   }

@@ -239,6 +239,26 @@ class PlanSpec extends SparkSpec {
       s"global sort in the packing path:\n$plan")
   }
 
+  test("q96/q98 decision layers: rules stay per-row; q98 is shuffle-free") {
+    val p96 = planOf(SparkEntry.queries("q96_quality_filter")(spark, sfDir))
+    // only the repetition aggregates may shuffle — no window, no sort agg
+    assert(!p96.contains("Window") && !p96.contains("SortAggregate"),
+      s"q96 rule evaluation left per-row shape:\n$p96")
+    val p98 = planOf(SparkEntry.queries("q98_image_quality")(spark, sfDir))
+    assert(!p98.contains("Exchange"), s"q98 shuffles:\n$p98")
+    assert(p98.contains("pixelstd") || p98.contains("pixel_std"),
+      s"contrast expression missing:\n$p98")
+  }
+
+  test("q97 shared passages: df-capped pair join, no cartesian") {
+    val plan = planOf(SparkEntry.queries("q97_shared_passages")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pair stage degenerated:\n$plan")
+    // the df<=50 stop-shingle filter must aggregate before the pair join
+    assert("partial_count".r.findFirstIn(plan).isDefined,
+      s"df cap not partial-aggregated:\n$plan")
+  }
+
   test("image expressions run inside whole-stage codegen") {
     val df = SynthImages.images(spark, 50, 4)
       .select(graft.functions.ImageFunctions.mean_brightness(col("bytes")).as("b"))

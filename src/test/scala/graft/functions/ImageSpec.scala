@@ -100,6 +100,21 @@ class ImageSpec extends SparkSpec {
       ImageCodec.encode(1L, 8, 8, lossy = false).take(20), 4, 4)).forall(_ == 0))
   }
 
+  test("crop: region copy, zero-fill past bounds, total on corrupt input") {
+    val bytes = ImageCodec.encode(3L, 10, 6, lossy = false)
+    val px = ImageCodec.decode(bytes)
+    val c = ImageCodec.crop(bytes, 7, 3, 4) // spills 1 col / 1 row past edge
+    assert(ImageCodec.width(c) === 4 && ImageCodec.height(c) === 4)
+    val cp = ImageCodec.decode(c)
+    for (dy <- 0 until 4; dx <- 0 until 4) {
+      val (sx, sy) = (7 + dx, 3 + dy)
+      val want = if (sx < 10 && sy < 6) px(sy * 10 + sx) else 0
+      assert(cp(dy * 4 + dx) === want, s"($dx,$dy)")
+    }
+    // corrupt source -> zero payload of the requested size
+    assert(ImageCodec.decode(ImageCodec.crop(bytes.take(9), 0, 0, 3)).forall(_ == 0))
+  }
+
   test("pixelStd: exact integer moments; corrupt input yields 0") {
     for (seed <- 0L until 10L) {
       val bytes = ImageCodec.encode(seed, 12, 9, lossy = false)
