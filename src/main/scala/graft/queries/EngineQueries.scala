@@ -252,6 +252,52 @@ object EngineQueries {
         r6(ImageFunctions.mean_brightness(rz)).as("rz_mean"))
     }),
 
+    // The CURATION FUNNEL end-to-end — the capstone composition a corpus
+    // pipeline actually runs, every stage of which is individually oracled
+    // (q80 error channel, q98 quality gate, q91/q95 perceptual dedup,
+    // q88 hash split) and which here is verified AS A WHOLE: deterministic
+    // corruption -> error split -> image quality gate -> hamming<=1
+    // perceptual dedup (keep-one-rep) -> train/val/test split. One row per
+    // input image with its final disposition ('error' | 'quality' |
+    // 'dedup' | split label), so the oracle proves stage ORDER and
+    // set algebra, not just each stage alone. Bounded corpus (2000) keeps
+    // the oracle's all-pairs + recursive-closure side feasible.
+    "q100_curation_funnel" -> ((s, dir) => {
+      val img = SynthImages.images(s, 2000, 64).drop("ts")
+      val n = substring(col("image_id"), 4, 12).cast("long")
+      val corrupted = img
+        .withColumn("bytes",
+          when(pmod(n, lit(47L)) === 0, lit(null).cast("binary"))
+            .when(pmod(n, lit(37L)) === 0, expr("substring(bytes, 1, 5)"))
+            .otherwise(col("bytes")))
+        .withColumn("fmt", when(pmod(n, lit(41L)) === 0, "bmp").otherwise(col("fmt")))
+        .withColumn("caption",
+          when(pmod(n, lit(43L)) === 0, "").otherwise(col("caption")))
+      val checks = graft.sources.ErrorChannel.imageChecks
+        .filterNot(_._1 == "ts_present")
+      val (good, bad) = graft.sources.ErrorChannel.split(corrupted, checks)
+      val verdicts = graft.ops.ImageQuality.classify(good)
+      val qualDropped = verdicts.where(!col("keep")).select("image_id")
+      val kept = good.join(verdicts.where(col("keep")).select("image_id"),
+        Seq("image_id"), "left_semi")
+      val edges = graft.ops.Dedup.perceptualEdges(kept, "image_id", "bytes",
+        maxHamming = 1, cap = 4096)
+      val dedupDropped = graft.ops.Dedup.connectedComponents(edges)
+        .where(col("id") =!= col("cluster_rep"))
+        .select(col("id").as("image_id"))
+      val survivors = kept.select("image_id")
+        .join(dedupDropped, Seq("image_id"), "left_anti")
+      val split = graft.ops.Sampling.hashSplit(survivors,
+        col("image_id"), FunnelSplitWeights)
+      bad.select(col("image_id"), lit("error").as("disposition"))
+        .unionByName(qualDropped
+          .select(col("image_id"), lit("quality").as("disposition")))
+        .unionByName(dedupDropped
+          .select(col("image_id"), lit("dedup").as("disposition")))
+        .unionByName(split
+          .select(col("image_id"), col("split").as("disposition")))
+    }),
+
     // Crop-path fidelity with a DRIVER-VISIBLE oracle (the q87 pattern for
     // the crop leg, completing the decode/resize/CROP/frame-sample
     // transform family): a deterministic per-image 8x8 crop at offset
@@ -333,6 +379,11 @@ object EngineQueries {
           coalesce(col("cluster_rep"), col("img")).as("rep"),
           (coalesce(col("cluster_rep"), col("img")) === col("img")).as("kept"))
     }))
+
+  /** q100's split weights — ONE Seq generates the Spark CASE chain and the
+    * oracle thresholds (the q88 pattern). */
+  private val FunnelSplitWeights =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
 
   /** The q91/q95 image corpus: 2000 synthesized images + byte-surgery
     * near-dups (pixel (0,0) forced to 0xFF) for every img % 25 == 0,
@@ -502,6 +553,100 @@ object EngineQueries {
         |  ], x -> x IS NOT NULL), ';'), '') AS reasons
         | FROM st)
         |SELECT image_id, reasons, (reasons = '') AS keep FROM r""".stripMargin,
+
+    "q100_curation_funnel" -> {
+      val cums = graft.ops.Sampling.cumulativeShares(FunnelSplitWeights)
+      val cases = FunnelSplitWeights.init.zip(cums.init).map { case ((l, _), hi) =>
+        s"WHEN f < $hi THEN '$l'"
+      }.mkString(" ")
+      s"""WITH RECURSIVE im AS (
+         | SELECT image_id, w, h, fmt, caption,
+         |  substr(image_id, 4)::BIGINT AS n, bytes, hex(bytes) AS hx
+         | FROM read_parquet('__SYNTH_DIR__/images/*.parquet')
+         | WHERE substr(image_id, 4)::BIGINT < 2000),
+         |c AS (
+         | SELECT image_id, w, h,
+         |  CASE WHEN n % 47 = 0 THEN NULL
+         |       WHEN n % 37 = 0 THEN substr(hx, 1, 10) ELSE hx END AS hx2,
+         |  CASE WHEN n % 47 = 0 THEN NULL
+         |       WHEN n % 37 = 0 THEN 5 ELSE octet_length(bytes) END AS blen,
+         |  CASE WHEN n % 41 = 0 THEN 'bmp' ELSE fmt END AS fmt,
+         |  CASE WHEN n % 43 = 0 THEN '' ELSE caption END AS caption
+         | FROM im),
+         |err AS (
+         | SELECT image_id,
+         |  (blen IS NULL OR blen <> w * h + 8 OR NOT (w > 0 AND h > 0)
+         |   OR fmt NOT IN ('png', 'jpg')
+         |   OR caption IS NULL OR length(caption) = 0) AS is_err
+         | FROM c),
+         |good AS (
+         | -- err's predicate inlined (NOT joined): a join would let the
+         | -- planner project st's pixel sums on the unfiltered side, where
+         | -- truncated hex slices fail to parse
+         | SELECT image_id, w, h, hx2 FROM c
+         | WHERE NOT (blen IS NULL OR blen <> w * h + 8
+         |  OR NOT (w > 0 AND h > 0) OR fmt NOT IN ('png', 'jpg')
+         |  OR caption IS NULL OR length(caption) = 0)),
+         |st AS (
+         | SELECT image_id, w, h, hx2,
+         |  list_sum([('0x' || substr(hx2, 17 + 2*i, 2))::BIGINT
+         |    for i in range(0, w * h)]) AS s,
+         |  list_sum([(('0x' || substr(hx2, 17 + 2*i, 2))::BIGINT *
+         |             ('0x' || substr(hx2, 17 + 2*i, 2))::BIGINT)
+         |    for i in range(0, w * h)]) AS sq
+         | FROM good),
+         |qual AS (
+         | SELECT image_id, hx2, w, h,
+         |  (w * h < 256 OR w > 2 * h OR h > 2 * w
+         |   OR s::DOUBLE / (w * h) < 124.0 OR s::DOUBLE / (w * h) > 129.0
+         |   OR sqrt(sq::DOUBLE / (w * h)
+         |      - (s::DOUBLE / (w * h)) * (s::DOUBLE / (w * h))) < 56.0) AS qdrop
+         | FROM st),
+         |kept AS (SELECT image_id, hx2, w, h FROM qual WHERE NOT qdrop),
+         |smp AS (
+         | SELECT image_id,
+         |  [('0x' || substr(hx2, 17 + 2*(least(h - 1, (i // 8) * h // 8) * w
+         |      + least(w - 1, (i % 8) * w // 8)), 2))::INT
+         |   for i in range(0, 64)] AS px
+         | FROM kept),
+         |m AS (SELECT image_id, px, list_sum(px) AS sm FROM smp),
+         |hsh AS (
+         | SELECT image_id,
+         |  list_sum([(px[i + 1] * 64 > sm)::BIGINT * (1::BIGINT << i)
+         |    for i in range(0, 32)]) AS lo,
+         |  list_sum([(px[i + 33] * 64 > sm)::BIGINT * (1::BIGINT << i)
+         |    for i in range(0, 32)]) AS hi
+         | FROM m),
+         |p AS (
+         | SELECT a.image_id AS d1, b.image_id AS d2
+         | FROM hsh a JOIN hsh b ON a.image_id < b.image_id
+         | WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 1),
+         |sym AS (SELECT d1 AS a, d2 AS b FROM p
+         |        UNION ALL SELECT d2 AS a, d1 AS b FROM p),
+         |reach AS (
+         | SELECT DISTINCT a AS id, a AS lbl FROM sym
+         | UNION
+         | SELECT s.a AS id, r.lbl FROM sym s JOIN reach r ON r.id = s.b),
+         |lab AS (SELECT id, min(lbl) AS rep FROM reach GROUP BY id),
+         |dd AS (SELECT id AS image_id FROM lab WHERE id <> rep),
+         |surv AS (
+         | SELECT k.image_id FROM kept k
+         | LEFT JOIN dd USING (image_id) WHERE dd.image_id IS NULL),
+         |spl AS (
+         | SELECT image_id, CASE $cases
+         |   ELSE '${FunnelSplitWeights.last._1}' END AS disposition
+         | FROM (SELECT image_id,
+         |   ('0x' || substr(md5(image_id || ':split'), 1, 13))::BIGINT
+         |     / 4503599627370496.0 AS f
+         |  FROM surv) t)
+         |SELECT image_id, 'error' AS disposition FROM err WHERE is_err
+         |UNION ALL
+         |SELECT image_id, 'quality' AS disposition FROM qual WHERE qdrop
+         |UNION ALL
+         |SELECT image_id, 'dedup' AS disposition FROM dd
+         |UNION ALL
+         |SELECT image_id, disposition FROM spl""".stripMargin
+    },
 
     "q99_crop_fidelity" ->
       """WITH im AS (
