@@ -74,7 +74,11 @@ object Main {
     // higher-quality copies through). Dropped rows land with their reason
     // lists in <out>_dropped — every exclusion stays attributable.
     val images = if (opts.contains("quality") && !lineageComplete) {
+      // persist: the verdict table (id + reasons + keep, tiny) feeds two
+      // actions (the _dropped write and the semi-join) — uncached, each
+      // would re-run the whole dedup + classification chain
       val verdicts = ops.ImageQuality.classify(deduped)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       verdicts.where(!org.apache.spark.sql.functions.col("keep"))
         .select("image_id", "reasons")
         .write.mode("overwrite").parquet(s"${outDir}_dropped")
@@ -93,6 +97,10 @@ object Main {
     if (!resume) {
       deleteRecursively(outDir)
       deleteRecursively(s"${outDir}_lineage")
+      deleteRecursively(s"${outDir}_lineage_metrics")
+      // a run without --quality must not leave a previous run's drop
+      // manifest beside its output — stale attribution is worse than none
+      deleteRecursively(s"${outDir}_dropped")
       java.nio.file.Files.deleteIfExists(pinPath)
     }
 

@@ -40,11 +40,20 @@ object Dedup {
     *         with the min id reachable from it. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           driverEdgeLimit: Int = 100000): DataFrame = {
-    if (driverEdgeLimit > 0) {
+    // persist before the probe: edge lists come from expensive candidate
+    // joins, and when the graph exceeds the limit the distributed loop
+    // below would otherwise recompute that join from scratch (twice, via
+    // the symmetrize union)
+    val edgeList = edges.select(col("a"), col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // binary ids are excluded from the fast path: Array[Byte] map keys
+    // compare by reference, which would split duplicate endpoints
+    val fastEligible = driverEdgeLimit > 0 &&
+      !edges.schema("a").dataType.isInstanceOf[org.apache.spark.sql.types.BinaryType]
+    if (fastEligible) {
       // one action either way: collect limit+1 rows; a short result IS the
       // whole edge list, otherwise fall through to the distributed loop
-      val sample = edges.select(col("a"), col("b"))
-        .limit(driverEdgeLimit + 1).collect()
+      val sample = edgeList.limit(driverEdgeLimit + 1).collect()
       if (sample.length <= driverEdgeLimit) {
         val parent = scala.collection.mutable.HashMap.empty[Any, Any]
         def find(x0: Any): Any = {
@@ -54,10 +63,24 @@ object Dedup {
           }
           x
         }
+        // string order must be UTF-8 BINARY (Spark's UTF8String min and
+        // the DuckDB oracles compare bytes) — Scala's String < is UTF-16
+        // code-unit order, which disagrees above the BMP
+        def utf8Lt(a: String, b: String): Boolean = {
+          val (xa, xb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+          var i = 0
+          val n = math.min(xa.length, xb.length)
+          while (i < n) {
+            val c = (xa(i) & 0xff) - (xb(i) & 0xff)
+            if (c != 0) return c < 0
+            i += 1
+          }
+          xa.length < xb.length
+        }
         def lt(x: Any, y: Any): Boolean = (x, y) match {
           case (a: Long, b: Long) => a < b
           case (a: Int, b: Int) => a < b
-          case (a: String, b: String) => a < b
+          case (a: String, b: String) => utf8Lt(a, b)
           case (a: java.lang.Number, b: java.lang.Number) =>
             a.doubleValue < b.doubleValue
           case _ => String.valueOf(x) < String.valueOf(y)
@@ -77,13 +100,14 @@ object Dedup {
           org.apache.spark.sql.types.StructField("cluster_rep", idType)))
         val rows = parent.keys.toSeq.map(k =>
           org.apache.spark.sql.Row(k, find(k)))
+        edgeList.unpersist(blocking = false)
         return spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), schema)
       }
     }
     // symmetrize once: propagation below only follows a -> b
-    val sym = edges.select(col("a"), col("b"))
-      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    val sym = edgeList
+      .unionByName(edgeList.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels = sym.select(col("a").as("id")).distinct()
@@ -106,6 +130,7 @@ object Dedup {
       it += 1
     }
     sym.unpersist(blocking = false)
+    edgeList.unpersist(blocking = false)
     labels.select(col("id"), col("lbl").as("cluster_rep"))
   }
 

@@ -32,8 +32,16 @@ object ImageQuality {
     * dims (the error-channel convention — for valid payloads they equal
     * the header). Emits (image_id, keep, reasons). */
   def classify(images: DataFrame, t: Thresholds = Thresholds()): DataFrame = {
-    val valid = col("bytes").isNotNull &&
-      length(col("bytes")) === col("w") * col("h") + lit(8)
+    // coalesce: NULL metadata dims must land on the corrupt branch, not
+    // NULL-suppress every rule and slip through keep=true; HeaderLen from
+    // the codec so this stays the SAME validity definition as
+    // ErrorChannel.imageChecks (the q100 funnel assumes they agree)
+    val valid = coalesce(
+      col("bytes").isNotNull && col("w").isNotNull && col("h").isNotNull &&
+        col("w") > 0 && col("h") > 0 &&
+        length(col("bytes")) === col("w") * col("h") +
+          lit(graft.functions.ImageCodec.HeaderLen),
+      lit(false))
     val mean = ImageFunctions.mean_brightness(col("bytes"))
     val std = ImageFunctions.pixel_std(col("bytes"))
     val checks: Seq[(String, Column)] = Seq(

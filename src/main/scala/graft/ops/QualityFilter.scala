@@ -44,7 +44,10 @@ object QualityFilter {
     val meanWordLen =
       (col("chars") - (col("toks") - 1)).cast("double") / col("toks")
     val checks: Seq[(String, Column)] = Seq(
-      "empty" -> (col("toks") === 0),
+      // coalesce: a NULL nt (hence NULL toks) is the clearest drop
+      // candidate and must flag 'empty', not slip through the NULL->false
+      // suppression the other rules rely on
+      "empty" -> (coalesce(col("toks"), lit(0L)) === 0),
       "too_few_tokens" -> (col("toks") > 0 && col("toks") < t.minTokens),
       "too_many_tokens" -> (col("toks") > t.maxTokens),
       "low_distinct_ratio" -> (col("distinct_ratio") < t.minDistinctRatio),

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object Repetition {
 
   private def r6(c: org.apache.spark.sql.Column) =
-    round(c + lit(3.7e-10), 6)
+    round(c + lit(Stats.TieEps), 6)
 
   def signals(docs: DataFrame): DataFrame = {
     val d = docs

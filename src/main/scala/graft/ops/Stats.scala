@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** THE cross-engine tie-breaking rounding epsilon — single source of
+    * truth referenced by `queries.Q.TieEps` and every op that pre-rounds a
+    * ratio for oracle comparability (see Q's scaladoc for the calibration
+    * rationale). */
+  final val TieEps = 3.7e-10
+
   /** Bias-corrected sample skewness G1 = g1 * sqrt(n(n-1)) / (n-2).
     * Null when n < 3 (matching scipy/DuckDB domain). */
   def skewnessCorrected(c: Column): Column = {

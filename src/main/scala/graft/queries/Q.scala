@@ -25,7 +25,7 @@ object Q {
     * differently. The epsilon (applied identically in the oracle SQL) moves
     * data-produced ties off the boundary; engine-level value differences are
     * ~1e-12 so the shifted boundary is still safe. */
-  final val TieEps = 3.7e-10
+  final val TieEps = graft.ops.Stats.TieEps
   def r6(c: Column): Column = round(c + lit(TieEps), 6)
   def r4(c: Column): Column = round(c + lit(TieEps), 4)
   def r2(c: Column): Column = round(c + lit(TieEps), 2)

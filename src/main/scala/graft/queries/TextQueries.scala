@@ -531,7 +531,7 @@ object TextQueries {
            |r AS (
            | SELECT doc_id, toks AS n_tokens,
            |  coalesce(array_to_string(list_filter([
-           |   CASE WHEN toks = 0 THEN 'empty' END,
+           |   CASE WHEN coalesce(toks, 0) = 0 THEN 'empty' END,
            |   CASE WHEN toks > 0 AND toks < 5 THEN 'too_few_tokens' END,
            |   CASE WHEN toks > 1000 THEN 'too_many_tokens' END,
            |   CASE WHEN distinct_ratio < 0.3 THEN 'low_distinct_ratio' END,
