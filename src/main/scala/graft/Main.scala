@@ -27,8 +27,16 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args.toList, Map.empty)
-    val spark = SparkSession.builder()
-      .appName("musifspark")
+    // spark-submit sets spark.master before main; under a bare `sbt
+    // runMain` smoke it is absent, so fall back to local mode
+    // (SPARK_GRAFT_MASTER overrides the core count)
+    val builder = SparkSession.builder().appName("musifspark")
+    // a pre-existing session (spec-driven invocation) is borrowed, not
+    // owned: skip the final stop so the suite's shared session survives
+    val hadSession = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -46,6 +54,24 @@ object Main {
     val (validated, errors) = sources.ErrorChannel.split(rawImages, sources.ErrorChannel.imageChecks)
     val outDir = opts("out")
     errors.write.mode("overwrite").parquet(s"${outDir}_errors")
+
+    // ONE on-disk layout for both modes (bucket-partitioned, dynamic
+    // overwrite, via runResumable): running once without --resume and later
+    // with it must never mix flat and partitioned files in outDir. A fresh
+    // (non-resume) run clears previous output/lineage/column-pin first —
+    // and it must happen BEFORE the quality stage below writes this run's
+    // <out>_dropped manifest (cleanup after would delete it).
+    val resume = opts.contains("resume")
+    val pinPath = java.nio.file.Paths.get(s"${outDir}_columns.txt")
+    if (!resume) {
+      deleteRecursively(outDir)
+      deleteRecursively(s"${outDir}_lineage")
+      deleteRecursively(s"${outDir}_lineage_metrics")
+      // a run without --quality must not leave a previous run's drop
+      // manifest beside its output — stale attribution is worse than none
+      deleteRecursively(s"${outDir}_dropped")
+      java.nio.file.Files.deleteIfExists(pinPath)
+    }
 
     // --dedup <maxHamming>: perceptual near-dup dedup BEFORE feature
     // extraction — aHash band join -> connected components -> keep one
@@ -87,22 +113,6 @@ object Main {
           .select("image_id"),
         Seq("image_id"), "left_semi")
     } else deduped
-
-    // ONE on-disk layout for both modes (bucket-partitioned, dynamic
-    // overwrite, via runResumable): running once without --resume and later
-    // with it must never mix flat and partitioned files in outDir. A fresh
-    // (non-resume) run clears previous output/lineage/column-pin first.
-    val resume = opts.contains("resume")
-    val pinPath = java.nio.file.Paths.get(s"${outDir}_columns.txt")
-    if (!resume) {
-      deleteRecursively(outDir)
-      deleteRecursively(s"${outDir}_lineage")
-      deleteRecursively(s"${outDir}_lineage_metrics")
-      // a run without --quality must not leave a previous run's drop
-      // manifest beside its output — stale attribution is worse than none
-      deleteRecursively(s"${outDir}_dropped")
-      java.nio.file.Files.deleteIfExists(pinPath)
-    }
 
     // Ratio-based column drops are decided ONCE (first run, whole current
     // dataset) and pinned: a resumed run recomputes ratios over only the
@@ -175,7 +185,7 @@ object Main {
     if (opts.get("format").contains("csv"))
       sources.CsvSink.write(result, s"${outDir}_csv")
     println(s"[graft] features -> $outDir (+_lineage, +_errors)")
-    spark.stop()
+    if (!hadSession) spark.stop()
   }
 
   /** The flagship table's family grouping: per-label share columns roll up

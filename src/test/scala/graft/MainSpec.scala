@@ -65,6 +65,32 @@ class MainSpec extends SparkSpec {
     assert(Main.parseArgs(List("--dedup", "1"), Map.empty) === Map("dedup" -> "1"))
   }
 
+  test("CLI end-to-end: Main.main with every flag leaves all artifacts in place") {
+    // the full spark-submit surface through main() itself (argument
+    // parsing, stage ordering, artifact writes) — the component tests
+    // below can't catch e.g. the cleanup deleting a stage's output
+    // because they wire stages by hand
+    val tmp = Files.createTempDirectory("graft-cli").toString
+    val out = s"$tmp/features"
+    Main.main(Array("--images", "synth:3000", "--labels", "synth:3000",
+      "--out", out, "--dedup", "1", "--quality",
+      "--split", "train:0.8,val:0.1,test:0.1", "--format", "csv"))
+    val feats = spark.read.parquet(out)
+    assert(feats.count() > 0)
+    assert(feats.columns.contains("split"))
+    assert(spark.read.parquet(s"${out}_lineage").count() > 0)
+    val metrics = spark.read.parquet(s"${out}_lineage_metrics")
+    assert(metrics.count() === 1)
+    // the --quality drop manifest must SURVIVE the fresh-run cleanup
+    // (regression: cleanup once ran after the stage wrote it)
+    val dropped = spark.read.parquet(s"${out}_dropped")
+    assert(dropped.count() > 0)
+    assert(dropped.columns.toSet === Set("image_id", "reasons"))
+    assert(new java.io.File(s"${out}_csv").exists())
+    // the borrowed session must survive main()
+    assert(!spark.sparkContext.isStopped)
+  }
+
   test("--quality: decision stage drops flagged images with attributable reasons") {
     import spark.implicits._
     val imgs = sources.SynthImages.images(spark, 600, 8).drop("ts")
