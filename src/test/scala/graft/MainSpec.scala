@@ -89,6 +89,21 @@ class MainSpec extends SparkSpec {
     assert(new java.io.File(s"${out}_csv").exists())
     // the borrowed session must survive main()
     assert(!spark.sparkContext.isStopped)
+
+    // resume over the complete output: a no-op that skips the eager dedup
+    // fixpoint (lineageComplete) and appends one metrics row recording
+    // zero new buckets and rows
+    val n1 = feats.count()
+    Main.main(Array("--images", "synth:3000", "--labels", "synth:3000",
+      "--out", out, "--dedup", "1", "--quality", "--resume",
+      "--split", "train:0.8,val:0.1,test:0.1"))
+    assert(spark.read.parquet(out).count() === n1)
+    val m2 = spark.read.parquet(s"${out}_lineage_metrics")
+      .orderBy("run_at_ms").collect()
+    assert(m2.length === 2)
+    assert(m2(1).getAs[Long]("buckets_completed") === 0L)
+    assert(m2(1).getAs[Long]("rows_written") === 0L)
+    assert(m2(1).getAs[Long]("buckets_skipped") === m2(0).getAs[Long]("buckets_completed"))
   }
 
   test("--quality: decision stage drops flagged images with attributable reasons") {
