@@ -298,6 +298,19 @@ object EngineQueries {
           .select(col("image_id"), col("split").as("disposition")))
     }),
 
+    // Histogram-path fidelity with a DRIVER-VISIBLE oracle: the 16-bin
+    // intensity histogram (IntensityHistogram, the q53 feature family's
+    // remaining un-oracled expression) re-derived by DuckDB from the same
+    // stored bytes — per-bin shares compared after the shared 6-dp
+    // rounding. Bounded corpus (img < 2000) keeps the 16-conditional-sum
+    // replay feasible.
+    "q101_histogram_fidelity" -> ((s, dir) => {
+      val hist = ImageFunctions.intensity_histogram(col("bytes"))
+      SynthImages.images(s, 2000, 64).select(
+        (col("image_id") +: (0 until 16).map(b =>
+          r6(hist.getItem(b)).as(f"bin$b%02d"))): _*)
+    }),
+
     // Crop-path fidelity with a DRIVER-VISIBLE oracle (the q87 pattern for
     // the crop leg, completing the decode/resize/CROP/frame-sample
     // transform family): a deterministic per-image 8x8 crop at offset
@@ -646,6 +659,24 @@ object EngineQueries {
          |SELECT image_id, 'dedup' AS disposition FROM dd
          |UNION ALL
          |SELECT image_id, disposition FROM spl""".stripMargin
+    },
+
+    "q101_histogram_fidelity" -> {
+      val bins = (0 until 16).map(b =>
+        f"round(list_sum([(p // 16 = $b)::INT for p in px])::DOUBLE" +
+          f" / len(px) + 3.7e-10, 6) AS bin$b%02d").mkString(",\n ")
+      s"""WITH im AS (
+         | SELECT image_id, w, h, hex(bytes) AS hx
+         | FROM read_parquet('__SYNTH_DIR__/images/*.parquet')
+         | WHERE substr(image_id, 4)::BIGINT < 2000),
+         |px AS (
+         | SELECT image_id,
+         |  [('0x' || substr(hx, 17 + 2*i, 2))::INT
+         |    for i in range(0, w * h)] AS px
+         | FROM im)
+         |SELECT image_id,
+         | $bins
+         |FROM px""".stripMargin
     },
 
     "q99_crop_fidelity" ->
