@@ -91,4 +91,27 @@ object AudioFunctions {
     ColumnBridge.column(ZeroCrossings(ColumnBridge.expression(c)))
   def audio_psnr(a: Column, b: Column): Column =
     ColumnBridge.column(AudioPsnr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** 32-bit loudness-contour fingerprint (the audio analog of the image
+    * aHash): bit i set iff the (i+1)-th 16-sample frame's RMS exceeds the
+    * i-th's — the sign of the energy delta, robust to re-encoding because
+    * lossy quantization preserves coarse loudness shape. EXACTLY 32 bits
+    * (deltas past the 32nd are ignored) so 4 x 8-bit LSH bands cover the
+    * whole hash — a wider hash under fixed bands would leave a top band
+    * identically zero and break the pigeonhole recall guarantee.
+    * Composed from the codegen'd FrameRms with built-in HOFs; every
+    * arithmetic step (exact-integer frame moments -> IEEE sqrt -> strict
+    * compare -> pow-of-two sums below 2^32) is bit-reproducible in a
+    * DuckDB replay of the same stored bytes. Clips with < 2 frames
+    * fingerprint to 0. */
+  def rms_fingerprint(samples: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val rms = frame_rms(samples, lit(16))
+    val bits = transform(
+      sequence(lit(0), least(lit(31), size(rms) - 2)),
+      i => when(element_at(rms, i + 2) > element_at(rms, i + 1),
+        pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L)))
+    when(size(rms) >= 2,
+      aggregate(bits, lit(0L), (acc, x) => acc + x)).otherwise(lit(0L))
+  }
 }

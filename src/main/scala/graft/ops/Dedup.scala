@@ -197,20 +197,30 @@ object Dedup {
       "__id", "__ah", maxHamming, cap)
       .select(col("a"), col("b"))
 
-  /** The band-LSH pair stage over a precomputed (id, 64-bit hash) frame —
-    * the single implementation behind [[perceptualEdges]] and the oracled
-    * q91/q95 queries, so the pigeonhole-recall formula exists once.
-    * Emits (a, b, hamming) with the EXACT hamming distance. */
+  /** The band-LSH pair stage over a precomputed (id, hash) frame — the
+    * single implementation behind [[perceptualEdges]] and the oracled
+    * q91/q95/q102 queries, so the pigeonhole-recall formula exists once.
+    * Emits (a, b, hamming) with the EXACT hamming distance.
+    *
+    * @param bandBits band width; 4 bands of `bandBits` cover hashes of
+    *        4*bandBits significant bits — a SHORTER hash under the default
+    *        16-bit bands would leave a top band identically zero (one
+    *        degenerate all-corpus bucket whose salt-split loses recall),
+    *        so size the bands to the hash (12 for the 48-bit audio
+    *        fingerprint, 16 for aHash64). */
   def perceptualEdgesFromHashes(hashed: DataFrame, idCol: String, hashCol: String,
                                 maxHamming: Int, cap: Int = 4096,
-                                broadcastSizes: Boolean = false): DataFrame = {
+                                broadcastSizes: Boolean = false,
+                                bandBits: Int = 16): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band LSH guarantees recall only for maxHamming <= 3")
+    require(bandBits > 0 && bandBits <= 16, "bandBits in 1..16")
+    val mask = (1L << bandBits) - 1
     val base = hashed.select(col(idCol).as("__id"), col(hashCol).as("__ah"))
     val banded = base.select(col("__id"), col("__ah"),
       explode(array((0 until 4).map(i =>
-        lit(i.toLong * 65536L) +
-          shiftright(col("__ah"), 16 * i).bitwiseAND(lit(0xFFFFL))): _*))
+        lit(i.toLong * (mask + 1)) +
+          shiftright(col("__ah"), bandBits * i).bitwiseAND(lit(mask))): _*))
         .as("__bucket"))
     val salted = graft.functions.Vectors.saltBuckets(banded, "__bucket", "__id",
       cap = cap, broadcastSizes = broadcastSizes)

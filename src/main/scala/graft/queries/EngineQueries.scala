@@ -298,6 +298,33 @@ object EngineQueries {
           .select(col("image_id"), col("split").as("disposition")))
     }),
 
+    // AUDIO near-dup — the third payload leg of the perceptual-dedup
+    // family (text MinHash, image aHash, audio RMS-contour): the 32-bit
+    // loudness-delta fingerprint banded 4 x 8 bits (bands sized to cover
+    // the WHOLE hash; cap 4096 exceeds the bounded corpus so the
+    // degenerate short-clip buckets never salt-split a candidate away) + exact
+    // bit_count verify, pigeonhole-deterministic at hamming <= 3 like
+    // q91. Near-dups injected by single-sample byte surgery; short clips
+    // (few frames -> few meaningful bits) legitimately pair broadly — the
+    // honest coarseness of a loudness contour, reproduced exactly by the
+    // all-pairs DuckDB replay of the same stored bytes.
+    "q102_audio_neardup" -> ((s, dir) => {
+      val base = SynthAudio.clips(s, 2000, 64)
+        .select(substring(col("clip_id"), 4, 12).cast("long").as("clip"),
+          col("samples"))
+      val dups = base.where(pmod(col("clip"), lit(25)) === 0)
+        .select((col("clip") + 1000000L).as("clip"),
+          concat(substring(col("samples"), 1, 8),
+            lit(Array(0xFF.toByte)),
+            substring(col("samples"), 10, Int.MaxValue)).as("samples"))
+      val hashed = base.unionByName(dups)
+        .select(col("clip"),
+          AudioFunctions.rms_fingerprint(col("samples")).as("fp"))
+      graft.ops.Dedup.perceptualEdgesFromHashes(hashed, "clip", "fp",
+          maxHamming = 3, cap = 4096, broadcastSizes = true, bandBits = 8)
+        .select(col("a").as("d1"), col("b").as("d2"), col("hamming"))
+    }),
+
     // Histogram-path fidelity with a DRIVER-VISIBLE oracle: the 16-bin
     // intensity histogram (IntensityHistogram, the q53 feature family's
     // remaining un-oracled expression) re-derived by DuckDB from the same
@@ -660,6 +687,45 @@ object EngineQueries {
          |UNION ALL
          |SELECT image_id, disposition FROM spl""".stripMargin
     },
+
+    // all pairs at exact fingerprint hamming <= 3 over the same stored
+    // bytes — the banded path must surface every one (q91's guarantee on
+    // the audio leg)
+    "q102_audio_neardup" ->
+      """WITH au AS (
+        | SELECT substr(clip_id, 4)::BIGINT AS clip, hex(samples) AS hx
+        | FROM read_parquet('__SYNTH_DIR__/audio/*.parquet')
+        | WHERE substr(clip_id, 4)::BIGINT < 2000),
+        |base AS (
+        | SELECT clip, hx, false AS dup FROM au
+        | UNION ALL
+        | SELECT clip + 1000000 AS clip, hx, true AS dup
+        | FROM au WHERE clip % 25 = 0),
+        |sm AS (
+        | SELECT clip,
+        |  [CASE WHEN dup AND i = 0 THEN 255
+        |    ELSE ('0x' || substr(hx, 17 + 2*i, 2))::INT END
+        |   for i in range(0, (len(hx) - 16) // 2)] AS s
+        | FROM base),
+        |f AS (
+        | SELECT clip,
+        |  [sqrt(list_sum([(x - 128) * (x - 128)
+        |      for x in s[fr * 16 + 1:least((fr + 1) * 16, len(s))]])::DOUBLE
+        |    / len(s[fr * 16 + 1:least((fr + 1) * 16, len(s))]))
+        |   for fr in range(0, (len(s) + 15) // 16)] AS rms
+        | FROM sm),
+        |h AS (
+        | SELECT clip,
+        |  CASE WHEN len(rms) >= 2 THEN
+        |   coalesce(list_sum([(rms[i + 2] > rms[i + 1])::BIGINT * (1::BIGINT << i)
+        |     for i in range(0, least(32, len(rms) - 1))]), 0)
+        |  ELSE 0 END AS fp
+        | FROM f),
+        |p AS (
+        | SELECT a.clip AS d1, b.clip AS d2,
+        |  bit_count(xor(a.fp, b.fp))::INT AS hamming
+        | FROM h a JOIN h b ON a.clip < b.clip)
+        |SELECT d1, d2, hamming FROM p WHERE hamming <= 3""".stripMargin,
 
     "q101_histogram_fidelity" -> {
       val bins = (0 until 16).map(b =>

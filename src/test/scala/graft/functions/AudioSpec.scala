@@ -87,4 +87,30 @@ class AudioSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("*("), s"audio expressions fell out of codegen:\n$plan")
   }
+
+  test("rms_fingerprint: bits match a straight-line reference; 32-bit cap") {
+    import spark.implicits._
+    val clips = (0L until 20L).map { id =>
+      val n = 64 + (id * 37 % 449).toInt
+      (id, AudioCodec.encode(id * 7 + 3, 8000, n, lossy = id % 3 == 0))
+    }
+    val got = clips.toDF("id", "samples")
+      .select(col("id"), AudioFunctions.rms_fingerprint(col("samples")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clips.foreach { case (id, bytes) =>
+      val rms = AudioCodec.frameRms(bytes, 16)
+      val want = (0 until math.min(32, math.max(0, rms.length - 1)))
+        .foldLeft(0L) { (acc, i) =>
+          if (rms(i + 1) > rms(i)) acc | (1L << i) else acc
+        }
+      assert(got(id) === want, s"clip $id")
+      assert(got(id) < (1L << 32), s"clip $id exceeds 32 bits")
+    }
+    // fewer than 2 frames -> 0 (the total-on-degenerate contract)
+    val tiny = Seq((0L, AudioCodec.encode(1L, 8000, 10, lossy = false)))
+      .toDF("id", "samples")
+      .select(AudioFunctions.rms_fingerprint(col("samples")))
+      .collect()(0).getLong(0)
+    assert(tiny === 0L)
+  }
 }
