@@ -298,6 +298,33 @@ object EngineQueries {
           .select(col("image_id"), col("split").as("disposition")))
     }),
 
+    // VIDEO near-dup — the fourth payload leg, by COMPOSITION: extract
+    // frame 0 as an image payload (bytes copied) and reuse the image
+    // aHash + the shared band pair stage, so the video leg adds zero new
+    // hash machinery. Near-dups injected by byte surgery on frame 0's
+    // first pixel (container header is 10 bytes); pigeonhole-deterministic
+    // at hamming <= 3; the DuckDB oracle re-derives the same 64 samples
+    // from the container blobs at the frame-0 offset.
+    "q103_video_neardup" -> ((s, dir) => {
+      val base = SynthVideo.clips(s, 3000, 64)
+        .select(substring(col("clip_id"), 4, 12).cast("long").as("clip"),
+          col("video"))
+      val dups = base.where(pmod(col("clip"), lit(25)) === 0)
+        .select((col("clip") + 1000000L).as("clip"),
+          concat(substring(col("video"), 1, 10),
+            lit(Array(0xFF.toByte)),
+            substring(col("video"), 12, Int.MaxValue)).as("video"))
+      val hashed = base.unionByName(dups)
+        .select(col("clip"), ImageFunctions.ahash64(
+          VideoFunctions.extract_frame(col("video"), lit(0))).as("fp"))
+      // cap exceeds the bounded corpus: gradient-correlated frame hashes
+      // put a few hundred clips in the densest band bucket, and no
+      // candidate may ever be salt-split away from the exact oracle
+      graft.ops.Dedup.perceptualEdgesFromHashes(hashed, "clip", "fp",
+          maxHamming = 3, cap = 4096, broadcastSizes = true)
+        .select(col("a").as("d1"), col("b").as("d2"), col("hamming"))
+    }),
+
     // AUDIO near-dup — the third payload leg of the perceptual-dedup
     // family (text MinHash, image aHash, audio RMS-contour): the 32-bit
     // loudness-delta fingerprint banded 4 x 8 bits (bands sized to cover
@@ -688,9 +715,39 @@ object EngineQueries {
          |SELECT image_id, disposition FROM spl""".stripMargin
     },
 
-    // all pairs at exact fingerprint hamming <= 3 over the same stored
-    // bytes — the banded path must surface every one (q91's guarantee on
-    // the audio leg)
+    // all pairs at exact frame-0 aHash hamming <= 3 over the same stored
+    // container bytes (q91's oracle shape at the frame-0 offset: container
+    // header is 10 bytes -> pixel i of frame 0 at hex offset 21 + 2*i)
+    "q103_video_neardup" ->
+      """WITH vi AS (
+        | SELECT substr(clip_id, 4)::BIGINT AS clip, w, h, hex(video) AS hx
+        | FROM read_parquet('__SYNTH_DIR__/video/*.parquet')),
+        |base AS (
+        | SELECT clip, w, h, hx, false AS dup FROM vi
+        | UNION ALL
+        | SELECT clip + 1000000 AS clip, w, h, hx, true AS dup
+        | FROM vi WHERE clip % 25 = 0),
+        |s AS (
+        | SELECT clip,
+        |  [CASE WHEN dup AND i = 0 THEN 255
+        |    ELSE ('0x' || substr(hx, 21 + 2*(least(h - 1, (i // 8) * h // 8) * w
+        |            + least(w - 1, (i % 8) * w // 8)), 2))::INT END
+        |   for i in range(0, 64)] AS px
+        | FROM base),
+        |m AS (SELECT clip, px, list_sum(px) AS sm FROM s),
+        |hsh AS (
+        | SELECT clip,
+        |  list_sum([(px[i + 1] * 64 > sm)::BIGINT * (1::BIGINT << i)
+        |    for i in range(0, 32)]) AS lo,
+        |  list_sum([(px[i + 33] * 64 > sm)::BIGINT * (1::BIGINT << i)
+        |    for i in range(0, 32)]) AS hi
+        | FROM m),
+        |p AS (
+        | SELECT a.clip AS d1, c.clip AS d2,
+        |  (bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)))::INT AS hamming
+        | FROM hsh a JOIN hsh c ON a.clip < c.clip)
+        |SELECT d1, d2, hamming FROM p WHERE hamming <= 3""".stripMargin,
+
     "q102_audio_neardup" ->
       """WITH au AS (
         | SELECT substr(clip_id, 4)::BIGINT AS clip, hex(samples) AS hx
