@@ -6,10 +6,16 @@ import graft.pipeline.{FeaturePipeline, Lineage}
 import graft.sources.{SynthAudio, SynthImages, SynthVideo}
 import Q._
 
-/** Engine-only operators (no SQL oracle — driver records rows-only; deep
-  * verification lives in ScalaTest): MinHash/LSH near-dup, SimHash, image
-  * decode/fidelity/features over the synthesized input_hint table, the
-  * flagship feature pipeline, lineage, LSH ANN. */
+/** Engine-native operators over the synthesized input_hint tables:
+  * MinHash/LSH near-dup, SimHash, the multimodal payload families
+  * (image/audio/video fidelity, perceptual near-dup on all three legs,
+  * crop/resize/histogram transforms), lineage, LSH/IVF ANN, the image
+  * quality gate, and the q100 curation funnel. Most carry DuckDB oracles
+  * that re-derive results from the SAME materialized synth bytes via hex
+  * slicing (`__SYNTH_DIR__`); the handful that use engine-only hashing
+  * (xxhash64 paths: q50-q54, q56-q58) are rows-only here with an oracled
+  * cross-engine sibling (q86, q59, q75, q74, q87, q73, q62, q64) and
+  * ScalaTest depth. */
 object EngineQueries {
 
   val queries: Map[String, QueryFn] = Map(
