@@ -14,6 +14,7 @@ import scala.jdk.CollectionConverters._
   *     [--config <properties>] [--set k=v ...] [--resume] \
   *     [--format csv] [--sliding <size>,<overlap>]
   *     [--split train:0.8,val:0.1,test:0.1] [--dedup <maxHamming>] [--quality]
+  *     [--limit id1,id2,...|@file] [--exclude id1,id2,...|@file]
   *
   * Reads the image+caption table (any Spark source — parquet in the
   * sandbox, an Iceberg catalog table in production via
@@ -50,8 +51,10 @@ object Main {
     val labels = sources.TableSource.load(spark, opts("labels"),
       (s, n) => sources.SynthImages.labels(s, n, 1024))
 
+    val subset = corpusSubset(spark, rawImages, opts.get("limit"), opts.get("exclude"))
+
     // corrupt-row channel: bad rows to <out>_errors, good rows onward
-    val (validated, errors) = sources.ErrorChannel.split(rawImages, sources.ErrorChannel.imageChecks)
+    val (validated, errors) = sources.ErrorChannel.split(subset, sources.ErrorChannel.imageChecks)
     val outDir = opts("out")
     errors.write.mode("overwrite").parquet(s"${outDir}_errors")
 
@@ -199,6 +202,37 @@ object Main {
       PostProcessor.ColumnFamily("label_share_dim", byQuality("dim")))
   }
 
+  /** musif's limit_files/exclude_files corpus subsetting
+    * (/root/reference/musif/extract/extract.py:184-189): id (file-stem
+    * analog) lists applied BEFORE any other processing — `--limit` keeps
+    * only listed image_ids (left_semi), `--exclude` drops them (left_anti).
+    * A spec is either a comma-separated id list or `@path` to a file with
+    * one id per line. The list is user-supplied and never corpus-sized, so
+    * both joins broadcast (no corpus shuffle). */
+  private[graft] def corpusSubset(spark: SparkSession,
+                                  df: org.apache.spark.sql.DataFrame,
+                                  limit: Option[String],
+                                  exclude: Option[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    def idList(spec: String): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      val ids =
+        if (spec.startsWith("@"))
+          java.nio.file.Files.readAllLines(java.nio.file.Paths.get(spec.drop(1)))
+            .asScala.toSeq.map(_.trim).filter(_.nonEmpty)
+        else spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      ids.toDF("image_id")
+    }
+    val limited = limit match {
+      case Some(s) => df.join(broadcast(idList(s)), Seq("image_id"), "left_semi")
+      case None => df
+    }
+    exclude match {
+      case Some(s) => limited.join(broadcast(idList(s)), Seq("image_id"), "left_anti")
+      case None => limited
+    }
+  }
+
   private def deleteRecursively(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(p)) {
@@ -224,7 +258,20 @@ object Main {
       case "--format" :: v :: rest => parseArgs(rest, acc + ("format" -> v))
       case "--sliding" :: v :: rest => parseArgs(rest, acc + ("sliding" -> v))
       case "--split" :: v :: rest  => parseArgs(rest, acc + ("split" -> v))
-      case "--dedup" :: v :: rest  => parseArgs(rest, acc + ("dedup" -> v))
+      case "--dedup" :: v :: rest  =>
+        // validated at parse time: a bad value must fail with a usage
+        // message BEFORE the error-channel write runs, not as a raw
+        // NumberFormatException (or a require deep inside the band join)
+        // after output has already been produced
+        val h = try v.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"--dedup expects an integer hamming radius in 0..3, got '$v'")
+        }
+        require(h >= 0 && h <= 3,
+          s"--dedup expects 0..3 (the 4-band LSH recall bound), got $h")
+        parseArgs(rest, acc + ("dedup" -> h.toString))
+      case "--limit" :: v :: rest  => parseArgs(rest, acc + ("limit" -> v))
+      case "--exclude" :: v :: rest => parseArgs(rest, acc + ("exclude" -> v))
       case "--quality" :: rest     => parseArgs(rest, acc + ("quality" -> "true"))
       case "--set" :: v :: rest =>
         parseArgs(rest, acc + ("set" -> (acc.get("set").map(_ + ";;").getOrElse("") + v)))

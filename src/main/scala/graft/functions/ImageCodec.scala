@@ -162,8 +162,15 @@ object ImageCodec {
   /** Square crop of side `s` at source offset (x, y); pixels outside the
     * source bounds are zero-filled (so crops near edges stay total and
     * deterministic). Same totality contract as resize: a corrupt source
-    * yields the requested-size zero payload. */
+    * yields the requested-size zero payload, and a size outside the
+    * allocatable range (1..46340) yields the empty payload. */
   def crop(bytes: Array[Byte], x: Int, y: Int, s: Int): Array[Byte] = {
+    // totality on arbitrary input includes the SIZE argument: the crop_image
+    // Catalyst expression exposes s to SQL, where s > 46340 overflows the
+    // Int allocation size s*s (NegativeArraySizeException) before the 2-byte
+    // header dims would even truncate at s > 0xffff. Out-of-range sizes
+    // yield the canonical empty payload, same as a corrupt source.
+    if (s <= 0 || s > 46340) return Array.empty[Byte]
     val w = width(bytes); val h = height(bytes)
     val px = decode(bytes)
     val out = new Array[Byte](HeaderLen + s * s)

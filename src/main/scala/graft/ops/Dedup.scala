@@ -46,10 +46,21 @@ object Dedup {
     // the symmetrize union)
     val edgeList = edges.select(col("a"), col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // binary ids are excluded from the fast path: Array[Byte] map keys
-    // compare by reference, which would split duplicate endpoints
-    val fastEligible = driverEdgeLimit > 0 &&
-      !edges.schema("a").dataType.isInstanceOf[org.apache.spark.sql.types.BinaryType]
+    // fast path only for id types whose driver-side ordering provably
+    // matches Spark's min(): binary compares by reference (would split
+    // duplicate endpoints), and timestamp/date/interval ids would fall to
+    // a lossy String.valueOf order that can disagree with min() — those
+    // take the distributed loop, whose min() IS the ordering
+    val fastEligible = driverEdgeLimit > 0 && {
+      import org.apache.spark.sql.types._
+      edges.schema("a").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case StringType => true
+        case FloatType | DoubleType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+    }
     if (fastEligible) {
       // one action either way: collect limit+1 rows; a short result IS the
       // whole edge list, otherwise fall through to the distributed loop
@@ -81,9 +92,12 @@ object Dedup {
           case (a: Long, b: Long) => a < b
           case (a: Int, b: Int) => a < b
           case (a: String, b: String) => utf8Lt(a, b)
+          case (a: java.math.BigDecimal, b: java.math.BigDecimal) =>
+            a.compareTo(b) < 0 // exact — doubleValue collides past 53 bits
           case (a: java.lang.Number, b: java.lang.Number) =>
             a.doubleValue < b.doubleValue
-          case _ => String.valueOf(x) < String.valueOf(y)
+          case _ => throw new IllegalStateException(
+            s"unorderable id type in CC fast path: ${x.getClass} (gate bug)")
         }
         sample.foreach { r =>
           val (a, b) = (r.get(0), r.get(1))
@@ -206,8 +220,8 @@ object Dedup {
     *        4*bandBits significant bits — a SHORTER hash under the default
     *        16-bit bands would leave a top band identically zero (one
     *        degenerate all-corpus bucket whose salt-split loses recall),
-    *        so size the bands to the hash (12 for the 48-bit audio
-    *        fingerprint, 16 for aHash64). */
+    *        so size the bands to the hash (8 for the 32-bit audio RMS
+    *        fingerprint — see q102 — 16 for aHash64). */
   def perceptualEdgesFromHashes(hashed: DataFrame, idCol: String, hashCol: String,
                                 maxHamming: Int, cap: Int = 4096,
                                 broadcastSizes: Boolean = false,

@@ -34,8 +34,11 @@ object ImageQuality {
   def classify(images: DataFrame, t: Thresholds = Thresholds()): DataFrame = {
     // coalesce: NULL metadata dims must land on the corrupt branch, not
     // NULL-suppress every rule and slip through keep=true; HeaderLen from
-    // the codec so this stays the SAME validity definition as
-    // ErrorChannel.imageChecks (the q100 funnel assumes they agree)
+    // the codec so this stays the BYTE-STRUCTURE SUBSET of
+    // ErrorChannel.imageChecks (dims/length agreement; it deliberately
+    // omits the fmt_known and caption/ts checks — in the q100 funnel the
+    // error split runs first and owns those, while a standalone classify()
+    // call only gates on payload structure plus its own caption rule)
     val valid = coalesce(
       col("bytes").isNotNull && col("w").isNotNull && col("h").isNotNull &&
         col("w") > 0 && col("h") > 0 &&

@@ -122,6 +122,42 @@ class MainSpec extends SparkSpec {
     assert(Main.parseArgs(List("--quality"), Map.empty) === Map("quality" -> "true"))
   }
 
+  test("--limit/--exclude: corpus subsetting by id list before the pipeline") {
+    import spark.implicits._
+    val imgs = sources.SynthImages.images(spark, 300, 8)
+    val allIds = imgs.select("image_id").as[String].collect().sorted
+
+    // --limit as an inline list: only the listed ids survive (left_semi);
+    // unknown ids are simply absent, not an error (musif semantics)
+    val keep = allIds.take(5) :+ "img_not_in_corpus"
+    val limited = Main.corpusSubset(spark, imgs, Some(keep.mkString(",")), None)
+    assert(limited.select("image_id").as[String].collect().sorted
+      === allIds.take(5))
+
+    // --exclude as an @file: the listed ids are gone, everything else stays
+    val f = Files.createTempFile("graft-exclude", ".txt")
+    Files.writeString(f, (allIds.take(3) :+ "").mkString("\n")) // blank line ignored
+    val excluded = Main.corpusSubset(spark, imgs, None, Some(s"@$f"))
+    assert(excluded.count() === allIds.length - 3)
+    assert(excluded.where(col("image_id").isin(allIds.take(3): _*)).count() === 0)
+
+    // both flags compose: limit first, then exclude within the kept set
+    val both = Main.corpusSubset(spark, imgs,
+      Some(allIds.take(5).mkString(",")), Some(allIds.take(2).mkString(",")))
+    assert(both.select("image_id").as[String].collect().sorted
+      === allIds.slice(2, 5))
+
+    assert(Main.parseArgs(List("--limit", "a,b", "--exclude", "@ids.txt"), Map.empty)
+      === Map("limit" -> "a,b", "exclude" -> "@ids.txt"))
+  }
+
+  test("--dedup: flag validated at parse time, before any work runs") {
+    intercept[IllegalArgumentException](Main.parseArgs(List("--dedup", "lots"), Map.empty))
+    intercept[IllegalArgumentException](Main.parseArgs(List("--dedup", "4"), Map.empty))
+    intercept[IllegalArgumentException](Main.parseArgs(List("--dedup", "-1"), Map.empty))
+    assert(Main.parseArgs(List("--dedup", " 3 "), Map.empty) === Map("dedup" -> "3"))
+  }
+
   test("--split CLI plumbing: parseArgs routes the flag, parseSplitArg parses weights") {
     assert(Main.parseArgs(List("--split", "train:0.8,val:0.1,test:0.1"), Map.empty)
       === Map("split" -> "train:0.8,val:0.1,test:0.1"))

@@ -113,6 +113,17 @@ class ImageSpec extends SparkSpec {
     }
     // corrupt source -> zero payload of the requested size
     assert(ImageCodec.decode(ImageCodec.crop(bytes.take(9), 0, 0, 3)).forall(_ == 0))
+    // size outside the header's representable range (crop_image exposes s
+    // to SQL): no NegativeArraySizeException at 46341+, no silent 2-byte
+    // header truncation past 65535 — the empty payload instead
+    assert(ImageCodec.crop(bytes, 0, 0, 0).isEmpty)
+    assert(ImageCodec.crop(bytes, 0, 0, -5).isEmpty)
+    assert(ImageCodec.crop(bytes, 0, 0, 46341).isEmpty)
+    assert(ImageCodec.crop(bytes, 0, 0, 0x10000).isEmpty)
+    assert(ImageCodec.crop(bytes, 0, 0, Int.MaxValue).isEmpty)
+    // the max representable size still allocates fine and round-trips dims
+    // (not executed at 65535 — 4 GiB; 1000 is a sane large-but-real probe)
+    assert(ImageCodec.width(ImageCodec.crop(bytes, 0, 0, 1000)) === 1000)
   }
 
   test("pixelStd: exact integer moments; corrupt input yields 0") {
