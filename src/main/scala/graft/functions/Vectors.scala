@@ -66,12 +66,43 @@ object Vectors {
       if ((ImageCodec.mix64((p.toLong << 32) | d.toLong) & 1L) == 0L) 1.0 else -1.0
     }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  /** Cross-engine sign planes: sign(p, d) = parity of the first hex nibble
+    * of md5("plane:p:d") — reproducible by any engine with an md5(), which
+    * is what lets a DuckDB oracle replay the FULL sign-LSH pipeline
+    * (bucketing, multiprobe, candidate formation, ranking) bit-for-bit
+    * (q104). The production path keeps [[hyperplanes]] (mix64: no MD5 cost
+    * at plan build, and the plane count there scales with the corpus). */
+  def md5SignPlanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      if (Integer.parseInt(md5Hex(s"plane:$p:$d").substring(0, 1), 16) % 2 == 0)
+        1.0 else -1.0
+    }
+
+  /** Cross-engine IVF centroids: coordinate (c, d) from the first 12 bits
+    * of md5("cent:c:d"), mapped to [-1, 1) by an exact power-of-two divide
+    * so both engines hold the identical double. The q105 oracle replays
+    * cell assignment + multiprobe + ranking from these; production uses
+    * [[trainCentroids]] (real Lloyd) or [[ivfCentroids]] (zero-cost). */
+  def md5Centroids(nCells: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nCells, dim) { (c, d) =>
+      Integer.parseInt(md5Hex(s"cent:$c:$d").substring(0, 3), 16) / 2048.0 - 1.0
+    }
+
   /** Sign-LSH bucket id: one bit per hyperplane. Vectors in the same bucket
-    * are ANN candidates; join on bucket replaces the cross product. */
-  def lshBucket(vecCol: Column, nPlanes: Int, dim: Int): Column = {
+    * are ANN candidates; join on bucket replaces the cross product.
+    * `planes` overrides the default mix64 hyperplanes (cross-engine mirrors
+    * pass [[md5SignPlanes]]); must be nPlanes x dim when given. */
+  def lshBucket(vecCol: Column, nPlanes: Int, dim: Int,
+                planes0: Option[Array[Array[Double]]] = None): Column = {
     require(nPlanes >= 1 && nPlanes <= 62,
       s"nPlanes must be in [1, 62] (one bit per plane in a long): $nPlanes")
-    val planes = hyperplanes(nPlanes, dim)
+    planes0.foreach(p => require(p.length == nPlanes && p.forall(_.length == dim),
+      s"planes must be $nPlanes x $dim"))
+    val planes = planes0.getOrElse(hyperplanes(nPlanes, dim))
     val bits: Seq[Column] = planes.zipWithIndex.toSeq.map { case (plane, p) =>
       val proj = aggregate(
         zip_with(vecCol, typedLit(plane.toSeq), (x, y) => x.cast("double") * y),
@@ -293,10 +324,11 @@ object Vectors {
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
               k: Int, nPlanes: Int, dim: Int,
               cap: Int = 1024, multiprobe: Boolean = true,
-              queries: Option[DataFrame] = None): DataFrame = {
+              queries: Option[DataFrame] = None,
+              planes: Option[Array[Array[Double]]] = None): DataFrame = {
     def bucketed(df: DataFrame) = df.select(
       col(idCol), toDoubleArray(col(vecCol)).as("__v"),
-      lshBucket(col(vecCol), nPlanes, dim))
+      lshBucket(col(vecCol), nPlanes, dim, planes))
       .withColumn("__n", norm(col("__v")))
     val withBucket = bucketed(vectors)
     val sizes = bucketSizes(withBucket.select(col(idCol), col("bucket")), "bucket")

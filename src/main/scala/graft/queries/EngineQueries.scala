@@ -14,8 +14,8 @@ import Q._
   * that re-derive results from the SAME materialized synth bytes via hex
   * slicing (`__SYNTH_DIR__`); the handful that use engine-only hashing
   * (xxhash64 paths: q50-q54, q56-q58) are rows-only here with an oracled
-  * cross-engine sibling (q86, q59, q75, q74, q87, q73, q62, q64) and
-  * ScalaTest depth. */
+  * cross-engine sibling (q86, q59, q75, q74+q106, q87, q73, q62+q104,
+  * q64+q105) and ScalaTest depth. */
 object EngineQueries {
 
   val queries: Map[String, QueryFn] = Map(
@@ -430,6 +430,28 @@ object EngineQueries {
         .withColumn("caption",
           when(pmod(n, lit(43L)) === 0, "").otherwise(col("caption")))
       graft.ops.ImageQuality.classify(corrupted)
+    }),
+
+    // PSNR fidelity with a DRIVER-VISIBLE oracle (q54's remaining
+    // un-oracled expression is the Psnr one — its truth payload comes from
+    // a mix64 encode DuckDB can't replay): PSNR of the lossy 8x8
+    // resize-roundtrip (down then back up to (w, h)) against the stored
+    // bytes. Both payloads derive from the SAME stored blob, so DuckDB
+    // re-derives the reconstruction per pixel via the documented
+    // nearest-neighbor index arithmetic (q87's, applied down AND up) and
+    // replays the exact PSNR formula — squared error accumulates in exact
+    // integer space, so only the final log10 is float. 8x8 sources
+    // roundtrip exactly (identity resize), exercising the mse=0 -> 99 dB
+    // cap branch; psnr(bytes, bytes) pins the cap on every row. Bounded
+    // corpus (img < 2000): the replay touches every pixel twice.
+    "q106_psnr_fidelity" -> ((s, dir) => {
+      val up = ImageFunctions.resize_image(
+        ImageFunctions.resize_image(col("bytes"), lit(8), lit(8)),
+        col("w"), col("h"))
+      SynthImages.images(s, 2000, 64).select(
+        col("image_id"), col("fmt"), col("w"), col("h"),
+        r6(ImageFunctions.psnr(col("bytes"), up)).as("roundtrip_psnr_db"),
+        r6(ImageFunctions.psnr(col("bytes"), col("bytes"))).as("self_psnr_db"))
     }),
 
     // IMAGE dedup clusters — the step after q91's pairs: connected
@@ -874,6 +896,36 @@ object EngineQueries {
         |SELECT h.img, coalesce(l.cluster_rep, h.img) AS rep,
         | (coalesce(l.cluster_rep, h.img) = h.img) AS kept
         |FROM hsh h LEFT JOIN lab l ON l.id = h.img""".stripMargin,
+
+    // per-pixel reconstruction replay: output pixel i = source pixel at
+    // (min(h-1, gy*h//8)*w + min(w-1, gx*w//8)) with gx = min(7, (i%w)*8//w),
+    // gy = min(7, (i//w)*8//h) — ImageCodec.resize's index arithmetic
+    // applied down then up. Squared error summed as BIGINT (exact), PSNR's
+    // log10 is the only float step.
+    "q106_psnr_fidelity" ->
+      """WITH im AS (
+        | SELECT image_id, fmt, w, h, hex(bytes) AS hx
+        | FROM read_parquet('__SYNTH_DIR__/images/*.parquet')
+        | WHERE substr(image_id, 4)::BIGINT < 2000),
+        |px AS (
+        | SELECT image_id, fmt, w, h,
+        |  list_sum([
+        |    ((('0x' || substr(hx, 17 + 2*i, 2))::BIGINT -
+        |      ('0x' || substr(hx, 17 + 2*(
+        |         least(h - 1, least(7, (i // w) * 8 // h) * h // 8) * w +
+        |         least(w - 1, least(7, (i % w) * 8 // w) * w // 8)), 2))::BIGINT)
+        |     * (('0x' || substr(hx, 17 + 2*i, 2))::BIGINT -
+        |        ('0x' || substr(hx, 17 + 2*(
+        |           least(h - 1, least(7, (i // w) * 8 // h) * h // 8) * w +
+        |           least(w - 1, least(7, (i % w) * 8 // w) * w // 8)), 2))::BIGINT))
+        |   for i in range(0, w * h)]) AS se
+        | FROM im)
+        |SELECT image_id, fmt, w, h,
+        | round(CASE WHEN se = 0 THEN 99.0::DOUBLE
+        |  ELSE 20.0 * log10(255.0 / sqrt(se::DOUBLE / (w * h))) END
+        |  + 3.7e-10, 6) AS roundtrip_psnr_db,
+        | 99.0::DOUBLE AS self_psnr_db
+        |FROM px""".stripMargin,
 
     "q87_resize_fidelity" ->
       """WITH im AS (

@@ -98,6 +98,42 @@ object VectorQueries {
           col("neighbor_id"), r6(col("cos")).as("cos"))
     }),
 
+    // ANN RANKING cross-engine gate for the sign-LSH path (q62 gates recall
+    // only; this oracles the full top-k ORDER): the identical lshTopK
+    // pipeline with md5-derived sign planes so DuckDB can replay every
+    // stage — per-vector bucket bits, the hamming-1 multiprobe set, the
+    // bucket-join candidate formation, true-cosine scoring, and the
+    // (cos DESC, neighbor_id) rank — over the same embeddings table.
+    // nPlanes fixed at 6 for the mirror (the production q57 scales planes
+    // from parquet-footer corpus stats); cap 4096 exceeds the corpus so
+    // salting provably never splits a bucket and the oracle needn't model
+    // it (salt = pmod(x, 1) = 0 for every row).
+    "q104_lsh_ranking" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Vectors.lshTopK(emb, "vec_id", "embedding",
+          k = 5, nPlanes = 6, dim = 64, cap = 4096,
+          planes = Some(Vectors.md5SignPlanes(6, 64)),
+          queries = Some(emb.where(col("vec_id") < 50)))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), r6(col("cos")).as("cos"))
+    }),
+
+    // ANN RANKING cross-engine gate for the IVF path (q64 gates recall
+    // only): ivfTopK with md5-derived centroids — DuckDB re-derives the
+    // same 8 x 64 centroid table, assigns each vector to its argmax-dot
+    // cell (score DESC, cell DESC — cellsRanked's reverse(array_sort) tie
+    // order), probes each query's top-2 cells, and ranks candidates by
+    // true cosine. cap 4096 > corpus: salting never activates (see q104).
+    "q105_ivf_ranking" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Vectors.ivfTopK(emb, "vec_id", "embedding",
+          k = 5, nCells = 8, dim = 64, cap = 4096, probes = 2,
+          centroids = Some(Vectors.md5Centroids(8, 64)),
+          queries = Some(emb.where(col("vec_id") < 50)))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), r6(col("cos")).as("cos"))
+    }),
+
     "q41_vector_norms" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .select(col("label"), Vectors.norm(Vectors.toDoubleArray(col("embedding"))).as("nrm"))
@@ -174,6 +210,72 @@ object VectorQueries {
         |   ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
         |SELECT qid - 1000000 AS query_id, neighbor_id, round(cos + 3.7e-10, 6) AS cos
         |FROM r WHERE rnk = 1""".stripMargin,
+
+    // full sign-LSH replay: same md5 sign planes, same bucket bits, same
+    // hamming-1 probe set, same (cos DESC, neighbor_id) ranking. A probe
+    // bucket matches a build vector's single bucket at most once (own +
+    // one-bit flips are pairwise distinct), so no dedup stage is needed —
+    // mirroring rankCandidates' no-op distinct.
+    "q104_lsh_ranking" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |b AS (
+        | SELECT vec_id, e,
+        |  list_sum([CASE WHEN list_sum([e[d + 1] *
+        |      (CASE WHEN ('0x' || substr(md5('plane:' || p || ':' || d), 1, 1))::INT % 2 = 0
+        |        THEN 1.0 ELSE -1.0 END)::DOUBLE
+        |     for d in range(0, 64)]) >= 0
+        |    THEN (1::BIGINT << p) ELSE 0::BIGINT END
+        |   for p in range(0, 6)]) AS bucket
+        | FROM v),
+        |probe AS (
+        | SELECT vec_id AS query_id, e AS qe,
+        |  unnest([bucket] || [xor(bucket, (1::BIGINT << p)) for p in range(0, 6)]) AS pb
+        | FROM b WHERE vec_id < 50),
+        |s AS (
+        | SELECT p.query_id, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(p.qe, c.e) AS cos
+        | FROM probe p JOIN b c ON c.bucket = p.pb AND c.vec_id <> p.query_id),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+        | round(cos + 3.7e-10, 6) AS cos
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    // full IVF replay: md5 centroid table, argmax-dot cell per vector
+    // (score DESC, cell DESC tie order = cellsRanked's reversed struct
+    // sort), top-2 probe cells per query, true-cosine ranking. The divide
+    // by 2048 is a power of two, so both engines hold identical centroid
+    // doubles.
+    "q105_ivf_ranking" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |cents AS (
+        | SELECT c, [(('0x' || substr(md5('cent:' || c || ':' || d), 1, 3))::INT
+        |     / 2048.0 - 1.0)::DOUBLE for d in range(0, 64)] AS cv
+        | FROM range(0, 8) t(c)),
+        |sc AS (
+        | SELECT v.vec_id, v.e, cents.c,
+        |  list_sum([e[d + 1] * cv[d + 1] for d in range(0, 64)]) AS score
+        | FROM v CROSS JOIN cents),
+        |rk AS (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id
+        |   ORDER BY score DESC, c DESC) AS cr FROM sc),
+        |build AS (SELECT vec_id, e, c AS cell FROM rk WHERE cr = 1),
+        |probe AS (
+        | SELECT vec_id AS query_id, e AS qe, c AS cell
+        | FROM rk WHERE cr <= 2 AND vec_id < 50),
+        |s AS (
+        | SELECT p.query_id, b.vec_id AS neighbor_id,
+        |  list_cosine_similarity(p.qe, b.e) AS cos
+        | FROM probe p JOIN build b ON b.cell = p.cell AND b.vec_id <> p.query_id),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+        | round(cos + 3.7e-10, 6) AS cos
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     "q41_vector_norms" ->
       """WITH n AS (
