@@ -24,6 +24,17 @@ object Stats {
     * rationale). */
   final val TieEps = 3.7e-10
 
+  /** A plan that is just scan + narrow per-row work (filter/project):
+    * consuming it twice costs one extra columnar read, not a recompute of
+    * anything expensive — the [[trimmedStats]] staging threshold. */
+  private def isScanShaped(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, Sort, Union, Window => LWindow}
+    !df.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: LWindow | _: Generate | _: Sort | _: Union => true
+      case _ => false
+    }
+  }
+
   /** Bias-corrected sample skewness G1 = g1 * sqrt(n(n-1)) / (n-2).
     * Null when n < 3 (matching scipy/DuckDB domain). */
   def skewnessCorrected(c: Column): Column = {
@@ -82,11 +93,25 @@ object Stats {
     * the windowed sort stragglers; at high group cardinality the groups
     * spread across tasks anyway and either formulation balances.
     */
-  def trimmedStats(df: DataFrame, groupCols: Seq[String], valueCol: String,
+  def trimmedStats(df0: DataFrame, groupCols: Seq[String], valueCol: String,
                    frac: Double, tieBreak: Seq[String],
                    rangeBuckets: Int = 32): DataFrame = {
     require(rangeBuckets >= 1, s"rangeBuckets must be >= 1: $rangeBuckets")
     val gc = groupCols.map(col)
+
+    // The input feeds TWO subtrees below (the per-group stats aggregate and
+    // the bucketed rank pass). On a raw table Catalyst's scan/exchange reuse
+    // makes that cheap, but a DERIVED input (shuffle -> lag window ->
+    // explode, q79) would re-execute its whole upstream chain once per
+    // subtree — a constant-factor ~2x that survives to any scale. Stage
+    // such inputs once (MEMORY_AND_DISK: spills, never OOMs); trivial
+    // scan-shaped plans skip the cache so the pushdown-friendly single-scan
+    // path is untouched. The cache lives until LRU eviction — bounded by
+    // the caller's (group, value, tieBreak) projection.
+    val df =
+      if (df0.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df0
+      else if (isScanShaped(df0)) df0
+      else df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // phase 1: per-group size, untrimmed mean, value range (cheap codegen'd
     // aggregates — a quantile sketch would balance better but costs more
