@@ -81,6 +81,44 @@ object CompositeQueries {
         r6(col("__dur") / sum(col("__dur")).over(w)).as("dur_share"))
     }),
 
+    // q107: emphasized scale degrees relative to the GLOBAL key — the
+    // scale/handler.py:113-131 family completing the scale-degree pair
+    // with q60 (local-key/as-of variant). The piece's key is CONSTANT
+    // (derived from the entity id, the synthetic analog of the score-level
+    // key attribute), so the chain is pure per-row degree arithmetic + one
+    // hash aggregate — no as-of join, no window. Matching the reference's
+    // get_notes_per_degree dict initialization, the histogram emits EVERY
+    // spelled degree slot of the engine's sharp-spelling domain (1-7,
+    // #1-#7) per entity, zero-filled, with shares over all_degrees.
+    "q107_global_degrees" -> ((s, dir) => {
+      val notes = t(s, dir, "events").select(
+        col("user_id"), pmod(col("event_id"), lit(12)).cast("int").as("pc"))
+      val deg = notes
+        .withColumn("gk", element_at(typedLit(LocalKeys),
+          (pmod(col("user_id"), lit(LocalKeys.size)) + 1).cast("int")))
+        .withColumn("degree", MusicTheory.fullDegree(
+          col("pc"),
+          TonicPc.foldLeft(lit(null).cast("int")) {
+            case (acc, (k, v)) => when(col("gk") === k, v).otherwise(acc)
+          },
+          col("gk").isin(MinorKeys: _*)))
+      val per = deg.groupBy(col("user_id"), col("gk"), col("degree"))
+        .agg(count(lit(1)).as("n"))
+      // zero-fill: 14 domain rows per entity (tiny), joined back against
+      // the per-degree counts — both sides derive from the same aggregate,
+      // so the (user_id, gk) exchange is planned once and reused
+      val domain = (1 to 7).map(_.toString) ++ (1 to 7).map(d => s"#$d")
+      val full = per.groupBy(col("user_id"), col("gk"))
+        .agg(sum(col("n")).as("all_degrees"))
+        .select(col("user_id"), col("gk"), col("all_degrees"),
+          explode(typedLit(domain)).as("degree"))
+      full.join(per, Seq("user_id", "gk", "degree"), "left")
+        .select(col("user_id"), col("gk").as("global_key"), col("degree"),
+          coalesce(col("n"), lit(0L)).as("n_notes"),
+          r6(coalesce(col("n"), lit(0L)).cast("double") / col("all_degrees"))
+            .as("share"))
+    }),
+
     // q61: per-key FRACTIONAL measure attribution. Each annotation sits at
     // measure rn with an onset fraction; a key run owns the span from its
     // first annotation position to the next run's first position (the last
@@ -461,6 +499,40 @@ object CompositeQueries {
          | round(p.dur + 3.7e-10, 4) AS dur_weight,
          | round(p.dur / t.tot_dur + 3.7e-10, 6) AS dur_share
          |FROM per p JOIN tot t ON p.user_id = t.user_id""".stripMargin
+    },
+
+    "q107_global_degrees" -> {
+      val keysArr = LocalKeys.map(k => s"'$k'").mkString(", ")
+      val tonicCase = "CASE gk " + LocalKeys.map(k =>
+        s"WHEN '$k' THEN ${TonicPc(k)}").mkString(" ") + " END"
+      val minorIn = MinorKeys.map(k => s"'$k'").mkString(", ")
+      val domArr = ((1 to 7).map(d => s"'$d'") ++ (1 to 7).map(d => s"'#$d'"))
+        .mkString(", ")
+      s"""WITH notes AS (
+         | SELECT user_id, (event_id % 12)::INT AS pc,
+         |  ([$keysArr])[(user_id % ${LocalKeys.size})::INT + 1] AS gk
+         | FROM events),
+         |e AS (
+         | SELECT user_id, gk, pc, $tonicCase AS tonic,
+         |  gk IN ($minorIn) AS minor
+         | FROM notes),
+         |deg AS (
+         | SELECT user_id, gk,
+         |  ${fullDegreeSql("(((pc - tonic) % 12 + 12) % 12)", "minor")} AS degree
+         | FROM e),
+         |per AS (
+         | SELECT user_id, gk, degree, count(*)::BIGINT AS n
+         | FROM deg GROUP BY 1, 2, 3),
+         |tot AS (
+         | SELECT user_id, gk, sum(n) AS all_degrees FROM per GROUP BY 1, 2),
+         |f AS (
+         | SELECT t.user_id, t.gk, d.degree, t.all_degrees
+         | FROM tot t CROSS JOIN (SELECT unnest([$domArr]) AS degree) d)
+         |SELECT f.user_id, f.gk AS global_key, f.degree,
+         | coalesce(p.n, 0)::BIGINT AS n_notes,
+         | round(coalesce(p.n, 0)::DOUBLE / f.all_degrees + 3.7e-10, 6) AS share
+         |FROM f LEFT JOIN per p
+         | ON p.user_id = f.user_id AND p.degree = f.degree""".stripMargin
     },
 
     "q61_key_areas" -> {

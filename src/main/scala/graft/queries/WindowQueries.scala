@@ -17,6 +17,28 @@ object WindowQueries {
   private val entOrder = Seq("ts", "event_id") // total order within user
 
   val queries: Map[String, QueryFn] = Map(
+    // P3 tie-merge, ORACLED (the one §2 operator that was spec-only until
+    // round 4): deterministic tie markers synthesized from event_id
+    // (0 -> untied/null, 1 -> start, 2 -> continue, 3 -> stop, 4 -> the
+    // '-' sentinel), then WindowOps.tieMerge collapses chains — heads are
+    // every row whose marker is NOT continue/stop (plus the defensive
+    // entity-first-row head), durations sum over the chain, head
+    // attributes survive. DuckDB mirrors the head rule + running chain id.
+    "q108_tie_merge" -> ((s, dir) => {
+      val m = pmod(col("event_id"), lit(5))
+      val b = t(s, dir, "events").select(
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"),
+        when(m === 1, "start").when(m === 2, "continue")
+          .when(m === 3, "stop").when(m === 4, "-").as("tie"),
+        ((pmod(col("event_id"), lit(8)) + 1) / lit(2.0)).as("duration"))
+      WindowOps.tieMerge(b, Seq("user_id"), entOrder,
+          "tie", "duration", Seq("event_type", "value"))
+        .select(col("user_id"), col("chain_id"), col("event_type"),
+          r6(col("value")).as("value"), r4(col("duration")).as("duration"),
+          col("chain_len"))
+    }),
+
     // W1: lag-derived interval (melodic-interval analog), row-level
     "q20_lag_delta" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -224,6 +246,31 @@ object WindowQueries {
   private val sqlW = "PARTITION BY user_id ORDER BY ts, event_id"
 
   val oracles: Map[String, String] = Map(
+    "q108_tie_merge" ->
+      """WITH b AS (
+        | SELECT user_id, ts, event_id, event_type, value,
+        |  CASE (event_id % 5) WHEN 1 THEN 'start' WHEN 2 THEN 'continue'
+        |    WHEN 3 THEN 'stop' WHEN 4 THEN '-' END AS tie,
+        |  ((event_id % 8) + 1) / 2.0 AS duration
+        | FROM events),
+        |h AS (
+        | SELECT *, CASE WHEN tie IS NULL OR tie NOT IN ('continue', 'stop')
+        |    OR row_number() OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id) = 1
+        |   THEN 1 ELSE 0 END AS is_head
+        | FROM b),
+        |c AS (
+        | SELECT *, sum(is_head) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS chain_id
+        | FROM h)
+        |SELECT user_id, chain_id,
+        | max(CASE WHEN is_head = 1 THEN event_type END) AS event_type,
+        | round(max(CASE WHEN is_head = 1 THEN value END) + 3.7e-10, 6) AS value,
+        | round(sum(duration) + 3.7e-10, 4) AS duration,
+        | count(*)::BIGINT AS chain_len
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
     "q20_lag_delta" ->
       s"""SELECT event_id, user_id, round(value + 3.7e-10, 6) AS value,
          | round(value - lag(value) OVER ($sqlW) + 3.7e-10, 6) AS delta
