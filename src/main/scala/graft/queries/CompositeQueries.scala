@@ -119,6 +119,40 @@ object CompositeQueries {
             .as("share"))
     }),
 
+    // q110: Landini-cadence detector — music21 native MC1
+    // (`music21/features/native.py` LandiniCadence, wrapped by the
+    // reference's music21 handler): does the piece close with the 7-6-1
+    // melodic figure? Degrees relative to the q107 global key; the last
+    // three notes come from one descending-order rank over the entity
+    // stream (high-cardinality entities — the q29 first-picks shape, not a
+    // low-cardinality group sort).
+    "q110_landini" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val tail3 = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          pmod(col("event_id"), lit(12)).cast("int").as("pc"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .withColumn("gk", element_at(typedLit(LocalKeys),
+          (pmod(col("user_id"), lit(LocalKeys.size)) + 1).cast("int")))
+        .withColumn("degree", MusicTheory.fullDegree(
+          col("pc"),
+          TonicPc.foldLeft(lit(null).cast("int")) {
+            case (acc, (k, v)) => when(col("gk") === k, v).otherwise(acc)
+          },
+          col("gk").isin(MinorKeys: _*)))
+      tail3.groupBy(col("user_id"))
+        .agg(
+          max(when(col("rn") === 1, col("degree"))).as("last_degree"),
+          max(when(col("rn") === 2, col("degree"))).as("penult_degree"),
+          max(when(col("rn") === 3, col("degree"))).as("antepenult_degree"))
+        .withColumn("landini",
+          coalesce(col("antepenult_degree") === "7" &&
+            col("penult_degree") === "6" && col("last_degree") === "1",
+            lit(false)))
+    }),
+
     // q61: per-key FRACTIONAL measure attribution. Each annotation sits at
     // measure rn with an onset fraction; a key run owns the span from its
     // first annotation position to the next run's first position (the last
@@ -533,6 +567,37 @@ object CompositeQueries {
          | round(coalesce(p.n, 0)::DOUBLE / f.all_degrees + 3.7e-10, 6) AS share
          |FROM f LEFT JOIN per p
          | ON p.user_id = f.user_id AND p.degree = f.degree""".stripMargin
+    },
+
+    "q110_landini" -> {
+      val keysArr = LocalKeys.map(k => s"'$k'").mkString(", ")
+      val tonicCase = "CASE gk " + LocalKeys.map(k =>
+        s"WHEN '$k' THEN ${TonicPc(k)}").mkString(" ") + " END"
+      val minorIn = MinorKeys.map(k => s"'$k'").mkString(", ")
+      s"""WITH n AS (
+         | SELECT user_id, (event_id % 12)::INT AS pc,
+         |  ([$keysArr])[(user_id % ${LocalKeys.size})::INT + 1] AS gk,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rn
+         | FROM events),
+         |e AS (
+         | SELECT user_id, rn, pc, gk, $tonicCase AS tonic,
+         |  gk IN ($minorIn) AS minor
+         | FROM n WHERE rn <= 3),
+         |deg AS (
+         | SELECT user_id, rn,
+         |  ${fullDegreeSql("(((pc - tonic) % 12 + 12) % 12)", "minor")} AS degree
+         | FROM e),
+         |p AS (
+         | SELECT user_id,
+         |  max(CASE WHEN rn = 1 THEN degree END) AS last_degree,
+         |  max(CASE WHEN rn = 2 THEN degree END) AS penult_degree,
+         |  max(CASE WHEN rn = 3 THEN degree END) AS antepenult_degree
+         | FROM deg GROUP BY 1)
+         |SELECT user_id, last_degree, penult_degree, antepenult_degree,
+         | coalesce(antepenult_degree = '7' AND penult_degree = '6'
+         |   AND last_degree = '1', false) AS landini
+         |FROM p""".stripMargin
     },
 
     "q61_key_areas" -> {

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Dims, LexMax, MusicTheory}
 import Q._
@@ -444,11 +445,104 @@ object TheoryQueries {
         .agg(
           count(lit(1)).cast("long").as("n_unique_durations"),
           sum(col("cnt")).cast("long").as("n_notes"),
-          LexMax.lexMax(col("cnt"), -col("dur")).as("__m"))
+          LexMax.lexMax(col("cnt"), -col("dur")).as("__m"),
+          // QL4 RangeOfNoteQuarterLengths (exact halves -> exact double)
+          (max(col("dur")) - min(col("dur"))).as("duration_range"))
         .select(col("user_id"), col("n_unique_durations"), col("n_notes"),
           (-col("__m.c1")).as("most_common_duration"),
-          r6(col("__m.c0") / col("n_notes")).as("mc_prevalence"))
+          r6(col("__m.c0") / col("n_notes")).as("mc_prevalence"),
+          col("duration_range"))
+    }),
+
+    // q109: SIMULTANEITY battery — the music21 native CS-family analog
+    // (`music21/features/native.py` CS1-CS12, wrapped by the reference's
+    // `features/music21/handler.py:15-57`): vertical sonorities = the
+    // pc-set bit mask of each (entity, measure) bucket. Emits unique
+    // pc-set count (CS1), unique Tn-set-class count via the min-of-12-
+    // rotations canonical form (CS2 — transposition classes; music21's TnI
+    // inversion fold is documented as out of scope in COVERAGE.md),
+    // most-common pc-set / set-class prevalence (CS3/CS4), the named
+    // triad/seventh class prevalences (CS5-CS10 over canonical forms), and
+    // the 12-bin bass-motion histogram (CS12 analog: semitone delta of the
+    // lowest pc between successive sonorities). Scale shape: two hash aggs
+    // + one window over the measure-compressed table (|input|/measure_size
+    // rows); the sonority table is staged once for its three consumers.
+    "q109_simultaneity_battery" -> ((s, dir) => {
+      val son = t(s, dir, "events")
+        .select(col("user_id"),
+          (unix_timestamp(col("ts")) / 60).cast("long").as("m"),
+          pmod(col("event_id"), lit(12)).cast("int").as("pc"))
+        .groupBy(col("user_id"), col("m"))
+        .agg(expr("bit_or(shiftleft(1, pc))").as("mask"),
+          min(col("pc")).as("bass"))
+        .withColumn("canon",
+          least((0 until 12).map(k =>
+            (shiftright(col("mask"), k)
+              .bitwiseOR(shiftleft(col("mask"), 12 - k)))
+              .bitwiseAND(lit(4095))): _*))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mk = son.groupBy(col("user_id"), col("mask"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_unique_pc_sets"),
+          sum(col("cnt")).cast("long").as("n_sonorities"),
+          r6(max(col("cnt")).cast("double") / sum(col("cnt")))
+            .as("mc_pcset_prevalence"))
+      val prevs = SonorityClasses.map { case (name, canonVal) =>
+        r6(sum(when(col("canon") === canonVal, col("cnt")).otherwise(lit(0L)))
+          .cast("double") / sum(col("cnt"))).as(s"${name}_prev")
+      }
+      val ck = son.groupBy(col("user_id"), col("canon"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_unique_set_classes"),
+          (r6(max(col("cnt")).cast("double") / sum(col("cnt")))
+            .as("mc_setclass_prevalence") +: prevs
+            :+ r6(sum(when(col("canon").isin(TriadCanons: _*), col("cnt"))
+              .otherwise(lit(0L))).cast("double") / sum(col("cnt")))
+              .as("triad_prev")): _*)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("m"))
+      val bmCols = (0 until 12).map(d =>
+        sum(when(col("d") === d, 1L).otherwise(0L)).as(f"__bm$d%02d"))
+      val mot = son
+        .withColumn("prev", lag(col("bass"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .withColumn("d", pmod(col("bass") - col("prev"), lit(12)))
+        .groupBy(col("user_id"))
+        .agg(bmCols.head, bmCols.tail: _*)
+        .withColumn("__n", (0 until 12).map(d => col(f"__bm$d%02d")).reduce(_ + _))
+      val bmShares = (0 until 12).map(d =>
+        r6(coalesce(col(f"__bm$d%02d").cast("double") / col("__n"), lit(0.0)))
+          .as(f"bm$d%02d"))
+      mk.join(ck, Seq("user_id"))
+        .join(mot, Seq("user_id"), "left")
+        .select((Seq(col("user_id"), col("n_sonorities"),
+          col("n_unique_pc_sets"), col("mc_pcset_prevalence"),
+          col("n_unique_set_classes"), col("mc_setclass_prevalence")) ++
+          SonorityClasses.map(c => col(s"${c._1}_prev")) :+ col("triad_prev"))
+          ++ bmShares: _*)
     }))
+
+  /** Tn-canonical form of a 12-bit pc-set mask: min over the 12 rotations
+    * — ONE Scala function generates the Spark literals and the oracle's
+    * constants (the FunnelSplitWeights single-source pattern). */
+  private[queries] def canon12(mask: Int): Int =
+    (0 until 12).map(k => ((mask >> k) | (mask << (12 - k))) & 4095).min
+
+  /** Named sonority classes (music21 CS5-CS10) as canonical Tn masks:
+    * major {0,4,7}, minor {0,3,7}, diminished {0,3,6}, dominant seventh
+    * {0,4,7,10}, diminished seventh {0,3,6,9}; augmented {0,4,8} completes
+    * the triad family for CS9. */
+  private[queries] val SonorityClasses: Seq[(String, Int)] = Seq(
+    "maj_triad" -> canon12(1 + 16 + 128),
+    "min_triad" -> canon12(1 + 8 + 128),
+    "dim_triad" -> canon12(1 + 8 + 64),
+    "dom7" -> canon12(1 + 16 + 128 + 1024),
+    "dim7" -> canon12(1 + 8 + 64 + 512))
+
+  private[queries] val TriadCanons: Seq[Int] = Seq(
+    canon12(1 + 16 + 128), canon12(1 + 8 + 128), canon12(1 + 8 + 64),
+    canon12(1 + 16 + 256)) // + augmented for CS9's "any triad"
 
   /** Chord-"changes" domain for q76: the reference's exact-match token, the
     * 4/6/64 pool (string and float spellings), augmented and plain others,
@@ -486,6 +580,66 @@ object TheoryQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q109_simultaneity_battery" -> {
+      val rots = (0 until 12).map(k =>
+        s"((mask >> $k) | (mask << ${12 - k})) & 4095").mkString(",\n   ")
+      val prevCases = SonorityClasses.map { case (name, cv) =>
+        s"round(sum(CASE WHEN canon = $cv THEN cnt ELSE 0 END)::DOUBLE" +
+          s" / sum(cnt) + 3.7e-10, 6) AS ${name}_prev"
+      }.mkString(",\n  ")
+      val triadIn = TriadCanons.mkString(", ")
+      val bmSums = (0 until 12).map(d =>
+        f"sum(CASE WHEN d = $d THEN 1 ELSE 0 END)::BIGINT AS bm$d%02d")
+        .mkString(",\n  ")
+      val bmOut = (0 until 12).map(d =>
+        f"round(coalesce(mt.bm$d%02d::DOUBLE / nullif(mt.n, 0), 0)" +
+          f" + 3.7e-10, 6) AS bm$d%02d").mkString(",\n ")
+      s"""WITH e AS (
+         | SELECT user_id, ${sqlEpoch("ts")} // 60 AS m,
+         |  (event_id % 12)::INT AS pc
+         | FROM events),
+         |son AS (
+         | SELECT user_id, m, bit_or((1 << pc)) AS mask, min(pc) AS bass
+         | FROM e GROUP BY 1, 2),
+         |c AS (
+         | SELECT *, least(
+         |   $rots) AS canon
+         | FROM son),
+         |mk0 AS (SELECT user_id, mask, count(*)::BIGINT AS cnt
+         |        FROM c GROUP BY 1, 2),
+         |mk AS (
+         | SELECT user_id, count(*)::BIGINT AS n_unique_pc_sets,
+         |  sum(cnt)::BIGINT AS n_sonorities,
+         |  round(max(cnt)::DOUBLE / sum(cnt) + 3.7e-10, 6) AS mc_pcset_prevalence
+         | FROM mk0 GROUP BY 1),
+         |ck0 AS (SELECT user_id, canon, count(*)::BIGINT AS cnt
+         |        FROM c GROUP BY 1, 2),
+         |ck AS (
+         | SELECT user_id, count(*)::BIGINT AS n_unique_set_classes,
+         |  round(max(cnt)::DOUBLE / sum(cnt) + 3.7e-10, 6) AS mc_setclass_prevalence,
+         |  $prevCases,
+         |  round(sum(CASE WHEN canon IN ($triadIn) THEN cnt ELSE 0 END)::DOUBLE
+         |    / sum(cnt) + 3.7e-10, 6) AS triad_prev
+         | FROM ck0 GROUP BY 1),
+         |mo AS (
+         | SELECT user_id,
+         |  ((bass - lag(bass) OVER (PARTITION BY user_id ORDER BY m)) % 12
+         |    + 12) % 12 AS d
+         | FROM c),
+         |mt AS (
+         | SELECT user_id, count(d)::BIGINT AS n,
+         |  $bmSums
+         | FROM mo GROUP BY 1)
+         |SELECT mk.user_id, mk.n_sonorities, mk.n_unique_pc_sets,
+         | mk.mc_pcset_prevalence, ck.n_unique_set_classes,
+         | ck.mc_setclass_prevalence,
+         | ${SonorityClasses.map(c => s"ck.${c._1}_prev").mkString(", ")},
+         | ck.triad_prev,
+         | $bmOut
+         |FROM mk JOIN ck USING (user_id)
+         |LEFT JOIN mt USING (user_id)""".stripMargin
+    },
+
     "q82_duration_battery" ->
       """WITH d AS (
         | SELECT user_id, (event_id % 8) / 2.0 AS dur FROM events),
@@ -495,13 +649,16 @@ object TheoryQueries {
         | SELECT *,
         |  row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, dur ASC) AS rn,
         |  count(*) OVER (PARTITION BY user_id) AS n_uniq,
-        |  sum(cnt) OVER (PARTITION BY user_id) AS n_tot
+        |  sum(cnt) OVER (PARTITION BY user_id) AS n_tot,
+        |  max(dur) OVER (PARTITION BY user_id)
+        |    - min(dur) OVER (PARTITION BY user_id) AS duration_range
         | FROM c)
         |SELECT user_id,
         | n_uniq::BIGINT AS n_unique_durations,
         | n_tot::BIGINT AS n_notes,
         | dur AS most_common_duration,
-        | round(cnt / n_tot::DOUBLE + 3.7e-10, 6) AS mc_prevalence
+        | round(cnt / n_tot::DOUBLE + 3.7e-10, 6) AS mc_prevalence,
+        | duration_range
         |FROM r WHERE rn = 1""".stripMargin,
 
     "q70_melodic_motion" ->
