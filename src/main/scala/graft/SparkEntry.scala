@@ -12,8 +12,10 @@ import graft.queries._
   *  - ShapeQueries : A3 pivot, O1 ref-sort, W6 resample, F1 JSON, O5 dedup
   *  - TextQueries  : dedup/fingerprint/langid/quality/jaccard (pipeline ops)
   *  - VectorQueries: embedding cosine top-k + norms
-  *  - EngineQueries: MinHash/SimHash/LSH, image decode/PSNR, flagship
-  *    feature pipeline, lineage (no SQL oracle; ScalaTest-verified)
+  *  - EngineQueries: MinHash/SimHash/LSH, multimodal payload legs,
+  *    lineage, quality gates, curation funnel (most DuckDB-oracled via
+  *    `__SYNTH_DIR__` byte replay; the xxhash-only paths q50-q53/q56 are
+  *    rows-only with oracled cross-engine siblings)
   */
 object SparkEntry {
 

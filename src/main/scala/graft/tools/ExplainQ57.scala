@@ -9,7 +9,8 @@ object ExplainQ57 {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.SparkEntry.queries("q57_lsh_topk")(spark, "/root/testdata/sf0.001")
+    val q = args.headOption.getOrElse("q104_lsh_ranking")
+    val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
     println("SHUFFLES=" + "Exchange hashpartitioning".r.findAllIn(plan).length)
     println("BROADCASTS=" + "BroadcastExchange".r.findAllIn(plan).length)
