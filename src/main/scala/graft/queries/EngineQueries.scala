@@ -13,11 +13,11 @@ import Q._
   * quality gate, and the q100 curation funnel. Most carry DuckDB oracles
   * that re-derive results from the SAME materialized synth bytes via hex
   * slicing (`__SYNTH_DIR__`); the handful that use engine-only hashing
-  * (xxhash64 paths: q50-q53, q56) are rows-only here with an oracled
-  * cross-engine sibling (q86, q59, q75, q74+q101+q106, q73) and ScalaTest
-  * depth. q54/q57/q58 were retired in round 4 once their content was
-  * fully hash-verified elsewhere (q106; q62+q104; q64+q105 — see the
-  * inline notes at their former slots). */
+  * (xxhash64 paths: q50-q52, q56) are rows-only here with an oracled
+  * cross-engine sibling (q86, q59, q75, q73) and ScalaTest depth.
+  * q53 gained a direct oracle in round 4; q54/q57/q58 were retired once
+  * their content was fully hash-verified elsewhere (q106; q62+q104;
+  * q64+q105 — see the inline notes at their former slots). */
 object EngineQueries {
 
   val queries: Map[String, QueryFn] = Map(
@@ -73,7 +73,12 @@ object EngineQueries {
             TextFunctions.hamming(col("simhash"), col("dup_simhash"))).as("hamming_to_dup"))
     }),
 
-    // Image decode + per-image features over the synthesized input table
+    // Image decode + per-image features over the synthesized input table.
+    // Directly oracled since round 4: every output is DuckDB-replayable
+    // from the materialized blobs (decode length + mean via q74's hex
+    // slicing, the two histogram bins via q101's arithmetic, caption
+    // tokens via q34's normalize-split convention), so the feature-BUNDLE
+    // composition is hash-verified, not just each piece.
     "q53_image_features" -> ((s, dir) => {
       SynthImages.images(s, 2000, 64)
         .withColumn("pixels", ImageFunctions.decode_image(col("bytes")))
@@ -482,6 +487,29 @@ object EngineQueries {
       .select(col("a").as("d1"), col("b").as("d2"), col("hamming"))
 
   val oracles: Map[String, String] = Map(
+    "q53_image_features" -> {
+      val normCap = Q.sqlNorm("im.caption")
+      s"""WITH im AS (
+         | SELECT image_id, phash, fmt, w, h, caption, hex(bytes) AS hx
+         | FROM read_parquet('__SYNTH_DIR__/images/*.parquet')
+         | WHERE substr(image_id, 4)::BIGINT < 2000),
+         |px AS (
+         | SELECT image_id,
+         |  [('0x' || substr(hx, 17 + 2*i, 2))::INT
+         |    for i in range(0, (len(hx) - 16) // 2)] AS p
+         | FROM im)
+         |SELECT im.image_id, im.phash, im.fmt, im.w, im.h,
+         | len(px.p)::INT AS n_pixels,
+         | round(list_sum(px.p)::DOUBLE / len(px.p) + 3.7e-10, 6) AS brightness,
+         | round(list_sum([(x // 16 = 0)::INT for x in px.p])::DOUBLE
+         |   / len(px.p) + 3.7e-10, 6) AS hist_lo,
+         | round(list_sum([(x // 16 = 15)::INT for x in px.p])::DOUBLE
+         |   / len(px.p) + 3.7e-10, 6) AS hist_hi,
+         | (CASE WHEN length($normCap) = 0 THEN 0
+         |   ELSE len(string_split($normCap, ' ')) END)::INT AS caption_tokens
+         |FROM im JOIN px USING (image_id)""".stripMargin
+    },
+
     "q84_video_frames" ->
       """WITH v AS (
         | SELECT clip_id, w, h, hex(video) AS hx,
