@@ -134,6 +134,37 @@ object VectorQueries {
           col("rank").cast("long").as("rank"), r6(col("cos")).as("cos"))
     }),
 
+    // Embedding-cosine dedup CLUSTERS — the third leg of the cluster-
+    // formation triple (text MinHash q85, image aHash q95, embeddings
+    // here): q45's exact bounded near-dup edges (cos >= 0.9 over the
+    // corpus with injected perturbed copies) -> connected components ->
+    // min-id representative + kept flag for EVERY vector. At scale the
+    // edge stage swaps to lshTopK candidates (recall-gated in
+    // VectorsSpec); the CC and keep-one-rep machinery is identical.
+    "q111_embedding_dedup" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings").where(col("vec_id") < 400)
+        .select(col("vec_id"), Vectors.toDoubleArray(col("embedding")).as("e"))
+      val dups = v.where(pmod(col("vec_id"), lit(20)) === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("e"), (x, i) => when(i === 0, x + 0.05).otherwise(x)).as("e"))
+      val all = v.unionByName(dups).withColumn("nrm", Vectors.norm(col("e")))
+      val a = all.select(col("vec_id").as("v1"), col("e").as("e1"), col("nrm").as("n1"))
+      val b = all.select(col("vec_id").as("v2"), col("e").as("e2"), col("nrm").as("n2"))
+      val edges = a.join(broadcast(b), col("v1") < col("v2"))
+        .select(col("v1"), col("v2"),
+          when(col("n1") * col("n2") =!= 0.0,
+            Vectors.dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+            .otherwise(lit(0.0)).as("cos"))
+        .where(col("cos") >= 0.9)
+        .select(col("v1").as("a"), col("v2").as("b"))
+      val cc = graft.ops.Dedup.connectedComponents(edges)
+        .withColumnRenamed("id", "vec_id")
+      all.select(col("vec_id")).join(cc, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_rep"), col("vec_id")).as("rep"),
+          (coalesce(col("cluster_rep"), col("vec_id")) === col("vec_id")).as("kept"))
+    }),
+
     "q41_vector_norms" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .select(col("label"), Vectors.norm(Vectors.toDoubleArray(col("embedding"))).as("nrm"))
@@ -276,6 +307,32 @@ object VectorQueries {
         |SELECT query_id, neighbor_id, rank::BIGINT AS rank,
         | round(cos + 3.7e-10, 6) AS cos
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // q45's edge derivation + the q95-pattern recursive-CTE closure:
+    // min-reachable-id labels over the symmetrized cos >= 0.9 edge set,
+    // kept = vector is its own cluster representative
+    "q111_embedding_dedup" ->
+      """WITH RECURSIVE v AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 400),
+        |d AS (
+        | SELECT vec_id + 1000000 AS vec_id,
+        |  list_transform(e, (x, i) -> CASE WHEN i = 1 THEN x + 0.05 ELSE x END) AS e
+        | FROM v WHERE vec_id % 20 = 0),
+        |a AS (SELECT * FROM v UNION ALL SELECT * FROM d),
+        |p AS (
+        | SELECT x.vec_id AS v1, y.vec_id AS v2
+        | FROM a x JOIN a y ON x.vec_id < y.vec_id
+        | WHERE list_cosine_similarity(x.e, y.e) >= 0.9),
+        |sym AS (SELECT v1 AS s, v2 AS t FROM p
+        |        UNION ALL SELECT v2 AS s, v1 AS t FROM p),
+        |reach AS (
+        | SELECT DISTINCT s AS id, s AS lbl FROM sym
+        | UNION
+        | SELECT y.s AS id, r.lbl FROM sym y JOIN reach r ON r.id = y.t),
+        |lab AS (SELECT id, min(lbl) AS cluster_rep FROM reach GROUP BY id)
+        |SELECT a.vec_id, coalesce(l.cluster_rep, a.vec_id) AS rep,
+        | (coalesce(l.cluster_rep, a.vec_id) = a.vec_id) AS kept
+        |FROM a LEFT JOIN lab l ON l.id = a.vec_id""".stripMargin,
 
     "q41_vector_norms" ->
       """WITH n AS (
