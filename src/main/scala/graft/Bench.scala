@@ -39,6 +39,13 @@ object Bench {
     * immediately before and after it. */
   private final case class Meas(sec: Double, loadBefore: Double, loadAfter: Double)
 
+  /** The re-measure rule: sweep times for the SAME query on the same data
+    * disagreeing by >1.4x is interference, not plan cost; sub-0.2 s
+    * minima are exempt (scheduler noise dominates there and a third run
+    * buys nothing). Unit-tested in BenchRuleSpec. */
+  private[graft] def interferenceSuspect(secs: Seq[Double]): Boolean =
+    secs.size > 1 && secs.min > 0.2 && secs.max > 1.4 * secs.min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -95,10 +102,8 @@ object Bench {
     // between sweeps of the SAME query on the same data is interference,
     // not plan cost; tiny queries are exempt (sub-0.2 s ratios are noise)
     val suspects = selected.filter { case (name, _) =>
-      !failed.contains(name) && meas.get(name).exists { ts =>
-        val secs = ts.map(_.sec)
-        secs.size > 1 && secs.min > 0.2 && secs.max > 1.4 * secs.min
-      }
+      !failed.contains(name) &&
+        meas.get(name).exists(ts => interferenceSuspect(ts.toSeq.map(_.sec)))
     }
     if (suspects.nonEmpty) {
       Thread.sleep(sweepGapMs)
