@@ -430,6 +430,42 @@ object EngineQueries {
         r6(ImageFunctions.psnr(col("bytes"), col("bytes"))).as("self_psnr_db"))
     }),
 
+    // MULTIMODAL CONSENSUS near-dup — the production guard against
+    // false-positive dedup drops: a pair is a duplicate only if BOTH
+    // channels agree — the image payload channel (aHash banding at
+    // hamming <= 3, q91's machinery) AND the caption text channel
+    // (normalized-caption fingerprint equality, q35's exact-dedup
+    // convention). Same-boilerplate captions on different images and
+    // same-gradient images with different captions both fail consensus.
+    // The injected byte-surgery dups copy their source caption, so every
+    // planted pair passes both channels. Corpus staged once for its
+    // three consumers; both channels and the intersection are replayed
+    // exactly by DuckDB from the same stored blobs.
+    "q112_consensus_dedup" -> ((s, dir) => {
+      val base = SynthImages.images(s, 2000, 64)
+        .select(substring(col("image_id"), 4, 12).cast("long").as("img"),
+          col("bytes"), col("caption"))
+      val dups = base.where(pmod(col("img"), lit(25)) === 0)
+        .select((col("img") + 1000000L).as("img"),
+          concat(substring(col("bytes"), 1, 8),
+            lit(Array(0xFF.toByte)),
+            substring(col("bytes"), 10, Int.MaxValue)).as("bytes"),
+          col("caption"))
+      val all = base.unionByName(dups)
+        .select(col("img"), ImageFunctions.ahash64(col("bytes")).as("ah"),
+          md5(graft.functions.Text.normText(col("caption"))).as("cfp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val imgEdges = graft.ops.Dedup.perceptualEdgesFromHashes(
+        all.select(col("img"), col("ah")), "img", "ah",
+        maxHamming = 3, cap = 1024, broadcastSizes = true)
+      val capEdges = all.select(col("cfp"), col("img").as("a"))
+        .join(all.select(col("cfp"), col("img").as("b")), Seq("cfp"))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"))
+      imgEdges.join(capEdges, Seq("a", "b"))
+        .select(col("a").as("d1"), col("b").as("d2"), col("hamming"))
+    }),
+
     // IMAGE dedup clusters — the step after q91's pairs: connected
     // components over the tight near-dup graph (hamming <= 1; components
     // stay small and semantically "same image"), min-id representative per
@@ -895,6 +931,40 @@ object EngineQueries {
         |SELECT h.img, coalesce(l.cluster_rep, h.img) AS rep,
         | (coalesce(l.cluster_rep, h.img) = h.img) AS kept
         |FROM hsh h LEFT JOIN lab l ON l.id = h.img""".stripMargin,
+
+    // q91's aHash replay intersected with normalized-caption fingerprint
+    // equality — both channels from the same stored blobs
+    "q112_consensus_dedup" ->
+      s"""WITH im AS (
+         | SELECT substr(image_id, 4)::BIGINT AS img, w, h, caption,
+         |  hex(bytes) AS hx
+         | FROM read_parquet('__SYNTH_DIR__/images/*.parquet')
+         | WHERE substr(image_id, 4)::BIGINT < 2000),
+         |base AS (
+         | SELECT img, w, h, hx, caption, false AS dup FROM im
+         | UNION ALL
+         | SELECT img + 1000000 AS img, w, h, hx, caption, true AS dup
+         | FROM im WHERE img % 25 = 0),
+         |s AS (
+         | SELECT img, md5(${Q.sqlNorm("caption")}) AS cfp,
+         |  [CASE WHEN dup AND i = 0 THEN 255
+         |    ELSE ('0x' || substr(hx, 17 + 2*(least(h - 1, (i // 8) * h // 8) * w
+         |            + least(w - 1, (i % 8) * w // 8)), 2))::INT END
+         |   for i in range(0, 64)] AS px
+         | FROM base),
+         |m AS (SELECT img, cfp, px, list_sum(px) AS sm FROM s),
+         |hsh AS (
+         | SELECT img, cfp,
+         |  list_sum([(px[i + 1] * 64 > sm)::BIGINT * (1::BIGINT << i)
+         |    for i in range(0, 32)]) AS lo,
+         |  list_sum([(px[i + 33] * 64 > sm)::BIGINT * (1::BIGINT << i)
+         |    for i in range(0, 32)]) AS hi
+         | FROM m)
+         |SELECT a.img AS d1, c.img AS d2,
+         | (bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)))::INT AS hamming
+         |FROM hsh a JOIN hsh c ON a.img < c.img
+         |WHERE bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) <= 3
+         | AND a.cfp = c.cfp""".stripMargin,
 
     // per-pixel reconstruction replay: output pixel i = source pixel at
     // (min(h-1, gy*h//8)*w + min(w-1, gx*w//8)) with gx = min(7, (i%w)*8//w),
