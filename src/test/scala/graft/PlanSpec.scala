@@ -92,6 +92,20 @@ class PlanSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q111/q112 dedup additions: no cartesian blowup, staged corpus read from cache") {
+    // q111's edge stage is the bounded broadcast pair join (the q45 shape);
+    // q112's channels are a banded hash join + an equality self-join on the
+    // caption fingerprint — neither may degrade to a product
+    for (q <- Seq("q111_embedding_dedup", "q112_consensus_dedup")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q: cartesian:\n$plan")
+      if (q == "q112_consensus_dedup")
+        assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
+          s"$q: staged corpus not read from cache:\n$plan")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q70 melodic-motion battery: no cartesian, one entity exchange reused") {
     val plan = planOf(SparkEntry.queries("q70_melodic_motion")(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
