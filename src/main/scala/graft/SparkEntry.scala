@@ -13,9 +13,10 @@ import graft.queries._
   *  - TextQueries  : dedup/fingerprint/langid/quality/jaccard (pipeline ops)
   *  - VectorQueries: embedding cosine top-k + norms
   *  - EngineQueries: MinHash/SimHash/LSH, multimodal payload legs,
-  *    lineage, quality gates, curation funnel (most DuckDB-oracled via
-  *    `__SYNTH_DIR__` byte replay; the xxhash-only paths q50-q53/q56 are
-  *    rows-only with oracled cross-engine siblings)
+  *    lineage, quality gates, curation funnel (DuckDB-oracled via
+  *    `__SYNTH_DIR__` byte replay and the SqlHash FNV-1a replay; only
+  *    q56 — double-bit xxhash digest — stays rows-only, with the oracled
+  *    q73 sibling)
   */
 object SparkEntry {
 

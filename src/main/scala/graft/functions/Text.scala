@@ -98,9 +98,10 @@ object Text {
     * window of `w` consecutive shingle hashes — the classic guarantee that
     * any match of length >= w + shingleLen - 1 shares a fingerprint.
     * Hashes are md5 hex strings and minima are lexicographic so BOTH
-    * engines compute identical fingerprints (Spark xxhash64 has no DuckDB
-    * counterpart). Fully HOF-composed — no UDF; DuckDB mirror via
-    * list_transform/list_slice/list_aggregate('min'). */
+    * engines compute identical fingerprints with ordinary SQL (the
+    * engine-native 64-bit hashes need queries.SqlHash's wrap-arithmetic
+    * replay, which md5 avoids). Fully HOF-composed — no UDF; DuckDB
+    * mirror via list_transform/list_slice/list_aggregate('min'). */
   def winnowFingerprints(norm: Column, shingleLen: Int = 5, w: Int = 4): Column =
     winnowFromHashes(shingleHashes(norm, shingleLen), w)
 
@@ -147,12 +148,18 @@ object Text {
 
   // ---------------------------------------------------------------- MinHash
 
-  /** Deterministic polynomial hash of a string (engine-internal; verified by
-    * ScalaTest, not a DuckDB oracle). */
+  /** FNV-1a offset basis / prime — shared with the DuckDB replay
+    * (queries.SqlHash), which re-derives the same hashes in wrap-safe
+    * UBIGINT arithmetic so q50-q52 carry direct oracles. */
+  final val PolyHashBasis = 1469598103934665603L
+  final val PolyHashPrime = 1099511628211L
+
+  /** Deterministic polynomial hash of a string (FNV-1a over UTF-16 chars;
+    * ASCII inputs make it cross-engine replayable — see SqlHash). */
   def polyHash(s: String): Long = {
-    var h = 1469598103934665603L
+    var h = PolyHashBasis
     var i = 0
-    while (i < s.length) { h = (h ^ s.charAt(i)) * 1099511628211L; i += 1 }
+    while (i < s.length) { h = (h ^ s.charAt(i)) * PolyHashPrime; i += 1 }
     h
   }
 

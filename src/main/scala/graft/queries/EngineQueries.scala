@@ -10,14 +10,17 @@ import Q._
   * MinHash/LSH near-dup, SimHash, the multimodal payload families
   * (image/audio/video fidelity, perceptual near-dup on all three legs,
   * crop/resize/histogram transforms), lineage, LSH/IVF ANN, the image
-  * quality gate, and the q100 curation funnel. Most carry DuckDB oracles
-  * that re-derive results from the SAME materialized synth bytes via hex
-  * slicing (`__SYNTH_DIR__`); the handful that use engine-only hashing
-  * (xxhash64 paths: q50-q52, q56) are rows-only here with an oracled
-  * cross-engine sibling (q86, q59, q75, q73) and ScalaTest depth.
-  * q53 gained a direct oracle in round 4; q54/q57/q58 were retired once
-  * their content was fully hash-verified elsewhere (q106; q62+q104;
-  * q64+q105 — see the inline notes at their former slots). */
+  * quality gate, and the q100 curation funnel. Nearly all carry DuckDB
+  * oracles that re-derive results from the SAME materialized synth bytes
+  * via hex slicing (`__SYNTH_DIR__`) or replay the engine's FNV-1a
+  * signature hashing in wrap-safe UBIGINT arithmetic (SqlHash: q50-q52).
+  * The ONE remaining rows-only entry is q56 — its digest hashes raw
+  * IEEE-754 double bits via Spark xxhash64, which DuckDB cannot
+  * reinterpret — and it has the oracled q73 sibling (same Lineage.compute
+  * over a cross-engine hash) plus LineageSpec depth. q53 gained a direct
+  * oracle in round 4; q54/q57/q58 were retired once their content was
+  * fully hash-verified elsewhere (q106; q62+q104; q64+q105 — see the
+  * inline notes at their former slots). */
 object EngineQueries {
 
   val queries: Map[String, QueryFn] = Map(
@@ -523,6 +526,65 @@ object EngineQueries {
       .select(col("a").as("d1"), col("b").as("d2"), col("hamming"))
 
   val oracles: Map[String, String] = Map(
+    // q50-q52: the production polyHash (FNV-1a) signature paths replayed
+    // EXACTLY by DuckDB via SqlHash's wrap-safe UBIGINT arithmetic — the
+    // round-4 retirement of the last text-side rows-only entries. The md5
+    // siblings (q86/q59/q75) stay as the algorithm-level gates; these now
+    // hash-verify the production signatures themselves.
+    "q50_minhash_signatures" -> {
+      val sig =
+        s"""SELECT doc_id, ${SqlHash.laneSelects(0 until 8)}
+           |FROM (SELECT doc_id, ${SqlHash.shingleHashes("nt")} AS xs
+           |      FROM (SELECT doc_id, ${Q.sqlNorm("text")} AS nt FROM documents))""".stripMargin
+      s"""SELECT doc_id, mh0 AS minhash_0, mh1 AS minhash_1,
+         | ${SqlHash.signed("f0")} AS bucket_0, ${SqlHash.signed("f1")} AS bucket_1
+         |FROM (${SqlHash.bandFolds(sig, Seq(0, 1), 4)})""".stripMargin
+    },
+
+    // Full LSH candidate-pair replay: signatures, band buckets, the bucket
+    // self-join, and the matching-lane estimate all re-derived by DuckDB.
+    // The Spark side's salt cap (256) cannot activate on this corpus (500
+    // distinct texts; densest band bucket is far below the cap), so the
+    // all-pairs bucket join is the exact same candidate set.
+    "q51_near_dup_lsh" -> {
+      val allx =
+        s"""SELECT doc_id, ${Q.sqlNorm("text")} AS nt FROM documents
+           |UNION ALL
+           |SELECT doc_id + 1000000 AS doc_id,
+           | ${Q.sqlNorm("(text || ' near duplicate suffix')")} AS nt
+           |FROM documents WHERE doc_id % 25 = 0""".stripMargin
+      val sig =
+        s"""SELECT doc_id, ${SqlHash.laneSelects(0 until 16)}
+           |FROM (SELECT doc_id, ${SqlHash.shingleHashes("nt")} AS xs FROM ($allx))""".stripMargin
+      val folded = SqlHash.bandFolds(sig, Seq(0, 1, 2, 3), 4)
+      val sigList = (0 until 16).map(j => s"mh$j").mkString("[", ", ", "]")
+      val buckets = Seq(0, 1, 2, 3).map(b => SqlHash.signed(s"f$b")).mkString(", ")
+      val est = "(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])))::DOUBLE / 16"
+      s"""WITH s AS (SELECT *, $sigList AS sig FROM ($folded)),
+         |e AS (SELECT doc_id, sig, unnest([$buckets]) AS bucket FROM s)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, $est AS est_jaccard
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE $est >= 0.5""".stripMargin
+    },
+
+    // SimHash fingerprints + hamming to the injected near-copy, replayed
+    // per token: polyHash fold, 64 ±1 bit votes, strict-majority compose.
+    "q52_simhash" -> {
+      val sims = SqlHash.simHashSelect(
+        s"SELECT doc_id, ${Q.sqlNorm("text")} AS nt FROM documents", "doc_id")
+      val dupSims = SqlHash.simHashSelect(
+        s"SELECT doc_id, ${Q.sqlNorm("(text || ' tail')")} AS nt " +
+          "FROM documents WHERE doc_id % 25 = 0", "doc_id")
+      val ham =
+        s"bit_count(xor(${SqlHash.unsigned("COALESCE(s.sh, 0)")}, ${SqlHash.unsigned("d.sh")}))::INT"
+      s"""WITH s AS ($sims), d AS ($dupSims)
+         |SELECT docs.doc_id, COALESCE(s.sh, 0) AS simhash,
+         | (CASE WHEN d.doc_id IS NOT NULL THEN $ham END) AS hamming_to_dup
+         |FROM documents docs
+         |LEFT JOIN s ON docs.doc_id = s.doc_id
+         |LEFT JOIN d ON docs.doc_id = d.doc_id""".stripMargin
+    },
+
     "q53_image_features" -> {
       val normCap = Q.sqlNorm("im.caption")
       s"""WITH im AS (

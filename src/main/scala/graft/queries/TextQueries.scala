@@ -144,10 +144,11 @@ object TextQueries {
         .distinct()
     }),
 
-    // SimHash semantics with a DRIVER-VISIBLE oracle: q52's production path
-    // hashes tokens with xxhash64 (no DuckDB counterpart), so this variant
-    // runs the IDENTICAL vote/threshold/bit-compose algorithm over the
-    // cross-engine 56-bit md5-prefix token hash — per-bit votes (+1/-1),
+    // SimHash algorithm-level gate over an independent token hash: q52's
+    // production polyHash path now ALSO carries a direct DuckDB replay
+    // oracle (SqlHash, round 4); this variant keeps verifying the
+    // vote/threshold/bit-compose algorithm over the cross-engine 56-bit
+    // md5-prefix token hash — per-bit votes (+1/-1),
     // bit set iff vote > 0 (Text.simHash64's strict-majority convention),
     // composed to one 56-bit signature per doc. Explode + ONE hash
     // aggregate with 56 conditional sums; partial agg applies, so at scale
@@ -170,11 +171,11 @@ object TextQueries {
       votes.select(col("doc_id"), col("n_tokens"), sim.as("simhash56"))
     }),
 
-    // MinHash signatures with a DRIVER-VISIBLE oracle (the q75 pattern for
-    // the minhash layer): q50's production path is the codegen'd xxhash64
-    // TextFunctions.minhash (no DuckDB counterpart), so this variant runs
-    // the IDENTICAL affine-permutation MinHash algorithm over the
-    // cross-engine md5-56 shingle hash — lane i = min over shingles of
+    // MinHash algorithm-level gate over an independent shingle hash (the
+    // q75 pattern for the minhash layer): q50's production polyHash path
+    // now ALSO carries a direct DuckDB replay oracle (SqlHash, round 4);
+    // this variant keeps verifying the affine-permutation MinHash
+    // algorithm over the cross-engine md5-56 shingle hash — lane i = min over shingles of
     // (a_i * (h mod P) + b_i) mod P with P = 2^31 - 1; hp < 2^31 and
     // a_i < 2^26 keep every product below 2^57, so both engines stay in
     // exact i64. Explode + ONE hash aggregate (32 min lanes); partial agg
