@@ -128,18 +128,29 @@ object AsOfJoin {
     // are bound to the probe types, so an uncast DATE build ts against a
     // TIMESTAMP probe would compare raw longs and silently mismatch. NULL
     // keys/ts never match (SQL ASOF semantics) — filtered here.
-    val buildSel = build
+    val buildKeyed = build
       .where(col(entityCol).isNotNull && col(buildTs).isNotNull)
-      .select(
-        col(entityCol).cast(probe.schema(entityCol).dataType).as("__r_entity"),
-        col(buildTs).cast(probe.schema(probeTs).dataType).as("__r_ts"),
-        struct(payloadCols.map(col): _*).as("__payload"))
-    val buildFlat = (if (dedupeLatest)
-      buildSel.groupBy(col("__r_entity"), col("__r_ts"))
-        .agg(max(col("__payload")).as("__payload"))
-    else buildSel)
-      .select(col("__r_entity") +: col("__r_ts") +:
-        payloadCols.map(c => col(s"__payload.$c").as(c)): _*)
+    // the struct wrap exists only to tunnel the payload through the
+    // dedup groupBy's max; without dedup, stay a plain alias projection so
+    // a pre-bucketed, pre-sorted build side keeps its reported partitioning
+    // AND ordering (the zero-exchange, zero-sort bucketed-join path —
+    // see TableSource.writeBucketed / BucketedJoinSpec)
+    val buildFlat =
+      if (dedupeLatest)
+        buildKeyed
+          .select(
+            col(entityCol).cast(probe.schema(entityCol).dataType).as("__r_entity"),
+            col(buildTs).cast(probe.schema(probeTs).dataType).as("__r_ts"),
+            struct(payloadCols.map(col): _*).as("__payload"))
+          .groupBy(col("__r_entity"), col("__r_ts"))
+          .agg(max(col("__payload")).as("__payload"))
+          .select(col("__r_entity") +: col("__r_ts") +:
+            payloadCols.map(c => col(s"__payload.$c").as(c)): _*)
+      else
+        buildKeyed.select(
+          col(entityCol).cast(probe.schema(entityCol).dataType).as("__r_entity") +:
+            col(buildTs).cast(probe.schema(probeTs).dataType).as("__r_ts") +:
+            payloadCols.map(col): _*)
 
     val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
     val lp = bridge.analyzed(probe)

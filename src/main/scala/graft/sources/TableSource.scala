@@ -51,6 +51,39 @@ object TableSource {
     }
   }
 
+  /** Write `df` as a BUCKETED, per-bucket-SORTED external parquet table —
+    * the layout that makes repeated entity-keyed work exchange-free: a scan
+    * of a bucketed table reports HashPartitioning(bucketCol, buckets), so
+    * joins/aggregations/windows clustered on that key (including the custom
+    * as-of merge join, whose requiredChildDistribution it satisfies) plan
+    * with ZERO shuffle; any residual sorts are partition-local. With
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (sound here
+    * because this writer guarantees one file per bucket) the scan also
+    * reports the sortBy ordering and even those sorts elide
+    * (BucketedJoinSpec gates both modes).
+    *
+    * This is the local analog of an Iceberg table with a bucket partition
+    * transform + sorted write order: at 100 TB the corpus is written once
+    * in this layout and every downstream batch — as-of label joins, window
+    * features, dedup passes — reads it co-located instead of re-shuffling
+    * ~100 TB per run. The repartition guarantees one file per bucket
+    * (repartition's HashPartitioning is the same murmur3-pmod hash
+    * bucketing uses, so each output task holds exactly one bucket).
+    *
+    * The table registers in the session catalog (external, at `path`);
+    * read it back with `spark.table(name)` or a `table:<name>` spec. */
+  def writeBucketed(df: DataFrame, name: String, path: String, buckets: Int,
+                    bucketCol: String, sortCols: Seq[String]): Unit = {
+    require(sortCols.nonEmpty, "sortCols must name at least one column")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .saveAsTable(name)
+  }
+
   /** Table row count from parquet FOOTER metadata — no data scan, no Spark
     * job. The production analog of reading an Iceberg table's
     * `total-records` snapshot statistic: sizing decisions (ANN bucket/cell
