@@ -43,6 +43,36 @@ object JoinQueries {
           col("o_orderkey"), r2(col("o_totalprice")).as("o_totalprice"))
     }),
 
+    // J1c: the same as-of join over CO-BUCKETED tables — the zero-exchange
+    // layout path (TableSource.writeBucketed, the Iceberg bucket-transform
+    // + sorted-write-order analog). Both sides are written bucketed by
+    // user_id (one file per bucket, per-bucket (user_id, ts) sorted), and
+    // the merge exec's ClusteredDistribution is satisfied straight off the
+    // scans: the plan has NO Exchange anywhere (PlanSpec gates it) —
+    // including the build-side dedup aggregate, whose (user_id, date)
+    // grouping is clustered by the user_id bucketing. Write-once layout
+    // cost is paid inside this query for honesty; a production corpus
+    // writes it once and every downstream batch reads it shuffle-free.
+    // Verified against the IDENTICAL DuckDB ASOF oracle as q10/q10b.
+    "q113_bucketed_asof" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q113").toString
+      val events = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val orders = t(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.sources.TableSource.writeBucketed(events, "q113_events",
+        s"$tmp/events", 8, "user_id", Seq("user_id", "ts"))
+      graft.sources.TableSource.writeBucketed(orders, "q113_orders",
+        s"$tmp/orders", 8, "user_id", Seq("user_id", "o_orderdate"))
+      AsOfJoin.asOfSortMerge(s.table("q113_events"), s.table("q113_orders"),
+          entityCol = "user_id", probeTs = "ts", buildTs = "o_orderdate",
+          payloadCols = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_sec"),
+          col("o_orderkey"), r2(col("o_totalprice")).as("o_totalprice"))
+    }),
+
     // J2: equi + range condition (ship window relative to order date)
     "q11_range_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -109,6 +139,20 @@ object JoinQueries {
          | ON e.user_id = l.user_id AND e.ts >= l.o_orderdate""".stripMargin,
 
     "q10b_asof_merge" ->
+      s"""WITH lab AS (
+         | SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM (
+         |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+         |   row_number() OVER (PARTITION BY o_custkey, o_orderdate
+         |     ORDER BY o_orderkey DESC, o_totalprice DESC) AS rn
+         |  FROM orders) WHERE rn = 1)
+         |SELECT e.event_id, e.user_id, ${sqlEpoch("e.ts")} AS ts_sec,
+         | l.o_orderkey, round(l.o_totalprice + 3.7e-10, 2) AS o_totalprice
+         |FROM events e ASOF LEFT JOIN lab l
+         | ON e.user_id = l.user_id AND e.ts >= l.o_orderdate""".stripMargin,
+
+    // identical semantics to q10/q10b — the layout changes the PLAN
+    // (zero exchanges, gated in PlanSpec), never the result
+    "q113_bucketed_asof" ->
       s"""WITH lab AS (
          | SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM (
          |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,

@@ -243,6 +243,15 @@ class PlanSpec extends SparkSpec {
       s"brightness computed above the as-of join (bytes shuffled):\n$plan")
   }
 
+  test("q113 bucketed as-of: the whole plan runs with ZERO exchanges") {
+    val plan = planOf(SparkEntry.queries("q113_bucketed_asof")(spark, sfDir))
+    assert(plan.contains("AsOfMergeJoin"), s"custom as-of exec not planned:\n$plan")
+    // co-bucketed scans satisfy the merge's distribution AND the build-side
+    // dedup aggregate's (entity, ts) clustering — no shuffle anywhere
+    assert(!plan.contains("Exchange"), s"bucketed layout still shuffles:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+  }
+
   test("q91 phash near-dup: ahash codegen'd, no cartesian, hash-agg dedup") {
     val plan = planOf(SparkEntry.queries("q91_phash_neardup")(spark, sfDir))
     // the hash is the Catalyst expression, never a UDF (the only UDF in
