@@ -70,6 +70,28 @@ class BucketedJoinSpec extends SparkSpec {
     assertSameRows(chain(viaSpec, spark.table("bj_build")), chain(probe, build))
   }
 
+  test("the FULL flagship feature chain over co-bucketed inputs: zero exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed-fs").toString
+    val imgs = graft.sources.SynthImages.images(spark, 2000, 16)
+    val lbls = graft.sources.SynthImages.labels(spark, 2000, 16)
+    TableSource.writeBucketed(imgs, "bf_images", s"$dir/images", 4,
+      "phash", Seq("phash", "ts"))
+    TableSource.writeBucketed(lbls, "bf_labels", s"$dir/labels", 4,
+      "phash", Seq("phash", "label_ts"))
+    val out = graft.pipeline.FeaturePipeline.features(
+      spark.table("bf_images"), spark.table("bf_labels"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"), s"custom exec missing:\n$plan")
+    // prepare (narrow) -> as-of merge -> lag/session windows -> final
+    // (entity, window) agg: every stage's distribution is satisfied by the
+    // phash bucketing (incl. the label dedup agg, whose (phash, label_ts)
+    // clustering the phash partitioning subsumes)
+    assert(!plan.contains("Exchange"),
+      s"flagship still shuffles over bucketed inputs:\n$plan")
+    // identical feature vectors to the in-memory (shuffled) run
+    assertSameRows(out, graft.pipeline.FeaturePipeline.features(imgs, lbls))
+  }
+
   test("non-bucketed inputs to the same chain do shuffle (the gate bites)") {
     val probe = (0 until 50).map(i => (i % 3L, i.toLong, i * 0.5))
       .toDF("entity", "ts", "v")
