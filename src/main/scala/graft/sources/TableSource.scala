@@ -84,6 +84,25 @@ object TableSource {
       .saveAsTable(name)
   }
 
+  /** Re-attach an existing [[writeBucketed]] layout in a (possibly brand
+    * new) session — what a fresh batch job does instead of re-writing the
+    * corpus: the bucketing/sort DDL re-declares the layout over the same
+    * files, so scans again report HashPartitioning and downstream plans
+    * stay exchange-free. (The session catalog is in-memory here; with a
+    * persistent metastore/Iceberg catalog this registration happens once
+    * at write time and this call is just `spark.table`.) */
+  def registerBucketed(spark: SparkSession, name: String, path: String,
+                       buckets: Int, bucketCol: String,
+                       sortCols: Seq[String]): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val schema = spark.read.parquet(path).schema.toDDL
+    spark.sql(
+      s"""CREATE TABLE $name ($schema) USING parquet
+         |CLUSTERED BY ($bucketCol) SORTED BY (${sortCols.mkString(", ")})
+         |INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+  }
+
   /** Table row count from parquet FOOTER metadata — no data scan, no Spark
     * job. The production analog of reading an Iceberg table's
     * `total-records` snapshot statistic: sizing decisions (ANN bucket/cell

@@ -48,6 +48,27 @@ object ScalingBench {
           .write.parquet(lblDir)
       } finally spark.stop()
     }
+
+    // SPARK_GRAFT_SCALE_LAYOUT=bucketed: measure the SAME job over the
+    // co-bucketed layout (TableSource.writeBucketed — zero exchanges,
+    // see BucketedJoinSpec). The bucket count is FIXED across both levels
+    // (it is a property of the written corpus, not of the reader), so it
+    // must provide enough parallelism for the 4N level: default 8*4N.
+    // The one-time layout write is excluded from the measured walls, as a
+    // production corpus writes it once.
+    val layout = sys.env.getOrElse("SPARK_GRAFT_SCALE_LAYOUT", "plain")
+    val nBuckets = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUCKETS",
+      (8 * 4 * nCores).toString).toInt
+    val (bImgDir, bLblDir) = (s"$dir/images_b$nBuckets", s"$dir/labels_b$nBuckets")
+    if (layout == "bucketed" && !Files.exists(java.nio.file.Paths.get(bImgDir))) {
+      val spark = session(4 * nCores, 4 * nCores)
+      try {
+        graft.sources.TableSource.writeBucketed(spark.read.parquet(imgDir),
+          "scale_images", bImgDir, nBuckets, "phash", Seq("phash", "ts"))
+        graft.sources.TableSource.writeBucketed(spark.read.parquet(lblDir),
+          "scale_labels", bLblDir, nBuckets, "phash", Seq("phash", "label_ts"))
+      } finally spark.stop()
+    }
     val inputBytes = fileSize(imgDir) + fileSize(lblDir)
 
     def runAt(cores: Int, nPasses: Int): (Double, Long) = {
@@ -56,8 +77,15 @@ object ScalingBench {
       val spark = session(cores, cores, Map(
         "spark.sql.files.maxPartitionBytes" -> split.toString))
       try {
-        val imgs = spark.read.parquet(imgDir)
-        val lbls = spark.read.parquet(lblDir)
+        val (imgs, lbls) =
+          if (layout == "bucketed") {
+            // a fresh session: re-attach the layout (the metastore analog)
+            graft.sources.TableSource.registerBucketed(spark, "scale_images",
+              bImgDir, nBuckets, "phash", Seq("phash", "ts"))
+            graft.sources.TableSource.registerBucketed(spark, "scale_labels",
+              bLblDir, nBuckets, "phash", Seq("phash", "label_ts"))
+            (spark.table("scale_images"), spark.table("scale_labels"))
+          } else (spark.read.parquet(imgDir), spark.read.parquet(lblDir))
         def job() = graft.pipeline.FeaturePipeline.features(imgs, lbls).count()
         job() // warm-up: JIT, codegen cache, shuffle dirs
         var best = Double.MaxValue
@@ -108,6 +136,7 @@ object ScalingBench {
     val eff = thr4N / (4.0 * thrN)
     println(
       s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","rows":$nRows,""" +
+      s""""layout":"$layout","buckets":${if (layout == "bucketed") nBuckets else 0},""" +
       s""""feature_rows":$outN,"n_cores":$nCores,"input_mb":${inputBytes / 1048576},""" +
       s""""sec_n":$tN,"sec_4n":$t4N,""" +
       s""""rows_per_sec_n":$thrN,"rows_per_sec_4n":$thr4N,""" +

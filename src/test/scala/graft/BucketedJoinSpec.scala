@@ -92,6 +92,32 @@ class BucketedJoinSpec extends SparkSpec {
     assertSameRows(out, graft.pipeline.FeaturePipeline.features(imgs, lbls))
   }
 
+  test("registerBucketed re-attaches an existing layout exchange-free") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed-rr").toString
+    val probe = (0 until 60).map(i => (i % 5L, i.toLong, i * 2.0))
+      .toDF("entity", "ts", "v")
+    val build = (0 until 12).map(i => (i % 5L, (i * 4).toLong, s"r$i"))
+      .toDF("entity", "lts", "label")
+    TableSource.writeBucketed(probe, "rr_probe", s"$dir/probe", 4,
+      "entity", Seq("entity", "ts"))
+    TableSource.writeBucketed(build, "rr_build", s"$dir/build", 4,
+      "entity", Seq("entity", "lts"))
+    // a fresh batch job: the catalog entries are gone (simulated by DROP),
+    // only the files remain — re-declare the layout over them
+    spark.sql("DROP TABLE rr_probe"); spark.sql("DROP TABLE rr_build")
+    TableSource.registerBucketed(spark, "rr_probe", s"$dir/probe", 4,
+      "entity", Seq("entity", "ts"))
+    TableSource.registerBucketed(spark, "rr_build", s"$dir/build", 4,
+      "entity", Seq("entity", "lts"))
+    val joined = AsOfJoin.asOfSortMerge(spark.table("rr_probe"),
+      spark.table("rr_build"), "entity", "ts", "lts", Seq("label"),
+      dedupeLatest = false)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin") && !plan.contains("Exchange"),
+      s"re-attached layout not exchange-free:\n$plan")
+    assert(joined.count() == 60)
+  }
+
   test("non-bucketed inputs to the same chain do shuffle (the gate bites)") {
     val probe = (0 until 50).map(i => (i % 3L, i.toLong, i * 0.5))
       .toDF("entity", "ts", "v")
