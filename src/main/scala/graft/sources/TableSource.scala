@@ -12,6 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    Iceberg jars ship in this sandbox, so this path is exercised only via
   *    the session catalog);
   *  - `synth:<n>` — deterministic synthesis at n rows (tests/benchmarks);
+  *  - `bucketed:<path>|<buckets>|<bucketCol>|<sortCols>` — re-attach a
+  *    [[writeBucketed]] layout and read it with bucketing metadata
+  *    intact (entity-keyed jobs over it plan exchange-free);
   *  - `csv:<dir>` / `json:<dir>` / `orc:<dir>` — alternate file formats
   *    (musif's multi-extension corpus reading,
   *    `/root/reference/musif/__main__.py:17-66`: the same job runs over
@@ -47,6 +50,19 @@ object TableSource {
           .csv(s.stripPrefix("csv:"))
       case s if s.startsWith("json:") => reader.json(s.stripPrefix("json:"))
       case s if s.startsWith("orc:") => reader.orc(s.stripPrefix("orc:"))
+      case s if s.startsWith("bucketed:") =>
+        // bucketed:<path>|<buckets>|<bucketCol>|<sortCol1,sortCol2,...>
+        // re-attaches a writeBucketed layout (registerBucketed) and reads
+        // it with bucketing metadata intact, so a spark-submit job over a
+        // pre-bucketed corpus plans exchange-free (BucketedJoinSpec) —
+        // the Iceberg bucket-transform read path of this engine.
+        val parts = s.stripPrefix("bucketed:").split("\\|")
+        require(parts.length == 4,
+          s"bucketed spec needs <path>|<buckets>|<bucketCol>|<sortCols>: $s")
+        val name = "graft_src_" + math.abs(parts(0).hashCode).toString
+        registerBucketed(spark, name, parts(0), parts(1).trim.toInt,
+          parts(2).trim, parts(3).split(",").map(_.trim).toSeq)
+        spark.table(name)
       case dir => reader.parquet(dir)
     }
   }

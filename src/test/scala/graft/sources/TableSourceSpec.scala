@@ -37,6 +37,23 @@ class TableSourceSpec extends SparkSpec {
     assert(orc.count() === 2L && orc.schema.fieldNames.toSet === Set("id", "v", "ts"))
   }
 
+  test("bucketed: spec re-attaches a writeBucketed layout with metadata intact") {
+    val dir = Files.createTempDirectory("graft-ts-bucketed").toString
+    val df = (0 until 40).map(i => (i % 4L, i.toLong, s"v$i"))
+      .toDF("entity", "ts", "v")
+    TableSource.writeBucketed(df, "tsb_src", s"$dir/t", 4,
+      "entity", Seq("entity", "ts"))
+    spark.sql("DROP TABLE tsb_src") // only the files survive a new session
+    val loaded = TableSource.load(spark,
+      s"bucketed:$dir/t|4|entity|entity,ts", synthFn)
+    assert(loaded.count() === 40L)
+    // the scan must report the bucketing (the exchange-free read path)
+    val scan = loaded.groupBy("entity").count()
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("Bucketed: true"), s"bucket metadata lost:\n$scan")
+    assert(!scan.contains("Exchange"), s"bucketed agg still shuffles:\n$scan")
+  }
+
   test("option: prefixes are parsed and forwarded without breaking the path") {
     val dir = Files.createTempDirectory("graft-ts2").toString
     Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/t")
