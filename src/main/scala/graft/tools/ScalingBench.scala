@@ -69,7 +69,13 @@ object ScalingBench {
           "scale_labels", bLblDir, nBuckets, "phash", Seq("phash", "label_ts"))
       } finally spark.stop()
     }
+    // split sizing below uses the plain dirs; the reported input_mb must be
+    // the bytes the measured job actually scans (the bucketed copies have
+    // different encoding/compression after the per-bucket sort)
     val inputBytes = fileSize(imgDir) + fileSize(lblDir)
+    val measuredBytes =
+      if (layout == "bucketed") fileSize(bImgDir) + fileSize(bLblDir)
+      else inputBytes
 
     def runAt(cores: Int, nPasses: Int): (Double, Long) = {
       // ~3 task waves over the scan at this core count
@@ -137,7 +143,7 @@ object ScalingBench {
     println(
       s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","rows":$nRows,""" +
       s""""layout":"$layout","buckets":${if (layout == "bucketed") nBuckets else 0},""" +
-      s""""feature_rows":$outN,"n_cores":$nCores,"input_mb":${inputBytes / 1048576},""" +
+      s""""feature_rows":$outN,"n_cores":$nCores,"input_mb":${measuredBytes / 1048576},""" +
       s""""sec_n":$tN,"sec_4n":$t4N,""" +
       s""""rows_per_sec_n":$thrN,"rows_per_sec_4n":$thr4N,""" +
       s""""loadavg_before_n":$loadN,"loadavg_before_4n":$load4N}""")
