@@ -161,4 +161,58 @@ object Lineage {
     }
     written.drop("__bucket")
   }
+
+  /** [[runResumable]] over a [[graft.sources.SnapshotTable]], with the
+    * snapshot PINNED across the job's whole lifetime — the north rule's
+    * "resumable from Iceberg snapshot checkpoints": the first run resolves
+    * the table's current snapshot and durably records it beside the lineage
+    * table (`<lineageDir>.pin`, atomic first-writer-wins publish); every
+    * resume re-reads that pin and scans exactly the same file list, so
+    * commits that landed between the crash and the resume can NOT leak rows
+    * into the resumed run. Completed-bucket skipping, idempotent dynamic
+    * partition overwrite and per-run metrics are inherited from
+    * [[runResumable]] unchanged.
+    *
+    * Returns the pinned snapshot id with the output, so callers can record
+    * "which table version produced these features" in their own metadata
+    * and run [[graft.sources.SnapshotTable.changes]] from it later.
+    */
+  def runResumableSnapshot(
+      spark: SparkSession,
+      tableDir: String,
+      entityCol: String,
+      tsCol: String,
+      nBuckets: Int,
+      outDir: String,
+      lineageDir: String,
+      resultEntityCol: Option[String] = None,
+      resultTsCol: Option[String] = None)(job: DataFrame => DataFrame): (Long, DataFrame) = {
+    val pinned = pinSnapshot(tableDir, lineageDir)
+    val input = graft.sources.SnapshotTable.read(spark, tableDir, Some(pinned))
+    val out = runResumable(spark, input, entityCol, tsCol, nBuckets, outDir,
+      lineageDir, resultEntityCol, resultTsCol)(job)
+    (pinned, out)
+  }
+
+  /** Resolve-once snapshot pin: reads `<lineageDir>.pin` if present, else
+    * publishes the table's current snapshot id there atomically (CREATE_NEW
+    * move — under a concurrent duplicate launch exactly one pin wins and
+    * both runs read it back, so they agree on the snapshot). */
+  private[graft] def pinSnapshot(tableDir: String, lineageDir: String): Long = {
+    val pinPath = Paths.get(lineageDir + ".pin")
+    if (!Files.exists(pinPath)) {
+      val head = graft.sources.SnapshotTable.currentSnapshotId(tableDir)
+        .getOrElse(sys.error(s"$tableDir has no snapshots to pin"))
+      Option(pinPath.getParent).foreach(Files.createDirectories(_))
+      val tmp = Files.createTempFile(pinPath.getParent, ".pin-staging", ".txt")
+      Files.write(tmp, head.toString.getBytes("UTF-8"))
+      // link(2) is the atomic fail-if-exists publish (a rename would
+      // silently replace a concurrent launch's pin); losing means the
+      // other launch's pin stands and both runs read the same snapshot
+      try Files.createLink(pinPath, tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp)
+    }
+    new String(Files.readAllBytes(pinPath), "UTF-8").trim.toLong
+  }
 }

@@ -134,6 +134,34 @@ object EngineQueries {
       Lineage.compute(ev, "user_id", "ts_sec", 16, Lineage.md5Hasher56)
     }),
 
+    // Snapshot-PINNED read (S4 / north rule "resumable from Iceberg
+    // snapshot checkpoints": graft.sources.SnapshotTable). lineitem is
+    // committed as TWO snapshots — l_orderkey%3<>0 first, the remainder
+    // appended — and the query reads snapshot 1 through the pinned
+    // `option:snapshot-id=1;snap:` source spec even though the table head
+    // is snapshot 2. DuckDB replays the pin as the same modulo predicate
+    // over the base table, so a pin that leaked ANY post-pin row (or
+    // dropped a pinned one) hash-mismatches.
+    "q114_snapshot_pinned" -> ((s, dir) => {
+      val table = snapTable(s, dir)
+      graft.sources.TableSource.load(s, s"option:snapshot-id=1;snap:$table",
+          (sp, _) => sp.emptyDataFrame)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_price"))
+    }),
+
+    // Incremental append scan between two snapshots (SnapshotTable.changes
+    // — the Iceberg incremental-scan analog): exactly the rows the second
+    // commit added, i.e. the modulo complement of q114's pin.
+    "q115_snapshot_changes" -> ((s, dir) => {
+      val table = snapTable(s, dir)
+      graft.sources.SnapshotTable.changes(s, table, 1L, 2L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_price"))
+    }),
+
     // Multimodal payload fidelity with a DRIVER-VISIBLE oracle: the synth
     // image table (bytes included) is materialized to parquet and DuckDB
     // re-parses the SAME stored blobs via hex slicing — container magic,
@@ -1117,5 +1145,49 @@ object EngineQueries {
          | count(*)::BIGINT AS row_count,
          | min(ts_sec) AS min_ts, max(ts_sec) AS max_ts,
          | xor(bit_xor(rh), (sum(rh % 1000003))::BIGINT) AS digest
-         |FROM h GROUP BY 1""".stripMargin)
+         |FROM h GROUP BY 1""".stripMargin,
+
+    "q114_snapshot_pinned" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        | round(sum(l_quantity) + 3.7e-10, 2) AS sum_qty,
+        | round(sum(l_extendedprice) + 3.7e-10, 2) AS sum_price
+        |FROM lineitem WHERE l_orderkey % 3 <> 0 GROUP BY 1""".stripMargin,
+
+    "q115_snapshot_changes" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        | round(sum(l_quantity) + 3.7e-10, 2) AS sum_qty,
+        | round(sum(l_extendedprice) + 3.7e-10, 2) AS sum_price
+        |FROM lineitem WHERE l_orderkey % 3 = 0 GROUP BY 1""".stripMargin)
+
+  /** q114/q115's two-snapshot lineitem table, built once per sf dir under
+    * a deterministic temp path (the q113 layout-cache pattern) so repeated
+    * Verify/Bench invocations measure snapshot READS, not rebuilds. A
+    * missing completion marker with leftovers present means a previous
+    * build crashed mid-commit — wipe and rebuild rather than stacking
+    * duplicate appends on a half-built log. */
+  private def snapTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_snaptbl_" +
+      graft.sources.TableSource.pathKey(dir)
+    val done = java.nio.file.Paths.get(tmp, "__layout_complete")
+    if (!java.nio.file.Files.exists(done)) {
+      val root = java.nio.file.Paths.get(tmp)
+      if (java.nio.file.Files.isDirectory(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally walk.close()
+      }
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+      graft.sources.SnapshotTable.append(s, tmp,
+        li.where(pmod(col("l_orderkey"), lit(3)) =!= 0))
+      graft.sources.SnapshotTable.append(s, tmp,
+        li.where(pmod(col("l_orderkey"), lit(3)) === 0))
+      java.nio.file.Files.createFile(done)
+    }
+    tmp
+  }
 }

@@ -1,0 +1,297 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-versioned parquet table — the sandbox stand-in for an Iceberg
+  * table's snapshot log (no Iceberg jars ship in this zero-egress sandbox;
+  * `TableSource.scala:9` documents the production `table:` path). What it
+  * reproduces is the SEMANTICS the north rule needs from "resumable from
+  * Iceberg snapshot checkpoints", as actual tested behavior rather than an
+  * abstraction boundary:
+  *
+  *  - every commit (append / overwrite) publishes an immutable SNAPSHOT: a
+  *    manifest JSON under `meta/` listing exactly the data files live at
+  *    that version, with per-file row counts and bytes taken from parquet
+  *    footers at write time (no data re-scan, the `total-records` analog
+  *    that already sizes ANN buckets via [[TableSource.parquetRowCount]]);
+  *  - readers resolve a snapshot ONCE (latest, or a pinned id) and plan
+  *    over exactly that file list — a concurrent append can never leak
+  *    rows into a running or resumed job. This is the table-level twin of
+  *    the as-of join's zero-temporal-leakage rule: pinning bounds WHICH
+  *    rows exist, the as-of join bounds which rows are VISIBLE at each ts;
+  *  - commits are atomic and optimistic: the manifest is staged to a temp
+  *    file and published with an atomic CREATE_NEW move keyed by the
+  *    snapshot id; losing a publish race re-reads the winner's file list
+  *    and retries on top of it (Iceberg's optimistic-concurrency commit
+  *    loop). Data files are immutable and uniquely named, so a lost race
+  *    never rewrites data — only the cheap manifest step repeats;
+  *  - incremental reads: the file-set difference between two snapshots is
+  *    an append-only changelog ([[changes]], Iceberg's incremental append
+  *    scan) — the batch analog of a streaming source, letting periodic
+  *    jobs process only what arrived since their last pinned snapshot;
+  *  - [[expireSnapshots]] garbage-collects manifests outside the retention
+  *    window and data files unreachable from any retained snapshot. At
+  *    100 TB the data files are the cost: time travel must be bounded by
+  *    explicit retention, not "keep every version forever".
+  *
+  * Layout (all paths inside the manifest are RELATIVE to the table root,
+  * so a table directory is relocatable as a unit):
+  * {{{
+  *   <tableDir>/data/c-<uuid>/part-*.parquet   immutable data files
+  *   <tableDir>/meta/snap-<id>.json            one manifest per snapshot
+  * }}}
+  * The current snapshot is the max id present in `meta/` — there is no
+  * mutable HEAD pointer to corrupt; publishing the manifest IS the commit
+  * point (crash before it = clean rollback, the new data files are
+  * unreferenced and a later [[expireSnapshots]] sweeps them).
+  *
+  * Scale note: resolving a snapshot lists one directory of small JSON
+  * files and reads one of them — O(#snapshots), independent of data size.
+  * The Spark read plans over the explicit file list, so partition pruning,
+  * predicate pushdown and column pruning all apply per normal parquet
+  * scans (the manifests carry no schema — parquet footers stay the source
+  * of truth, which also makes mid-table schema widening read correctly
+  * via `mergeSchema` if a caller needs it).
+  *
+  * Reference semantics: musif has no table versioning (a corpus is a
+  * directory of files read at whatever state it's in,
+  * `/root/reference/musif/extract/extract.py:170-189`); this layer is part
+  * of the north rule's scale-up of that corpus model.
+  */
+object SnapshotTable {
+
+  /** One immutable data file of a snapshot. `path` is relative to the
+    * table root; `rows`/`bytes` come from the parquet footer at commit
+    * time so later sizing decisions (e.g. ANN cell counts over a pinned
+    * snapshot) never need a data scan. */
+  final case class DataFile(path: String, rows: Long, bytes: Long)
+
+  /** An immutable table version. `files` is the COMPLETE live set at this
+    * snapshot (not a delta) — reads never chase parent chains, and
+    * expiring a parent never breaks a retained child. */
+  final case class Snapshot(
+      id: Long,
+      parentId: Option[Long],
+      operation: String, // "append" | "overwrite"
+      committedAtMs: Long,
+      files: Seq[DataFile]) {
+    def totalRows: Long = files.map(_.rows).sum
+    def totalBytes: Long = files.map(_.bytes).sum
+  }
+
+  private def metaDir(tableDir: String): Path = Paths.get(tableDir, "meta")
+  private def manifestPath(tableDir: String, id: Long): Path =
+    metaDir(tableDir).resolve(f"snap-$id%08d.json")
+
+  /** Latest snapshot id, or None for an empty/uninitialized table. The max
+    * over the manifest listing is the source of truth (no mutable pointer). */
+  def currentSnapshotId(tableDir: String): Option[Long] = {
+    val md = metaDir(tableDir)
+    if (!Files.isDirectory(md)) None
+    else {
+      val listing = Files.list(md)
+      try {
+        import scala.jdk.CollectionConverters._
+        val ids = listing.iterator().asScala.flatMap { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("snap-") && n.endsWith(".json"))
+            Some(n.stripPrefix("snap-").stripSuffix(".json").toLong)
+          else None
+        }.toSeq
+        if (ids.isEmpty) None else Some(ids.max)
+      } finally listing.close()
+    }
+  }
+
+  /** Load one snapshot's manifest. */
+  def snapshot(tableDir: String, id: Long): Snapshot = {
+    val p = manifestPath(tableDir, id)
+    require(Files.exists(p), s"no snapshot $id in $tableDir (expired or never committed)")
+    parseManifest(new String(Files.readAllBytes(p), "UTF-8"))
+  }
+
+  /** All retained snapshots, oldest first. */
+  def snapshots(tableDir: String): Seq[Snapshot] = {
+    val md = metaDir(tableDir)
+    if (!Files.isDirectory(md)) Nil
+    else {
+      val listing = Files.list(md)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+          .map(n => n.stripPrefix("snap-").stripSuffix(".json").toLong)
+          .toSeq.sorted.map(snapshot(tableDir, _))
+      } finally listing.close()
+    }
+  }
+
+  /** Commit `df` as a new snapshot. Data files are written first (to a
+    * unique `data/c-<uuid>` directory — immutable once written), then the
+    * manifest is published atomically; the publish is the commit point.
+    * Returns the committed snapshot. */
+  def commit(spark: SparkSession, tableDir: String, df: DataFrame,
+             operation: String = "append"): Snapshot = {
+    require(operation == "append" || operation == "overwrite",
+      s"unsupported operation: $operation")
+    Files.createDirectories(metaDir(tableDir))
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val rel = s"data/c-$commitId"
+    val dataPath = Paths.get(tableDir, rel)
+    df.write.parquet(dataPath.toString)
+    val newFiles = listParquet(spark, dataPath).map { case (name, rows, bytes) =>
+      DataFile(s"$rel/$name", rows, bytes)
+    }
+    // optimistic publish loop: re-read the head each attempt so a lost
+    // race stacks this commit's files on top of the winner's
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 100, s"commit to $tableDir lost 100 publish races; aborting")
+      val head = currentSnapshotId(tableDir)
+      val parentFiles =
+        if (operation == "overwrite") Nil
+        else head.map(snapshot(tableDir, _).files).getOrElse(Nil)
+      val snap = Snapshot(head.getOrElse(0L) + 1, head, operation,
+        System.currentTimeMillis(), parentFiles ++ newFiles)
+      if (publish(tableDir, snap)) return snap
+    }
+    sys.error("unreachable")
+  }
+
+  def append(spark: SparkSession, tableDir: String, df: DataFrame): Snapshot =
+    commit(spark, tableDir, df, "append")
+
+  def overwrite(spark: SparkSession, tableDir: String, df: DataFrame): Snapshot =
+    commit(spark, tableDir, df, "overwrite")
+
+  /** Atomically publish a manifest; false when snapshot `snap.id` already
+    * exists (a concurrent committer won — refresh and retry). Exposed
+    * within the package so the race branch is directly unit-testable. */
+  private[sources] def publish(tableDir: String, snap: Snapshot): Boolean = {
+    val target = manifestPath(tableDir, snap.id)
+    val tmp = Files.createTempFile(metaDir(tableDir), ".snap-staging", ".json")
+    Files.write(tmp, renderManifest(snap).getBytes("UTF-8"))
+    // hard-link the staged file into place: link(2) fails with EEXIST
+    // atomically, so the first publisher of this id wins. (A rename —
+    // Files.move with ATOMIC_MOVE — would silently REPLACE the winner's
+    // manifest on POSIX.)
+    try { Files.createLink(target, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** Read the table at a snapshot (default: latest). The file list is
+    * resolved HERE, once — the returned DataFrame is immune to concurrent
+    * commits for its whole lifetime. An empty file list (an `overwrite`
+    * with an empty frame) still needs a schema, so reading it is refused
+    * rather than guessed. */
+  def read(spark: SparkSession, tableDir: String,
+           snapshotId: Option[Long] = None): DataFrame = {
+    val id = snapshotId.orElse(currentSnapshotId(tableDir)).getOrElse(
+      sys.error(s"$tableDir has no snapshots"))
+    readFiles(spark, tableDir, snapshot(tableDir, id).files)
+  }
+
+  /** Incremental append scan: exactly the rows in files added after
+    * `fromExclusive` up to `toInclusive`. Well-defined across `append`
+    * commits (files are only ever added); crossing an `overwrite` boundary
+    * is refused — an overwrite REPLACES rows, which a file-add diff cannot
+    * represent (Iceberg's incremental scan has the same restriction). */
+  def changes(spark: SparkSession, tableDir: String,
+              fromExclusive: Long, toInclusive: Long): DataFrame = {
+    require(fromExclusive < toInclusive,
+      s"empty snapshot range: ($fromExclusive, $toInclusive]")
+    ((fromExclusive + 1) to toInclusive).foreach { id =>
+      require(snapshot(tableDir, id).operation == "append",
+        s"snapshot $id is an overwrite — a file-add diff cannot represent it")
+    }
+    val before = snapshot(tableDir, fromExclusive).files.map(_.path).toSet
+    val added = snapshot(tableDir, toInclusive).files.filterNot(f => before(f.path))
+    readFiles(spark, tableDir, added)
+  }
+
+  /** Retain the newest `keepLast` snapshots; delete older manifests and
+    * every data file unreachable from the retained set (including files
+    * orphaned by a crash between data write and manifest publish, which
+    * no manifest ever referenced). Returns (#manifests, #files) removed. */
+  def expireSnapshots(tableDir: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    val all = snapshots(tableDir)
+    if (all.isEmpty) return (0, 0)
+    val (expired, retained) = all.splitAt(math.max(0, all.size - keepLast))
+    val live = retained.flatMap(_.files.map(_.path)).toSet
+    expired.foreach(s => Files.deleteIfExists(manifestPath(tableDir, s.id)))
+    val dataRoot = Paths.get(tableDir, "data")
+    var removed = 0
+    if (Files.isDirectory(dataRoot)) {
+      val walk = Files.walk(dataRoot)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .foreach { p =>
+            val rel = Paths.get(tableDir).relativize(p).toString.replace('\\', '/')
+            if (!live(rel)) { Files.delete(p); removed += 1 }
+          }
+      } finally walk.close()
+    }
+    (expired.size, removed)
+  }
+
+  private def readFiles(spark: SparkSession, tableDir: String,
+                        files: Seq[DataFile]): DataFrame = {
+    require(files.nonEmpty, s"snapshot of $tableDir lists no data files")
+    spark.read.parquet(files.map(f => Paths.get(tableDir, f.path).toString): _*)
+  }
+
+  /** Part files of a freshly written parquet dir with footer row counts —
+    * metadata-only, no Spark job. */
+  private def listParquet(spark: SparkSession, dir: Path): Seq[(String, Long, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map { s =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val rows = try r.getRecordCount finally r.close()
+        (s.getPath.getName, rows, s.getLen)
+      }
+  }
+
+  // manifest JSON via json4s (on the Spark classpath; no new dependency)
+  private def renderManifest(s: Snapshot): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val json =
+      ("snapshot_id" -> s.id) ~
+        ("parent_id" -> s.parentId) ~
+        ("operation" -> s.operation) ~
+        ("committed_at_ms" -> s.committedAtMs) ~
+        ("total_rows" -> s.totalRows) ~
+        ("files" -> s.files.map(f =>
+          ("path" -> f.path) ~ ("rows" -> f.rows) ~ ("bytes" -> f.bytes)))
+    JsonMethods.pretty(JsonMethods.render(json))
+  }
+
+  private def parseManifest(text: String): Snapshot = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(text)
+    Snapshot(
+      (j \ "snapshot_id").extract[Long],
+      (j \ "parent_id").extractOpt[Long],
+      (j \ "operation").extract[String],
+      (j \ "committed_at_ms").extract[Long],
+      (j \ "files").extract[Seq[JValue]].map { f =>
+        DataFile((f \ "path").extract[String], (f \ "rows").extract[Long],
+          (f \ "bytes").extract[Long])
+      })
+  }
+}

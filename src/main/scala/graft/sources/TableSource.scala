@@ -15,6 +15,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `bucketed:<path>|<buckets>|<bucketCol>|<sortCols>` — re-attach a
   *    [[writeBucketed]] layout and read it with bucketing metadata
   *    intact (entity-keyed jobs over it plan exchange-free);
+  *  - `snap:<dir>` — a [[SnapshotTable]] (the in-sandbox Iceberg-snapshot
+  *    analog); reads the latest snapshot, or a pinned one via
+  *    `option:snapshot-id=<n>;snap:<dir>`;
   *  - `csv:<dir>` / `json:<dir>` / `orc:<dir>` — alternate file formats
   *    (musif's multi-extension corpus reading,
   *    `/root/reference/musif/__main__.py:17-66`: the same job runs over
@@ -48,6 +51,14 @@ object TableSource {
           case (r, (k, v)) => r.option(k, v)
         }) { case (r, (k, v)) => r.option(k, v) }
           .csv(s.stripPrefix("csv:"))
+      case s if s.startsWith("snap:") =>
+        // only snapshot-id applies here — SnapshotTable resolves its own
+        // file list, so a generic reader option would be silently dropped
+        val unknown = opts.collect { case (k, _) if k != "snapshot-id" => k }
+        require(unknown.isEmpty,
+          s"options not applicable to snap: specs: ${unknown.mkString(",")}")
+        SnapshotTable.read(spark, s.stripPrefix("snap:"),
+          opts.collectFirst { case ("snapshot-id", v) => v.toLong })
       case s if s.startsWith("json:") => reader.json(s.stripPrefix("json:"))
       case s if s.startsWith("orc:") => reader.orc(s.stripPrefix("orc:"))
       case s if s.startsWith("bucketed:") =>

@@ -1,0 +1,141 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.pipeline.Lineage
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class SnapshotTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(from: Long, until: Long) =
+    spark.range(from, until)
+      .withColumn("entity", pmod(col("id"), lit(8)))
+      .withColumn("ts", expr("timestampadd(MINUTE, CAST(id AS INT), timestamp'2024-01-01')"))
+      .withColumn("v", col("id").cast("double"))
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-snap").toString
+
+  test("append commits stack; latest read = union; time travel = old version") {
+    val dir = tmpTable()
+    val s1 = SnapshotTable.append(spark, dir, rows(0, 100))
+    val s2 = SnapshotTable.append(spark, dir, rows(100, 250))
+    assert(s1.id === 1L && s2.id === 2L && s2.parentId === Some(1L))
+    assert(s1.totalRows === 100L && s2.totalRows === 250L)
+    assert(SnapshotTable.currentSnapshotId(dir) === Some(2L))
+    assert(SnapshotTable.read(spark, dir).count() === 250L)
+    // time travel: snapshot 1 is unchanged by the later commit
+    assertSameRows(SnapshotTable.read(spark, dir, Some(1L)), rows(0, 100))
+  }
+
+  test("overwrite replaces the live set; prior snapshot still readable") {
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir, rows(0, 100))
+    val s2 = SnapshotTable.overwrite(spark, dir, rows(500, 520))
+    assert(s2.operation === "overwrite" && s2.totalRows === 20L)
+    assert(SnapshotTable.read(spark, dir).count() === 20L)
+    assert(SnapshotTable.read(spark, dir, Some(1L)).count() === 100L)
+  }
+
+  test("per-file stats come from footers: manifest total_rows needs no scan") {
+    val dir = tmpTable()
+    val s1 = SnapshotTable.append(spark, dir, rows(0, 123).repartition(3))
+    assert(s1.files.length === 3)
+    assert(s1.files.map(_.rows).sum === 123L)
+    assert(s1.files.forall(_.bytes > 0))
+    // manifests store table-root-relative paths: the table moves as a unit
+    assert(s1.files.forall(f => f.path.startsWith("data/") && !f.path.startsWith("/")))
+    val moved = dir + "-moved"
+    Files.move(Paths.get(dir), Paths.get(moved))
+    assert(SnapshotTable.read(spark, moved).count() === 123L)
+  }
+
+  test("publish race: first writer wins, commit loop retries on top of the winner") {
+    val dir = tmpTable()
+    val s1 = SnapshotTable.append(spark, dir, rows(0, 50))
+    // simulate a concurrent committer publishing id 2 first
+    val winner = s1.copy(id = 2L, parentId = Some(1L))
+    assert(SnapshotTable.publish(dir, winner))
+    assert(!SnapshotTable.publish(dir, winner), "second publish of one id must lose")
+    // a normal commit observes the raced head and lands at id 3 including
+    // BOTH the winner's files and its own
+    val s3 = SnapshotTable.append(spark, dir, rows(50, 80))
+    assert(s3.id === 3L && s3.parentId === Some(2L))
+    assert(s3.files.map(_.path).toSet.size === s3.files.size)
+    assert(s3.totalRows === winner.totalRows + 30L)
+  }
+
+  test("changes: incremental append scan yields exactly the added rows") {
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir, rows(0, 100))
+    SnapshotTable.append(spark, dir, rows(100, 160))
+    SnapshotTable.append(spark, dir, rows(160, 200))
+    assertSameRows(SnapshotTable.changes(spark, dir, 1L, 3L), rows(100, 200))
+    assertSameRows(SnapshotTable.changes(spark, dir, 2L, 3L), rows(160, 200))
+    // crossing an overwrite is refused, not silently wrong
+    SnapshotTable.overwrite(spark, dir, rows(0, 10))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.changes(spark, dir, 3L, 4L)
+    }
+  }
+
+  test("expireSnapshots keeps retained versions readable and GCs dead files") {
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir, rows(0, 100)) // files only live via snap1/2
+    SnapshotTable.overwrite(spark, dir, rows(200, 230)) // drops snap1's files
+    SnapshotTable.append(spark, dir, rows(230, 250))
+    val (manifestsGone, filesGone) = SnapshotTable.expireSnapshots(dir, keepLast = 2)
+    assert(manifestsGone === 1)
+    assert(filesGone > 0, "snapshot 1's files are unreachable and must be deleted")
+    intercept[IllegalArgumentException] { SnapshotTable.snapshot(dir, 1L) }
+    assert(SnapshotTable.read(spark, dir, Some(2L)).count() === 30L)
+    assert(SnapshotTable.read(spark, dir).count() === 50L)
+  }
+
+  test("snap: source spec reads latest or a pinned snapshot via option:") {
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir, rows(0, 40))
+    SnapshotTable.append(spark, dir, rows(40, 100))
+    val synth = (s: org.apache.spark.sql.SparkSession, n: Long) => rows(0, n)
+    assert(TableSource.load(spark, s"snap:$dir", synth).count() === 100L)
+    assert(TableSource.load(spark, s"option:snapshot-id=1;snap:$dir", synth).count() === 40L)
+    intercept[IllegalArgumentException] {
+      TableSource.load(spark, s"option:mergeSchema=true;snap:$dir", synth)
+    }
+  }
+
+  test("runResumableSnapshot: resume stays pinned across a concurrent append") {
+    val dir = tmpTable()
+    val work = Files.createTempDirectory("graft-snap-run").toString
+    val outDir = s"$work/out"; val linDir = s"$work/lineage"
+    SnapshotTable.append(spark, dir, rows(0, 200))
+
+    // run 1 "dies" after completing half the buckets (the LineageSpec
+    // crash model: a bucket-aligned subset finishes before the kill)
+    val part1 = SnapshotTable.read(spark, dir)
+      .where(Lineage.bucketOf("entity", 8) < 4)
+    val pin1 = Lineage.pinSnapshot(dir, linDir)
+    assert(pin1 === 1L)
+    Lineage.runResumable(spark, part1, "entity", "ts", 8, outDir, linDir)(identity)
+
+    // a concurrent ingest lands between the crash and the resume
+    SnapshotTable.append(spark, dir, rows(200, 300))
+    assert(SnapshotTable.currentSnapshotId(dir) === Some(2L))
+
+    // the resume must re-read the PINNED snapshot: exactly the 200 rows of
+    // snapshot 1, no leakage from the append, no duplicates
+    val (pinned, out) = Lineage.runResumableSnapshot(
+      spark, dir, "entity", "ts", 8, outDir, linDir)(identity)
+    assert(pinned === 1L)
+    assert(out.count() === 200L)
+    assert(out.agg(max("id")).collect()(0).getLong(0) === 199L)
+    assert(out.groupBy("id").count().where(col("count") > 1).count() === 0L)
+
+    // a FRESH job (new lineage dir) pins the current head and sees the append
+    val (pinned2, out2) = Lineage.runResumableSnapshot(
+      spark, dir, "entity", "ts", 8, s"$work/out2", s"$work/lineage2")(identity)
+    assert(pinned2 === 2L)
+    assert(out2.count() === 300L)
+  }
+}
