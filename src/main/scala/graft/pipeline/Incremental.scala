@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.SnapshotTable
+
+/** Cursor-based incremental consumption of a [[SnapshotTable]] — the
+  * periodic-batch pattern at 100 TB: a job that runs every N minutes must
+  * process the rows that ARRIVED since its last run, not re-scan the
+  * corpus. The cursor is a durable snapshot id; each call processes
+  * exactly the commits in `(cursor, head]` via the manifest file-set diff
+  * ([[SnapshotTable.changes]] — no data-column watermark needed, no
+  * late-arrival edge cases, because membership is decided by COMMIT, not
+  * by row timestamps) and then advances the cursor.
+  *
+  * Delivery is at-least-once: the cursor advances only after `job`
+  * returns, so a crash between the two replays the window. Pair the job
+  * with an idempotent sink — [[Lineage.runResumable]]'s dynamic partition
+  * overwrite, or a [[SnapshotTable]] commit tagged with the window (the
+  * [[graft.streaming.SnapshotIngest]] dedup) — for exactly-once effect.
+  *
+  * One consumer per cursor file. Independent consumers (different jobs
+  * over the same table) each keep their own cursor and never coordinate.
+  */
+object Incremental {
+
+  /** Process everything committed since the cursor. Returns the processed
+    * snapshot range `(fromExclusive, toInclusive)`, or None when the table
+    * has no new commits (the job is not invoked). A cursor of 0 (first
+    * run) processes the full current snapshot — bootstrap and steady state
+    * are the same call. Crossing an `overwrite` commit fails (inherited
+    * from [[SnapshotTable.changes]]): an overwrite invalidates incremental
+    * history, so the consumer must restart from a full read (reset the
+    * cursor) rather than silently miss replaced rows. */
+  def processNew(spark: SparkSession, tableDir: String, cursorPath: String)
+                (job: DataFrame => Unit): Option[(Long, Long)] = {
+    val last = readCursor(cursorPath)
+    val head = SnapshotTable.currentSnapshotId(tableDir).getOrElse(return None)
+    if (head <= last) return None
+    val fresh =
+      if (last == 0L) SnapshotTable.read(spark, tableDir, Some(head))
+      else SnapshotTable.changes(spark, tableDir, last, head)
+    job(fresh)
+    writeCursor(cursorPath, head)
+    Some((last, head))
+  }
+
+  private[graft] def readCursor(path: String): Long = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) 0L
+    else new String(Files.readAllBytes(p), "UTF-8").trim.toLong
+  }
+
+  private def writeCursor(path: String, id: Long): Unit = {
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val tmp = Files.createTempFile(
+      Option(p.getParent).getOrElse(Paths.get(".")), ".cursor-staging", ".txt")
+    Files.write(tmp, id.toString.getBytes("UTF-8"))
+    // single-consumer cursor: an atomic REPLACE is correct here (unlike the
+    // first-writer-wins pin/manifest publishes) — the newest position wins
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

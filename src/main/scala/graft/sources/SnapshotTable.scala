@@ -69,13 +69,17 @@ object SnapshotTable {
 
   /** An immutable table version. `files` is the COMPLETE live set at this
     * snapshot (not a delta) — reads never chase parent chains, and
-    * expiring a parent never breaks a retained child. */
+    * expiring a parent never breaks a retained child. `tag` is an optional
+    * committer-supplied idempotency token (the Iceberg snapshot-summary
+    * analog): a streaming sink stamps `<source>:batch-<id>` so a replayed
+    * micro-batch is detected instead of double-appended. */
   final case class Snapshot(
       id: Long,
       parentId: Option[Long],
       operation: String, // "append" | "overwrite"
       committedAtMs: Long,
-      files: Seq[DataFile]) {
+      files: Seq[DataFile],
+      tag: Option[String] = None) {
     def totalRows: Long = files.map(_.rows).sum
     def totalBytes: Long = files.map(_.bytes).sum
   }
@@ -133,7 +137,7 @@ object SnapshotTable {
     * manifest is published atomically; the publish is the commit point.
     * Returns the committed snapshot. */
   def commit(spark: SparkSession, tableDir: String, df: DataFrame,
-             operation: String = "append"): Snapshot = {
+             operation: String = "append", tag: Option[String] = None): Snapshot = {
     require(operation == "append" || operation == "overwrite",
       s"unsupported operation: $operation")
     Files.createDirectories(metaDir(tableDir))
@@ -155,7 +159,7 @@ object SnapshotTable {
         if (operation == "overwrite") Nil
         else head.map(snapshot(tableDir, _).files).getOrElse(Nil)
       val snap = Snapshot(head.getOrElse(0L) + 1, head, operation,
-        System.currentTimeMillis(), parentFiles ++ newFiles)
+        System.currentTimeMillis(), parentFiles ++ newFiles, tag)
       if (publish(tableDir, snap)) return snap
     }
     sys.error("unreachable")
@@ -209,8 +213,13 @@ object SnapshotTable {
         s"snapshot $id is an overwrite — a file-add diff cannot represent it")
     }
     val before = snapshot(tableDir, fromExclusive).files.map(_.path).toSet
-    val added = snapshot(tableDir, toInclusive).files.filterNot(f => before(f.path))
-    readFiles(spark, tableDir, added)
+    val to = snapshot(tableDir, toInclusive)
+    val added = to.files.filterNot(f => before(f.path))
+    // a commit can add zero files (an empty streaming micro-batch): the
+    // diff is legitimately empty, so return an empty frame with the
+    // table's schema instead of refusing
+    if (added.isEmpty) readFiles(spark, tableDir, to.files).limit(0)
+    else readFiles(spark, tableDir, added)
   }
 
   /** Retain the newest `keepLast` snapshots; delete older manifests and
@@ -273,6 +282,7 @@ object SnapshotTable {
         ("parent_id" -> s.parentId) ~
         ("operation" -> s.operation) ~
         ("committed_at_ms" -> s.committedAtMs) ~
+        ("tag" -> s.tag) ~
         ("total_rows" -> s.totalRows) ~
         ("files" -> s.files.map(f =>
           ("path" -> f.path) ~ ("rows" -> f.rows) ~ ("bytes" -> f.bytes)))
@@ -292,6 +302,7 @@ object SnapshotTable {
       (j \ "files").extract[Seq[JValue]].map { f =>
         DataFile((f \ "path").extract[String], (f \ "rows").extract[Long],
           (f \ "bytes").extract[Long])
-      })
+      },
+      (j \ "tag").extractOpt[String])
   }
 }

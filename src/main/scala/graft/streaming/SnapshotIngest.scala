@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.sources.SnapshotTable
+
+/** Streaming ingest that lands every micro-batch as one
+  * [[SnapshotTable]] append commit — the glue between the streaming and
+  * table layers: a continuous source feeds the versioned corpus, and every
+  * downstream batch job reads a CONSISTENT snapshot of it (pinned resume,
+  * time travel, [[SnapshotTable.changes]] incremental scans), never a
+  * half-written directory.
+  *
+  * Exactly-once per micro-batch: `foreachBatch` replays the in-flight batch
+  * after a restart, so each commit is stamped with an idempotency tag
+  * (`<source>:batch-<epochId>`, the Iceberg snapshot-summary approach) and
+  * a replayed batch that already committed is skipped instead of appended
+  * twice. The dedup check scans the retained manifests — O(#snapshots) of
+  * small JSON, and replays only ever target the most recent batch, far
+  * inside any sane [[SnapshotTable.expireSnapshots]] retention.
+  *
+  * This is the streaming face of the corpus-ingest story (musif corpora
+  * arrive as files dropped in a directory,
+  * `/root/reference/musif/extract/extract.py:170-189`; at 10^12-image scale
+  * arrival is a stream and the "directory" must version atomically).
+  */
+object SnapshotIngest {
+
+  /** Start ingesting `df` (a streaming DataFrame) into the snapshot table
+    * at `tableDir`. `source` namespaces the idempotency tags — give each
+    * concurrently ingesting query its own name. */
+  def start(df: DataFrame, tableDir: String, checkpointDir: String,
+            source: String = "ingest"): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        commitOnce(batch, tableDir, source, epochId); ()
+      }
+      .start()
+
+  /** Commit one micro-batch unless a commit with its tag already exists.
+    * Returns true when a new snapshot was committed, false on a detected
+    * replay. Package-visible so the replay branch is directly testable. */
+  private[streaming] def commitOnce(batch: DataFrame, tableDir: String,
+                                    source: String, epochId: Long): Boolean = {
+    val tag = s"$source:batch-$epochId"
+    if (SnapshotTable.snapshots(tableDir).exists(_.tag.contains(tag))) false
+    else {
+      SnapshotTable.commit(batch.sparkSession, tableDir, batch, "append", Some(tag))
+      true
+    }
+  }
+}

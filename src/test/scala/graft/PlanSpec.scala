@@ -21,6 +21,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("l_comment"), "scan reads unprojected columns")
   }
 
+  test("snap: reads keep pushdown and pruning — the snapshot layer is plan-invisible") {
+    // a SnapshotTable read resolves a manifest's file list but must still
+    // plan as a plain pruned parquet scan: filters reach PushedFilters and
+    // unprojected columns stay out of ReadSchema, exactly like q01's direct
+    // scan — the versioning indirection costs nothing at scan time
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-plan").toString
+    graft.sources.SnapshotTable.append(spark, dir,
+      spark.read.parquet(s"$sfDir/lineitem.parquet"))
+    val df = graft.sources.TableSource.load(spark, s"snap:$dir", (s, _) => s.emptyDataFrame)
+      .filter(col("l_quantity") < 3)
+      .select("l_orderkey", "l_quantity")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters:") && plan.contains("l_quantity"),
+      s"no pushdown through the snapshot read:\n$plan")
+    assert(!plan.contains("l_comment"), "snapshot scan reads unprojected columns")
+  }
+
   test("q50 signature stage is a codegen'd expression, not a Scala UDF") {
     val plan = planOf(SparkEntry.queries("q50_minhash_signatures")(spark, sfDir))
     // "*(n)" prefixes mark whole-stage-codegen spans; the signature
