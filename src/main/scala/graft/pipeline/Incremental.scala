@@ -21,6 +21,12 @@ import graft.sources.SnapshotTable
   *
   * One consumer per cursor file. Independent consumers (different jobs
   * over the same table) each keep their own cursor and never coordinate.
+  *
+  * Reference semantics: musif re-runs extract over a corpus and skips
+  * already-extracted files (`/root/reference/musif/extract/extract.py:559-575`)
+  * — that is membership-by-presence over a mutable directory; here
+  * membership is by COMMIT over an immutable snapshot log, which stays
+  * exact when files arrive concurrently with the job.
   */
 object Incremental {
 

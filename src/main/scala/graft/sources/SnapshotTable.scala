@@ -64,8 +64,14 @@ object SnapshotTable {
   /** One immutable data file of a snapshot. `path` is relative to the
     * table root; `rows`/`bytes` come from the parquet footer at commit
     * time so later sizing decisions (e.g. ANN cell counts over a pinned
-    * snapshot) never need a data scan. */
-  final case class DataFile(path: String, rows: Long, bytes: Long)
+    * snapshot) never need a data scan. `stats` optionally carries one
+    * column's (name, min, max) — also footer-derived — enabling
+    * [[SnapshotTable.readRange]] to skip whole files without opening
+    * them (Iceberg's manifest min/max file skipping; the column name is
+    * stored per file so commits with different stats columns co-exist
+    * and pruning never consults the wrong column's bounds). */
+  final case class DataFile(path: String, rows: Long, bytes: Long,
+                            stats: Option[(String, Long, Long)] = None)
 
   /** An immutable table version. `files` is the COMPLETE live set at this
     * snapshot (not a delta) — reads never chase parent chains, and
@@ -115,8 +121,10 @@ object SnapshotTable {
     parseManifest(new String(Files.readAllBytes(p), "UTF-8"))
   }
 
-  /** All retained snapshots, oldest first. */
-  def snapshots(tableDir: String): Seq[Snapshot] = {
+  /** Retained snapshot ids, oldest first — a directory listing, no
+    * manifest parsing (for callers that walk manifests selectively, e.g.
+    * the streaming sink's replay check). */
+  def snapshotIds(tableDir: String): Seq[Long] = {
     val md = metaDir(tableDir)
     if (!Files.isDirectory(md)) Nil
     else {
@@ -127,17 +135,22 @@ object SnapshotTable {
           .map(_.getFileName.toString)
           .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
           .map(n => n.stripPrefix("snap-").stripSuffix(".json").toLong)
-          .toSeq.sorted.map(snapshot(tableDir, _))
+          .toSeq.sorted
       } finally listing.close()
     }
   }
+
+  /** All retained snapshots, oldest first. */
+  def snapshots(tableDir: String): Seq[Snapshot] =
+    snapshotIds(tableDir).map(snapshot(tableDir, _))
 
   /** Commit `df` as a new snapshot. Data files are written first (to a
     * unique `data/c-<uuid>` directory — immutable once written), then the
     * manifest is published atomically; the publish is the commit point.
     * Returns the committed snapshot. */
   def commit(spark: SparkSession, tableDir: String, df: DataFrame,
-             operation: String = "append", tag: Option[String] = None): Snapshot = {
+             operation: String = "append", tag: Option[String] = None,
+             statsCol: Option[String] = None): Snapshot = {
     require(operation == "append" || operation == "overwrite",
       s"unsupported operation: $operation")
     Files.createDirectories(metaDir(tableDir))
@@ -145,8 +158,8 @@ object SnapshotTable {
     val rel = s"data/c-$commitId"
     val dataPath = Paths.get(tableDir, rel)
     df.write.parquet(dataPath.toString)
-    val newFiles = listParquet(spark, dataPath).map { case (name, rows, bytes) =>
-      DataFile(s"$rel/$name", rows, bytes)
+    val newFiles = listParquet(spark, dataPath, statsCol).map {
+      case (name, rows, bytes, st) => DataFile(s"$rel/$name", rows, bytes, st)
     }
     // optimistic publish loop: re-read the head each attempt so a lost
     // race stacks this commit's files on top of the winner's
@@ -256,9 +269,15 @@ object SnapshotTable {
     spark.read.parquet(files.map(f => Paths.get(tableDir, f.path).toString): _*)
   }
 
-  /** Part files of a freshly written parquet dir with footer row counts —
-    * metadata-only, no Spark job. */
-  private def listParquet(spark: SparkSession, dir: Path): Seq[(String, Long, Long)] = {
+  /** Part files of a freshly written parquet dir with footer row counts
+    * and (optionally) one column's min/max aggregated across row groups —
+    * metadata-only, no Spark job. Stats are recorded only for integral
+    * physical types (INT32/INT64 — longs, ints, and Spark timestamps,
+    * whose physical value is epoch MICROseconds); other types or absent
+    * footer statistics yield None, which [[readRange]] treats as
+    * "cannot skip" rather than guessing. */
+  private def listParquet(spark: SparkSession, dir: Path, statsCol: Option[String])
+      : Seq[(String, Long, Long, Option[(String, Long, Long)])] = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir.toString)
     val fs = p.getFileSystem(conf)
@@ -268,9 +287,81 @@ object SnapshotTable {
       .map { s =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val rows = try r.getRecordCount finally r.close()
-        (s.getPath.getName, rows, s.getLen)
+        val (rows, st) =
+          try (r.getRecordCount, statsCol.flatMap(footerMinMax(r.getFooter, _)))
+          finally r.close()
+        (s.getPath.getName, rows, s.getLen, st)
       }
+  }
+
+  /** (col, min, max) over all row groups of one file's footer, or None
+    * when the column is missing, non-integral, or lacks statistics. */
+  private def footerMinMax(footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+                           colName: String): Option[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val perBlock = footer.getBlocks.asScala.toSeq.map { block =>
+      block.getColumns.asScala
+        .find(_.getPath.toDotString == colName)
+        .flatMap { cc =>
+          val stats = cc.getStatistics
+          if (stats == null || stats.isEmpty || !stats.hasNonNullValue) None
+          else (stats.genericGetMin, stats.genericGetMax) match {
+            case (mn: java.lang.Long, mx: java.lang.Long) =>
+              Some((mn.longValue, mx.longValue))
+            case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+              Some((mn.longValue, mx.longValue))
+            case _ => None
+          }
+        }
+    }
+    // every row group must carry stats, else the file bound is unknown
+    if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+    else {
+      val bs = perBlock.flatten
+      Some((colName, bs.map(_._1).min, bs.map(_._2).max))
+    }
+  }
+
+  /** Range read with manifest-level FILE SKIPPING: plan over only the
+    * snapshot files whose recorded `[min, max]` for `col` overlaps
+    * `[lo, hi]` (files without stats for that column are kept — pruning
+    * is an optimization, never a correctness bet), then apply the exact
+    * row filter on top. With data written range-partitioned/sorted on
+    * `col` (e.g. [[graft.streaming.SnapshotIngest]] of a time-ordered
+    * stream: each commit's files span only that batch's ts window), a
+    * narrow range touches a constant number of files regardless of table
+    * size — the Iceberg min/max skipping that makes "last hour over
+    * 10^12 rows" a small job, before parquet row-group pruning even runs.
+    * For timestamp columns pass epoch microseconds and write with
+    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` (Iceberg
+    * mandates the same int64 encoding); Spark's legacy INT96 default
+    * carries no footer statistics by parquet spec, so such files are
+    * read, never skipped — pruning degrades, correctness doesn't. */
+  def readRange(spark: SparkSession, tableDir: String, col: String,
+                lo: Long, hi: Long, snapshotId: Option[Long] = None): DataFrame = {
+    require(lo <= hi, s"empty range: [$lo, $hi]")
+    val id = snapshotId.orElse(currentSnapshotId(tableDir)).getOrElse(
+      sys.error(s"$tableDir has no snapshots"))
+    val snap = snapshot(tableDir, id)
+    val kept = snap.files.filter { f =>
+      f.stats match {
+        case Some((c, mn, mx)) if c == col => mx >= lo && mn <= hi
+        case _ => true
+      }
+    }
+    require(snap.files.nonEmpty, s"snapshot $id of $tableDir lists no data files")
+    import org.apache.spark.sql.functions.{col => c, lit, timestamp_micros}
+    val df = readFiles(spark, tableDir, if (kept.isEmpty) snap.files.take(1) else kept)
+    // exact filter in the column's own type so it reaches PushedFilters
+    // (a unix_micros()/cast wrapper would block parquet pushdown)
+    val pred = df.schema(col).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        c(col).between(timestamp_micros(lit(lo)), timestamp_micros(lit(hi)))
+      case _ => c(col).between(lo, hi)
+    }
+    // every file skipped: the correct result is empty; limit(0) over one
+    // file keeps the schema rather than inventing one
+    if (kept.isEmpty) df.where(pred).limit(0) else df.where(pred)
   }
 
   // manifest JSON via json4s (on the Spark classpath; no new dependency)
@@ -284,8 +375,14 @@ object SnapshotTable {
         ("committed_at_ms" -> s.committedAtMs) ~
         ("tag" -> s.tag) ~
         ("total_rows" -> s.totalRows) ~
-        ("files" -> s.files.map(f =>
-          ("path" -> f.path) ~ ("rows" -> f.rows) ~ ("bytes" -> f.bytes)))
+        ("files" -> s.files.map { f =>
+          val base = ("path" -> f.path) ~ ("rows" -> f.rows) ~ ("bytes" -> f.bytes)
+          f.stats match {
+            case Some((c, mn, mx)) =>
+              base ~ ("stats_col" -> c) ~ ("stats_min" -> mn) ~ ("stats_max" -> mx)
+            case None => base
+          }
+        })
     JsonMethods.pretty(JsonMethods.render(json))
   }
 
@@ -300,8 +397,13 @@ object SnapshotTable {
       (j \ "operation").extract[String],
       (j \ "committed_at_ms").extract[Long],
       (j \ "files").extract[Seq[JValue]].map { f =>
+        val stats = for {
+          c <- (f \ "stats_col").extractOpt[String]
+          mn <- (f \ "stats_min").extractOpt[Long]
+          mx <- (f \ "stats_max").extractOpt[Long]
+        } yield (c, mn, mx)
         DataFile((f \ "path").extract[String], (f \ "rows").extract[Long],
-          (f \ "bytes").extract[Long])
+          (f \ "bytes").extract[Long], stats)
       },
       (j \ "tag").extractOpt[String])
   }

@@ -30,25 +30,54 @@ object SnapshotIngest {
     * at `tableDir`. `source` namespaces the idempotency tags — give each
     * concurrently ingesting query its own name. */
   def start(df: DataFrame, tableDir: String, checkpointDir: String,
-            source: String = "ingest"): StreamingQuery =
+            source: String = "ingest",
+            statsCol: Option[String] = None): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        commitOnce(batch, tableDir, source, epochId); ()
+        commitOnce(batch, tableDir, source, epochId, statsCol); ()
       }
       .start()
 
   /** Commit one micro-batch unless a commit with its tag already exists.
     * Returns true when a new snapshot was committed, false on a detected
-    * replay. Package-visible so the replay branch is directly testable. */
+    * replay. Package-visible so the replay branch is directly testable.
+    * `statsCol` (typically the event-time column of a time-ordered
+    * stream) records per-file min/max in the manifest: each commit's
+    * files then span only that batch's time window, and
+    * [[SnapshotTable.readRange]] over "the last hour" skips every older
+    * file without opening it. */
   private[streaming] def commitOnce(batch: DataFrame, tableDir: String,
-                                    source: String, epochId: Long): Boolean = {
+                                    source: String, epochId: Long,
+                                    statsCol: Option[String] = None): Boolean = {
     val tag = s"$source:batch-$epochId"
-    if (SnapshotTable.snapshots(tableDir).exists(_.tag.contains(tag))) false
+    if (alreadyCommitted(tableDir, source, epochId, tag)) false
     else {
-      SnapshotTable.commit(batch.sparkSession, tableDir, batch, "append", Some(tag))
+      SnapshotTable.commit(batch.sparkSession, tableDir, batch, "append",
+        Some(tag), statsCol)
       true
     }
+  }
+
+  /** Replay check that stays cheap over a long-running stream: walk the
+    * manifests NEWEST-first and stop at the first commit from this source
+    * — epochs are monotonic per source, so if that newest commit carries
+    * an older epoch than ours, ours was never committed (no need to parse
+    * the rest of the log; a naive full scan re-parses every manifest's
+    * whole file list on every micro-batch, quadratic over the stream's
+    * lifetime). Other sources' interleaved commits are skipped over. */
+  private def alreadyCommitted(tableDir: String, source: String,
+                               epochId: Long, tag: String): Boolean = {
+    val prefix = s"$source:batch-"
+    SnapshotTable.snapshotIds(tableDir).reverseIterator.map { id =>
+      SnapshotTable.snapshot(tableDir, id).tag match {
+        case Some(t) if t == tag => Some(true)
+        case Some(t) if t.startsWith(prefix) =>
+          // this source's newest other epoch: decides either way
+          Some(t.stripPrefix(prefix).toLong > epochId)
+        case _ => None // another source / untagged: keep walking
+      }
+    }.collectFirst { case Some(d) => d }.getOrElse(false)
   }
 }

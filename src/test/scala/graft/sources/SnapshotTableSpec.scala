@@ -93,6 +93,51 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir).count() === 50L)
   }
 
+  test("readRange skips files by manifest min/max and stays exact") {
+    val dir = tmpTable()
+    // range-partitioned write: 4 files with disjoint id ranges, so the
+    // footer-derived per-file (min,max) really partition the key space
+    val s1 = SnapshotTable.commit(spark, dir,
+      rows(0, 1000).repartitionByRange(4, col("id")),
+      statsCol = Some("id"))
+    assert(s1.files.length === 4)
+    assert(s1.files.forall(_.stats.exists(_._1 == "id")))
+    val covered = s1.files.flatMap(_.stats.map { case (_, mn, mx) => (mn, mx) }).sorted
+    assert(covered.head._1 === 0L && covered.map(_._2).max === 999L)
+
+    // a narrow range plans over ONE file, not four, and matches a full scan
+    val narrow = SnapshotTable.readRange(spark, dir, "id", 10L, 20L)
+    assert(narrow.inputFiles.length === 1, "file skipping did not prune")
+    assertSameRows(narrow, rows(0, 1000).where(col("id").between(10, 20)))
+
+    // a fully-out-of-range read is empty but keeps the schema
+    val none = SnapshotTable.readRange(spark, dir, "id", 5000L, 6000L)
+    assert(none.count() === 0L && none.columns.contains("v"))
+
+    // a column without recorded stats: nothing skipped, result still exact
+    val noStats = SnapshotTable.readRange(spark, dir, "entity", 2L, 3L)
+    assert(noStats.inputFiles.length === 4)
+    assertSameRows(noStats, rows(0, 1000).where(col("entity").between(2, 3)))
+  }
+
+  test("readRange on a timestamp stats column prunes by epoch micros") {
+    val dir = tmpTable()
+    // INT96 (Spark's legacy default) has no footer stats by parquet spec —
+    // time-keyed skipping requires the int64-micros encoding Iceberg mandates
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try SnapshotTable.commit(spark, dir,
+      rows(0, 600).repartitionByRange(3, col("ts")), statsCol = Some("ts"))
+    finally spark.conf.set(key, prior)
+    // minutes 100-119 live in the first of three range files
+    val lo = ts("2024-01-01 01:40:00").getTime * 1000L
+    val hi = ts("2024-01-01 01:59:00").getTime * 1000L
+    val got = SnapshotTable.readRange(spark, dir, "ts", lo, hi)
+    assert(got.inputFiles.length === 1, "timestamp file skipping did not prune")
+    assertSameRows(got, rows(0, 600).where(col("id").between(100, 119)))
+  }
+
   test("snap: source spec reads latest or a pinned snapshot via option:") {
     val dir = tmpTable()
     SnapshotTable.append(spark, dir, rows(0, 40))
