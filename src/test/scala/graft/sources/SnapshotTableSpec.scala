@@ -150,6 +150,44 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("randomized op sequences: the latest read always replays the operation log") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val dir = tmpTable()
+      var expected = Vector.empty[Long]
+      var nextId = 0L
+      (1 to 6).foreach { _ =>
+        val n = 1L + rnd.nextInt(50)
+        val batch = nextId until (nextId + n)
+        nextId += n
+        val df = spark.range(batch.start, batch.end).toDF("id")
+        if (rnd.nextInt(4) == 0) {
+          SnapshotTable.overwrite(spark, dir, df); expected = batch.toVector
+        } else {
+          SnapshotTable.append(spark, dir, df); expected ++= batch
+        }
+        val got = SnapshotTable.read(spark, dir)
+          .select("id").as[Long].collect().sorted.toSeq
+        assert(got === expected.sorted, s"divergence after ${expected.size} expected rows")
+      }
+    }
+  }
+
+  test("a resume pinned to an expired snapshot fails loudly, not with stale data") {
+    val dir = tmpTable()
+    val linDir = Files.createTempDirectory("graft-snap-exp").toString + "/lineage"
+    SnapshotTable.append(spark, dir, rows(0, 50))
+    SnapshotTable.append(spark, dir, rows(50, 80))
+    assert(Lineage.pinSnapshot(dir, linDir) === 2L)
+    SnapshotTable.append(spark, dir, rows(80, 90))
+    SnapshotTable.expireSnapshots(dir, keepLast = 1) // drops snapshots 1 and 2
+    val err = intercept[IllegalArgumentException] {
+      Lineage.runResumableSnapshot(spark, dir, "entity", "ts", 8,
+        s"$linDir-out", linDir)(identity)
+    }
+    assert(err.getMessage.contains("expired or never committed"))
+  }
+
   test("runResumableSnapshot: resume stays pinned across a concurrent append") {
     val dir = tmpTable()
     val work = Files.createTempDirectory("graft-snap-run").toString
