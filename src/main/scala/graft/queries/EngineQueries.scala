@@ -162,6 +162,26 @@ object EngineQueries {
           r2(sum(col("l_extendedprice"))).as("sum_price"))
     }),
 
+    // Manifest-level FILE SKIPPING (SnapshotTable.readRange): events are
+    // committed range-partitioned on epoch seconds with per-file min/max
+    // recorded in the manifest; the one-hour window's BOUNDS come from the
+    // MANIFEST stats (no data scan — the same no-scan sizing discipline as
+    // the ANN footer counts), and readRange plans over only the files
+    // whose range overlaps. DuckDB replays the identical window over the
+    // base table, so pruning that dropped (or leaked) any in-range row
+    // hash-mismatches.
+    "q116_snapshot_range" -> ((s, dir) => {
+      val table = snapRangeTable(s, dir)
+      val snap = graft.sources.SnapshotTable.snapshot(table, 1L)
+      require(snap.files.forall(_.stats.nonEmpty), "manifest stats missing")
+      val tmin = snap.files.flatMap(_.stats.map(_._2)).min
+      graft.sources.SnapshotTable
+        .readRange(s, table, "ts_sec", tmin + 3600L, tmin + 7200L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"), r6(avg(col("value"))).as("avg_value"))
+    }),
+
     // Multimodal payload fidelity with a DRIVER-VISIBLE oracle: the synth
     // image table (bytes included) is materialized to parquet and DuckDB
     // re-parses the SAME stored blobs via hex slicing — container magic,
@@ -1157,7 +1177,18 @@ object EngineQueries {
       """SELECT l_returnflag, count(*)::BIGINT AS n,
         | round(sum(l_quantity) + 3.7e-10, 2) AS sum_qty,
         | round(sum(l_extendedprice) + 3.7e-10, 2) AS sum_price
-        |FROM lineitem WHERE l_orderkey % 3 = 0 GROUP BY 1""".stripMargin)
+        |FROM lineitem WHERE l_orderkey % 3 = 0 GROUP BY 1""".stripMargin,
+
+    "q116_snapshot_range" ->
+      s"""WITH ev AS (
+         | SELECT event_id, event_type, value,
+         |  ${Q.sqlEpoch("ts")} AS ts_sec FROM events),
+         |b AS (SELECT min(ts_sec) AS t0 FROM ev)
+         |SELECT event_type, count(*)::BIGINT AS n,
+         | min(event_id) AS min_id, max(event_id) AS max_id,
+         | round(avg(value) + 3.7e-10, 6) AS avg_value
+         |FROM ev, b WHERE ts_sec BETWEEN t0 + 3600 AND t0 + 7200
+         |GROUP BY 1""".stripMargin)
 
   /** q114/q115's two-snapshot lineitem table, built once per sf dir under
     * a deterministic temp path (the q113 layout-cache pattern) so repeated
@@ -1186,6 +1217,34 @@ object EngineQueries {
         li.where(pmod(col("l_orderkey"), lit(3)) =!= 0))
       graft.sources.SnapshotTable.append(s, tmp,
         li.where(pmod(col("l_orderkey"), lit(3)) === 0))
+      java.nio.file.Files.createFile(done)
+    }
+    tmp
+  }
+
+  /** q116's range-partitioned events snapshot table: one commit, files
+    * range-partitioned on epoch seconds with manifest min/max stats —
+    * the time-ordered-ingest layout readRange's file skipping is built
+    * for. Cached per sf dir like [[snapTable]]. */
+  private def snapRangeTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_snaprng_" +
+      graft.sources.TableSource.pathKey(dir)
+    val done = java.nio.file.Paths.get(tmp, "__layout_complete")
+    if (!java.nio.file.Files.exists(done)) {
+      val root = java.nio.file.Paths.get(tmp)
+      if (java.nio.file.Files.isDirectory(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally walk.close()
+      }
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          unix_timestamp(col("ts")).as("ts_sec"))
+        .repartitionByRange(8, col("ts_sec"))
+      graft.sources.SnapshotTable.commit(s, tmp, ev, statsCol = Some("ts_sec"))
       java.nio.file.Files.createFile(done)
     }
     tmp
