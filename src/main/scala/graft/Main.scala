@@ -22,7 +22,10 @@ import scala.jdk.CollectionConverters._
   * extracts per-(entity, window) feature vectors, post-processes, and
   * writes output + per-partition lineage. With `--resume`, buckets already
   * present in the lineage table are skipped (anti-join) — a killed run
-  * continues without recomputing completed partitions.
+  * continues without recomputing completed partitions. Over a `snap:`
+  * images source the resume additionally re-reads the SNAPSHOT the first
+  * run pinned (`<out>_lineage.pin`), so ingest that landed between the
+  * crash and the resume never leaks into the resumed run.
   */
 object Main {
 
@@ -46,24 +49,14 @@ object Main {
       opts.getOrElse("set", "").split(";;").filter(_.contains("="))
         .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
 
-    val rawImages = sources.TableSource.load(spark, opts("images"),
-      (s, n) => sources.SynthImages.images(s, n, 1024, 4.0 / 1024))
-    val labels = sources.TableSource.load(spark, opts("labels"),
-      (s, n) => sources.SynthImages.labels(s, n, 1024))
-
-    val subset = corpusSubset(spark, rawImages, opts.get("limit"), opts.get("exclude"))
-
-    // corrupt-row channel: bad rows to <out>_errors, good rows onward
-    val (validated, errors) = sources.ErrorChannel.split(subset, sources.ErrorChannel.imageChecks)
-    val outDir = opts("out")
-    errors.write.mode("overwrite").parquet(s"${outDir}_errors")
-
     // ONE on-disk layout for both modes (bucket-partitioned, dynamic
     // overwrite, via runResumable): running once without --resume and later
     // with it must never mix flat and partitioned files in outDir. A fresh
-    // (non-resume) run clears previous output/lineage/column-pin first —
-    // and it must happen BEFORE the quality stage below writes this run's
-    // <out>_dropped manifest (cleanup after would delete it).
+    // (non-resume) run clears previous output/lineage/pins first — before
+    // any source is even resolved (the snapshot pin below must not outlive
+    // the lineage it belongs to), and before the quality stage writes this
+    // run's <out>_dropped manifest (cleanup after would delete it).
+    val outDir = opts("out")
     val resume = opts.contains("resume")
     val pinPath = java.nio.file.Paths.get(s"${outDir}_columns.txt")
     if (!resume) {
@@ -74,7 +67,33 @@ object Main {
       // manifest beside its output — stale attribution is worse than none
       deleteRecursively(s"${outDir}_dropped")
       java.nio.file.Files.deleteIfExists(pinPath)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"${outDir}_lineage.pin"))
     }
+
+    // a bare snap: images source is PINNED across resume (north rule:
+    // "resumable from Iceberg snapshot checkpoints"): the first run records
+    // the table's current snapshot beside the lineage, --resume re-reads
+    // exactly that file list — ingest that landed after the crash cannot
+    // leak into the resumed run (it belongs to the NEXT fresh run). An
+    // explicit `option:snapshot-id=...` spec is a user-chosen pin and goes
+    // through TableSource untouched.
+    val imagesSpec = opts("images")
+    val rawImages =
+      if (imagesSpec.startsWith("snap:"))
+        sources.SnapshotTable.read(spark, imagesSpec.stripPrefix("snap:"),
+          Some(Lineage.pinSnapshot(imagesSpec.stripPrefix("snap:"),
+            s"${outDir}_lineage")))
+      else sources.TableSource.load(spark, imagesSpec,
+        (s, n) => sources.SynthImages.images(s, n, 1024, 4.0 / 1024))
+    val labels = sources.TableSource.load(spark, opts("labels"),
+      (s, n) => sources.SynthImages.labels(s, n, 1024))
+
+    val subset = corpusSubset(spark, rawImages, opts.get("limit"), opts.get("exclude"))
+
+    // corrupt-row channel: bad rows to <out>_errors, good rows onward
+    val (validated, errors) = sources.ErrorChannel.split(subset, sources.ErrorChannel.imageChecks)
+    errors.write.mode("overwrite").parquet(s"${outDir}_errors")
 
     // --dedup <maxHamming>: perceptual near-dup dedup BEFORE feature
     // extraction — aHash band join -> connected components -> keep one

@@ -106,6 +106,38 @@ class MainSpec extends SparkSpec {
     assert(m2(1).getAs[Long]("buckets_skipped") === m2(0).getAs[Long]("buckets_completed"))
   }
 
+  test("--images snap:: the CLI pins the snapshot; resume keeps it, fresh re-pins") {
+    val tmp = Files.createTempDirectory("graft-main-snap").toString
+    val table = s"$tmp/corpus"; val out = s"$tmp/features"
+    val pin = java.nio.file.Paths.get(s"${out}_lineage.pin")
+    sources.SnapshotTable.append(spark, table,
+      sources.SynthImages.images(spark, 1500, 16))
+
+    Main.main(Array("--images", s"snap:$table", "--labels", "synth:1500",
+      "--out", out))
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 > 0)
+    assert(Files.readString(pin).trim === "1", "first run must pin the head snapshot")
+
+    // ingest lands between the run and its resume: the pin must hold and
+    // the resumed run must not recompute anything from the new snapshot
+    sources.SnapshotTable.append(spark, table,
+      sources.SynthImages.images(spark, 800, 64))
+    Main.main(Array("--images", s"snap:$table", "--labels", "synth:1500",
+      "--out", out, "--resume"))
+    assert(Files.readString(pin).trim === "1", "resume must reuse the pin")
+    assert(spark.read.parquet(out).count() === n1)
+    val m = spark.read.parquet(s"${out}_lineage_metrics")
+      .orderBy("run_at_ms").collect()
+    assert(m.length === 2 && m(1).getAs[Long]("buckets_completed") === 0L)
+
+    // a FRESH run re-pins to the current head and processes the append
+    Main.main(Array("--images", s"snap:$table", "--labels", "synth:1500",
+      "--out", out))
+    assert(Files.readString(pin).trim === "2", "fresh run must re-pin to the new head")
+    assert(spark.read.parquet(s"${out}_lineage_metrics").count() === 1)
+  }
+
   test("--quality: decision stage drops flagged images with attributable reasons") {
     import spark.implicits._
     val imgs = sources.SynthImages.images(spark, 600, 8).drop("ts")
