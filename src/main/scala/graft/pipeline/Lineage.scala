@@ -203,8 +203,11 @@ object Lineage {
     if (!Files.exists(pinPath)) {
       val head = graft.sources.SnapshotTable.currentSnapshotId(tableDir)
         .getOrElse(sys.error(s"$tableDir has no snapshots to pin"))
-      Option(pinPath.getParent).foreach(Files.createDirectories(_))
-      val tmp = Files.createTempFile(pinPath.getParent, ".pin-staging", ".txt")
+      // a relative single-segment lineage path has a null parent — stage
+      // the pin in the working directory then (the writeCursor convention)
+      val parent = Option(pinPath.getParent).getOrElse(Paths.get("."))
+      Files.createDirectories(parent)
+      val tmp = Files.createTempFile(parent, ".pin-staging", ".txt")
       Files.write(tmp, head.toString.getBytes("UTF-8"))
       // link(2) is the atomic fail-if-exists publish (a rename would
       // silently replace a concurrent launch's pin); losing means the

@@ -85,7 +85,8 @@ object SnapshotTable {
       operation: String, // "append" | "overwrite"
       committedAtMs: Long,
       files: Seq[DataFile],
-      tag: Option[String] = None) {
+      tag: Option[String] = None,
+      schemaJson: Option[String] = None) {
     def totalRows: Long = files.map(_.rows).sum
     def totalBytes: Long = files.map(_.bytes).sum
   }
@@ -171,8 +172,12 @@ object SnapshotTable {
       val parentFiles =
         if (operation == "overwrite") Nil
         else head.map(snapshot(tableDir, _).files).getOrElse(Nil)
+      // the commit's schema rides in the manifest (the Iceberg metadata
+      // analog) so a zero-file snapshot — an idle micro-batch, an
+      // overwrite with an empty frame — still reads as a typed empty table
       val snap = Snapshot(head.getOrElse(0L) + 1, head, operation,
-        System.currentTimeMillis(), parentFiles ++ newFiles, tag)
+        System.currentTimeMillis(), parentFiles ++ newFiles, tag,
+        Some(df.schema.json))
       if (publish(tableDir, snap)) return snap
     }
     sys.error("unreachable")
@@ -202,14 +207,16 @@ object SnapshotTable {
 
   /** Read the table at a snapshot (default: latest). The file list is
     * resolved HERE, once — the returned DataFrame is immune to concurrent
-    * commits for its whole lifetime. An empty file list (an `overwrite`
-    * with an empty frame) still needs a schema, so reading it is refused
-    * rather than guessed. */
+    * commits for its whole lifetime. A zero-file snapshot (an idle
+    * micro-batch commit, an overwrite with an empty frame) reads as a
+    * typed empty table via the schema stored in its manifest. */
   def read(spark: SparkSession, tableDir: String,
            snapshotId: Option[Long] = None): DataFrame = {
     val id = snapshotId.orElse(currentSnapshotId(tableDir)).getOrElse(
       sys.error(s"$tableDir has no snapshots"))
-    readFiles(spark, tableDir, snapshot(tableDir, id).files)
+    val snap = snapshot(tableDir, id)
+    if (snap.files.isEmpty) emptyWithSchema(spark, tableDir, snap)
+    else readFiles(spark, tableDir, snap.files)
   }
 
   /** Incremental append scan: exactly the rows in files added after
@@ -229,36 +236,74 @@ object SnapshotTable {
     val to = snapshot(tableDir, toInclusive)
     val added = to.files.filterNot(f => before(f.path))
     // a commit can add zero files (an empty streaming micro-batch): the
-    // diff is legitimately empty, so return an empty frame with the
-    // table's schema instead of refusing
-    if (added.isEmpty) readFiles(spark, tableDir, to.files).limit(0)
+    // diff is legitimately empty — a typed empty frame, not a refusal
+    if (added.isEmpty) emptyWithSchema(spark, tableDir, to)
     else readFiles(spark, tableDir, added)
   }
 
+  /** Typed empty frame for a snapshot with no (selected) data files, from
+    * the schema its manifest recorded at commit time. Pre-schema legacy
+    * manifests (no `schema` field) can't produce one — refuse loudly. */
+  private def emptyWithSchema(spark: SparkSession, tableDir: String,
+                              snap: Snapshot): DataFrame = {
+    val json = snap.schemaJson.getOrElse(sys.error(
+      s"snapshot ${snap.id} of $tableDir lists no data files and its " +
+        "manifest predates schema recording — cannot type an empty read"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** Retain the newest `keepLast` snapshots; delete older manifests and
-    * every data file unreachable from the retained set (including files
-    * orphaned by a crash between data write and manifest publish, which
-    * no manifest ever referenced). Returns (#manifests, #files) removed. */
-  def expireSnapshots(tableDir: String, keepLast: Int): (Int, Int) = {
+    * every commit DIRECTORY none of whose files is reachable from the
+    * retained set — including `_SUCCESS`/`.crc` sidecars and the directory
+    * itself, so a long-lived per-micro-batch ingest table doesn't grow an
+    * unbounded pile of dead directories that retention GC never reclaims.
+    *
+    * A dead directory that was never referenced by ANY manifest is either
+    * a crash orphan or a commit still IN FLIGHT (data written, manifest
+    * not yet published — publishing is the commit point). The two are
+    * indistinguishable by inspection, so never-referenced directories are
+    * only deleted once older than `orphanMinAgeMs` (Iceberg's min-age
+    * guard): a concurrent committer publishes within that window or has
+    * genuinely died. Directories referenced by a now-expired manifest
+    * were published long ago and are deleted regardless of age.
+    *
+    * Returns (#manifests, #data files) removed. */
+  def expireSnapshots(tableDir: String, keepLast: Int,
+                      orphanMinAgeMs: Long = 3600000L): (Int, Int) = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val all = snapshots(tableDir)
     if (all.isEmpty) return (0, 0)
     val (expired, retained) = all.splitAt(math.max(0, all.size - keepLast))
     val live = retained.flatMap(_.files.map(_.path)).toSet
+    val expiredRefs = expired.flatMap(_.files.map(_.path)).toSet -- live
     expired.foreach(s => Files.deleteIfExists(manifestPath(tableDir, s.id)))
     val dataRoot = Paths.get(tableDir, "data")
     var removed = 0
     if (Files.isDirectory(dataRoot)) {
-      val walk = Files.walk(dataRoot)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala
-          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-          .foreach { p =>
-            val rel = Paths.get(tableDir).relativize(p).toString.replace('\\', '/')
-            if (!live(rel)) { Files.delete(p); removed += 1 }
+      import scala.jdk.CollectionConverters._
+      val dirs = { val l = Files.list(dataRoot)
+        try l.iterator().asScala.filter(Files.isDirectory(_)).toSeq
+        finally l.close() }
+      val now = System.currentTimeMillis()
+      dirs.foreach { d =>
+        val files = { val w = Files.walk(d)
+          try w.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+          finally w.close() }
+        def rel(p: Path) = Paths.get(tableDir).relativize(p).toString.replace('\\', '/')
+        val anyLive = files.exists(f => live(rel(f)))
+        if (!anyLive) {
+          val wasPublished = files.exists(f => expiredRefs(rel(f)))
+          val newest = (Files.getLastModifiedTime(d).toMillis +:
+            files.map(Files.getLastModifiedTime(_).toMillis)).max
+          if (wasPublished || now - newest > orphanMinAgeMs) {
+            removed += files.count(_.toString.endsWith(".parquet"))
+            files.foreach(Files.deleteIfExists(_))
+            Files.deleteIfExists(d)
           }
-      } finally walk.close()
+        }
+      }
     }
     (expired.size, removed)
   }
@@ -349,9 +394,13 @@ object SnapshotTable {
         case _ => true
       }
     }
-    require(snap.files.nonEmpty, s"snapshot $id of $tableDir lists no data files")
     import org.apache.spark.sql.functions.{col => c, lit, timestamp_micros}
-    val df = readFiles(spark, tableDir, if (kept.isEmpty) snap.files.take(1) else kept)
+    // every file skipped (or a zero-file snapshot): the correct result is
+    // a typed empty frame; the predicate is still applied so a bad column
+    // name fails identically on both paths
+    val df =
+      if (kept.isEmpty) emptyWithSchema(spark, tableDir, snap)
+      else readFiles(spark, tableDir, kept)
     // exact filter in the column's own type so it reaches PushedFilters
     // (a unix_micros()/cast wrapper would block parquet pushdown)
     val pred = df.schema(col).dataType match {
@@ -359,9 +408,7 @@ object SnapshotTable {
         c(col).between(timestamp_micros(lit(lo)), timestamp_micros(lit(hi)))
       case _ => c(col).between(lo, hi)
     }
-    // every file skipped: the correct result is empty; limit(0) over one
-    // file keeps the schema rather than inventing one
-    if (kept.isEmpty) df.where(pred).limit(0) else df.where(pred)
+    df.where(pred)
   }
 
   // manifest JSON via json4s (on the Spark classpath; no new dependency)
@@ -374,6 +421,7 @@ object SnapshotTable {
         ("operation" -> s.operation) ~
         ("committed_at_ms" -> s.committedAtMs) ~
         ("tag" -> s.tag) ~
+        ("schema" -> s.schemaJson) ~
         ("total_rows" -> s.totalRows) ~
         ("files" -> s.files.map { f =>
           val base = ("path" -> f.path) ~ ("rows" -> f.rows) ~ ("bytes" -> f.bytes)
@@ -405,6 +453,7 @@ object SnapshotTable {
         DataFile((f \ "path").extract[String], (f \ "rows").extract[Long],
           (f \ "bytes").extract[Long], stats)
       },
-      (j \ "tag").extractOpt[String])
+      (j \ "tag").extractOpt[String],
+      (j \ "schema").extractOpt[String])
   }
 }

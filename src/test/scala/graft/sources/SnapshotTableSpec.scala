@@ -80,7 +80,7 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
-  test("expireSnapshots keeps retained versions readable and GCs dead files") {
+  test("expireSnapshots keeps retained versions readable and GCs dead commit dirs") {
     val dir = tmpTable()
     SnapshotTable.append(spark, dir, rows(0, 100)) // files only live via snap1/2
     SnapshotTable.overwrite(spark, dir, rows(200, 230)) // drops snap1's files
@@ -91,6 +91,48 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SnapshotTable.snapshot(dir, 1L) }
     assert(SnapshotTable.read(spark, dir, Some(2L)).count() === 30L)
     assert(SnapshotTable.read(spark, dir).count() === 50L)
+    // the WHOLE dead commit directory is reclaimed (incl. _SUCCESS/.crc
+    // sidecars), not just its .parquet files — only the two live commit
+    // dirs remain
+    val dataDirs = new java.io.File(s"$dir/data").listFiles().filter(_.isDirectory)
+    assert(dataDirs.length === 2, s"dead commit dir survived: ${dataDirs.mkString(",")}")
+  }
+
+  test("expireSnapshots never deletes a young never-referenced dir (in-flight commit)") {
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir, rows(0, 50))
+    SnapshotTable.append(spark, dir, rows(50, 80))
+    // an in-flight commit: data written, manifest not yet published
+    val inflight = Paths.get(dir, "data", "c-inflight000")
+    Files.createDirectories(inflight)
+    Files.write(inflight.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    SnapshotTable.expireSnapshots(dir, keepLast = 1)
+    assert(Files.exists(inflight), "in-flight commit dir must survive the min-age guard")
+    // once past the retention age it is a crash orphan and is reclaimed
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 7200000L)
+    Files.setLastModifiedTime(inflight, old)
+    Files.setLastModifiedTime(inflight.resolve("part-0.parquet"), old)
+    SnapshotTable.expireSnapshots(dir, keepLast = 1)
+    assert(!Files.exists(inflight), "aged orphan must be reclaimed")
+  }
+
+  test("zero-file snapshots read as typed empty tables (manifest schema)") {
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir, rows(0, 0)) // empty first commit
+    val empty = SnapshotTable.read(spark, dir)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === Seq("id", "entity", "ts", "v"))
+    // an incremental consumer scheduled before the producer has data
+    // bootstraps on the empty snapshot instead of crashing
+    val cursor = s"$dir.cursor"
+    var ran = false
+    assert(graft.pipeline.Incremental.processNew(spark, dir, cursor) { df =>
+      ran = true; assert(df.count() === 0L)
+    } === Some((0L, 1L)))
+    assert(ran)
+    // and readRange over it is a typed empty result, not a refusal
+    assert(SnapshotTable.readRange(spark, dir, "id", 0L, 10L).count() === 0L)
   }
 
   test("readRange skips files by manifest min/max and stays exact") {
