@@ -197,9 +197,16 @@ object Lineage {
   /** Resolve-once snapshot pin: reads `<lineageDir>.pin` if present, else
     * publishes the table's current snapshot id there atomically (CREATE_NEW
     * move — under a concurrent duplicate launch exactly one pin wins and
-    * both runs read it back, so they agree on the snapshot). */
+    * both runs read it back, so they agree on the snapshot).
+    *
+    * The pin records WHICH table it pins (canonical table path, first
+    * line) alongside the id: a `--resume` that reuses the same `--out`
+    * against a DIFFERENT snapshot table would otherwise apply the previous
+    * run's pin id to the new table — silently reading the wrong snapshot
+    * whenever that id happens to exist there. Mismatch fails loudly. */
   private[graft] def pinSnapshot(tableDir: String, lineageDir: String): Long = {
     val pinPath = Paths.get(lineageDir + ".pin")
+    val canonical = Paths.get(tableDir).toAbsolutePath.normalize.toString
     if (!Files.exists(pinPath)) {
       val head = graft.sources.SnapshotTable.currentSnapshotId(tableDir)
         .getOrElse(sys.error(s"$tableDir has no snapshots to pin"))
@@ -208,7 +215,7 @@ object Lineage {
       val parent = Option(pinPath.getParent).getOrElse(Paths.get("."))
       Files.createDirectories(parent)
       val tmp = Files.createTempFile(parent, ".pin-staging", ".txt")
-      Files.write(tmp, head.toString.getBytes("UTF-8"))
+      Files.write(tmp, s"$canonical\n$head\n".getBytes("UTF-8"))
       // link(2) is the atomic fail-if-exists publish (a rename would
       // silently replace a concurrent launch's pin); losing means the
       // other launch's pin stands and both runs read the same snapshot
@@ -216,6 +223,15 @@ object Lineage {
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
       finally Files.deleteIfExists(tmp)
     }
-    new String(Files.readAllBytes(pinPath), "UTF-8").trim.toLong
+    val lines = new String(Files.readAllBytes(pinPath), "UTF-8")
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    require(lines.length == 2, s"$pinPath is not a table:snapshot pin " +
+      s"(${lines.length} lines) — a pre-table-binding pin or a corrupt file; " +
+      "delete it to re-pin the table head")
+    require(lines.head == canonical,
+      s"$pinPath pins table ${lines.head}, but this run reads $canonical — " +
+        "refusing to apply a foreign pin id; use a fresh lineage dir (or " +
+        "delete the pin if the table genuinely moved)")
+    lines(1).toLong
   }
 }

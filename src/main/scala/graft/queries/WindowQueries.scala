@@ -264,7 +264,7 @@ object WindowQueries {
         |   ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS chain_id
         | FROM h)
-        |SELECT user_id, chain_id,
+        |SELECT user_id, chain_id::BIGINT AS chain_id,
         | max(CASE WHEN is_head = 1 THEN event_type END) AS event_type,
         | round(max(CASE WHEN is_head = 1 THEN value END) + 3.7e-10, 6) AS value,
         | round(sum(duration) + 3.7e-10, 4) AS duration,

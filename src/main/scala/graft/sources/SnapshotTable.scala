@@ -279,6 +279,21 @@ object SnapshotTable {
     val live = retained.flatMap(_.files.map(_.path)).toSet
     val expiredRefs = expired.flatMap(_.files.map(_.path)).toSet -- live
     expired.foreach(s => Files.deleteIfExists(manifestPath(tableDir, s.id)))
+    // a crash between staging and link(2) in publish leaves a
+    // .snap-staging* orphan in meta/ that nothing else ever touches —
+    // sweep them here once safely older than any in-flight publish
+    // (publish stages and links within milliseconds; orphanMinAgeMs is
+    // hours), so a long-lived table doesn't accumulate them unboundedly
+    locally {
+      import scala.jdk.CollectionConverters._
+      val now = System.currentTimeMillis()
+      val listing = Files.list(metaDir(tableDir))
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".snap-staging"))
+        .filter(p => now - Files.getLastModifiedTime(p).toMillis > orphanMinAgeMs)
+        .foreach(Files.deleteIfExists(_))
+      finally listing.close()
+    }
     val dataRoot = Paths.get(tableDir, "data")
     var removed = 0
     if (Files.isDirectory(dataRoot)) {
@@ -339,11 +354,43 @@ object SnapshotTable {
       }
   }
 
+  /** True when `colName`'s parquet type makes its footer min/max safe to
+    * interpret as the plain signed-long values [[readRange]] compares:
+    * physical INT32/INT64 annotated as nothing, a signed integer, or a
+    * TIMESTAMP in MICROS (Spark TimestampType's epoch-micros encoding,
+    * which readRange's bounds use). Everything else — TIMESTAMP in
+    * MILLIS/NANOS (`spark.sql.parquet.outputTimestampType=TIMESTAMP_MILLIS`
+    * writes these), unsigned ints, decimals, dates, times — would be
+    * silently misread in a different unit/scale, turning pruning into
+    * WRONG RESULTS (in-range files skipped), so no stats are recorded and
+    * such files are always read. */
+  private def statsUnitSafe(footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+                            colName: String): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
+    import scala.jdk.CollectionConverters._
+    footer.getFileMetaData.getSchema.getColumns.asScala
+      .find(_.getPath.mkString(".") == colName)
+      .exists { cd =>
+        val pt = cd.getPrimitiveType
+        (pt.getPrimitiveTypeName == INT32 || pt.getPrimitiveTypeName == INT64) &&
+          (pt.getLogicalTypeAnnotation match {
+            case null => true
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+            case _ => false
+          })
+      }
+  }
+
   /** (col, min, max) over all row groups of one file's footer, or None
-    * when the column is missing, non-integral, or lacks statistics. */
+    * when the column is missing, non-integral, of a unit-unsafe logical
+    * type ([[statsUnitSafe]]), or lacks statistics. */
   private def footerMinMax(footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
                            colName: String): Option[(String, Long, Long)] = {
     import scala.jdk.CollectionConverters._
+    if (!statsUnitSafe(footer, colName)) return None
     val perBlock = footer.getBlocks.asScala.toSeq.map { block =>
       block.getColumns.asScala
         .find(_.getPath.toDotString == colName)
@@ -380,8 +427,10 @@ object SnapshotTable {
     * For timestamp columns pass epoch microseconds and write with
     * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` (Iceberg
     * mandates the same int64 encoding); Spark's legacy INT96 default
-    * carries no footer statistics by parquet spec, so such files are
-    * read, never skipped — pruning degrades, correctness doesn't. */
+    * carries no footer statistics by parquet spec, and TIMESTAMP_MILLIS
+    * stats are in the wrong unit — both are refused at commit time by
+    * [[statsUnitSafe]], so such files are read, never skipped — pruning
+    * degrades, correctness doesn't. */
   def readRange(spark: SparkSession, tableDir: String, col: String,
                 lo: Long, hi: Long, snapshotId: Option[Long] = None): DataFrame = {
     require(lo <= hi, s"empty range: [$lo, $hi]")

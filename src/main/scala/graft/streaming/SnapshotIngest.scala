@@ -28,7 +28,8 @@ object SnapshotIngest {
 
   /** Start ingesting `df` (a streaming DataFrame) into the snapshot table
     * at `tableDir`. `source` namespaces the idempotency tags — give each
-    * concurrently ingesting query its own name. */
+    * concurrently ingesting query its own name (identifier characters
+    * only: the name is also a filename in `meta/`). */
   def start(df: DataFrame, tableDir: String, checkpointDir: String,
             source: String = "ingest",
             statsCol: Option[String] = None): StreamingQuery =
@@ -51,11 +52,21 @@ object SnapshotIngest {
   private[streaming] def commitOnce(batch: DataFrame, tableDir: String,
                                     source: String, epochId: Long,
                                     statsCol: Option[String] = None): Boolean = {
+    require(source.matches("[A-Za-z0-9._-]+"),
+      s"source name must be filename-safe (it keys meta/source-<name>.txt): $source")
     val tag = s"$source:batch-$epochId"
     if (alreadyCommitted(tableDir, source, epochId, tag)) false
     else {
       SnapshotTable.commit(batch.sparkSession, tableDir, batch, "append",
         Some(tag), statsCol)
+      // durable high-water mark OUTSIDE the expirable manifest log: if
+      // retention GC later expires every tagged manifest from this source
+      // (a long stream downtime), the replay check below still has a
+      // cursor to decide against — without this, a replayed epoch whose
+      // manifests were all GC'd would be silently double-appended.
+      // Written AFTER the commit: a crash between the two leaves the
+      // manifest (the newest, never GC'd within a replay window) to decide.
+      writeEpoch(tableDir, source, epochId)
       true
     }
   }
@@ -66,7 +77,11 @@ object SnapshotIngest {
     * an older epoch than ours, ours was never committed (no need to parse
     * the rest of the log; a naive full scan re-parses every manifest's
     * whole file list on every micro-batch, quadratic over the stream's
-    * lifetime). Other sources' interleaved commits are skipped over. */
+    * lifetime). Other sources' interleaved commits are skipped over.
+    * When NO manifest from this source survives (all expired by
+    * [[SnapshotTable.expireSnapshots]] during the stream's downtime), the
+    * durable `meta/source-<name>.txt` high-water mark decides instead of
+    * failing open. */
   private def alreadyCommitted(tableDir: String, source: String,
                                epochId: Long, tag: String): Boolean = {
     val prefix = s"$source:batch-"
@@ -78,6 +93,29 @@ object SnapshotIngest {
           Some(t.stripPrefix(prefix).toLong > epochId)
         case _ => None // another source / untagged: keep walking
       }
-    }.collectFirst { case Some(d) => d }.getOrElse(false)
+    }.collectFirst { case Some(d) => d }
+      .getOrElse(readEpoch(tableDir, source).exists(_ >= epochId))
+  }
+
+  private def epochFile(tableDir: String, source: String) =
+    java.nio.file.Paths.get(tableDir, "meta", s"source-$source.txt")
+
+  private[streaming] def readEpoch(tableDir: String, source: String): Option[Long] = {
+    val p = epochFile(tableDir, source)
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
+  }
+
+  private def writeEpoch(tableDir: String, source: String, epochId: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val p = epochFile(tableDir, source)
+    Files.createDirectories(p.getParent)
+    val tmp = Files.createTempFile(p.getParent, s".source-$source", ".txt")
+    Files.write(tmp, epochId.toString.getBytes("UTF-8"))
+    // single writer per source (foreachBatch serializes epochs): newest
+    // position wins, an atomic REPLACE is correct (the cursor convention,
+    // not the first-writer-wins manifest publish)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 }

@@ -117,7 +117,11 @@ class MainSpec extends SparkSpec {
       "--out", out))
     val n1 = spark.read.parquet(out).count()
     assert(n1 > 0)
-    assert(Files.readString(pin).trim === "1", "first run must pin the head snapshot")
+    def pinnedId = Files.readString(pin).trim.linesIterator.toSeq.last
+    assert(pinnedId === "1", "first run must pin the head snapshot")
+    assert(Files.readString(pin).startsWith(
+      java.nio.file.Paths.get(table).toAbsolutePath.normalize.toString),
+      "the pin must record which table it pins")
 
     // ingest lands between the run and its resume: the pin must hold and
     // the resumed run must not recompute anything from the new snapshot
@@ -125,7 +129,7 @@ class MainSpec extends SparkSpec {
       sources.SynthImages.images(spark, 800, 64))
     Main.main(Array("--images", s"snap:$table", "--labels", "synth:1500",
       "--out", out, "--resume"))
-    assert(Files.readString(pin).trim === "1", "resume must reuse the pin")
+    assert(pinnedId === "1", "resume must reuse the pin")
     assert(spark.read.parquet(out).count() === n1)
     val m = spark.read.parquet(s"${out}_lineage_metrics")
       .orderBy("run_at_ms").collect()
@@ -134,7 +138,7 @@ class MainSpec extends SparkSpec {
     // a FRESH run re-pins to the current head and processes the append
     Main.main(Array("--images", s"snap:$table", "--labels", "synth:1500",
       "--out", out))
-    assert(Files.readString(pin).trim === "2", "fresh run must re-pin to the new head")
+    assert(pinnedId === "2", "fresh run must re-pin to the new head")
     assert(spark.read.parquet(s"${out}_lineage_metrics").count() === 1)
   }
 

@@ -180,6 +180,60 @@ class SnapshotTableSpec extends SparkSpec {
     assertSameRows(got, rows(0, 600).where(col("id").between(100, 119)))
   }
 
+  test("TIMESTAMP_MILLIS footer stats are refused, never misread as micros") {
+    val dir = tmpTable()
+    // a table written with millisecond-unit int64 timestamps has footer
+    // min/max in MILLIS; recording them would make readRange (which
+    // compares in MICROS) silently skip in-range files — the manifest must
+    // carry NO stats for such files so they are always read
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MILLIS")
+    val s1 =
+      try SnapshotTable.commit(spark, dir,
+        rows(0, 600).repartitionByRange(3, col("ts")), statsCol = Some("ts"))
+      finally spark.conf.set(key, prior)
+    assert(s1.files.forall(_.stats.isEmpty),
+      "millis-unit stats must not be recorded")
+    // correctness unharmed: all files read, result exact
+    val lo = ts("2024-01-01 01:40:00").getTime * 1000L
+    val hi = ts("2024-01-01 01:59:00").getTime * 1000L
+    val got = SnapshotTable.readRange(spark, dir, "ts", lo, hi)
+    assert(got.inputFiles.length === 3, "stats-free files must all be read")
+    assertSameRows(got, rows(0, 600).where(col("id").between(100, 119)))
+  }
+
+  test("a pin is bound to its table: a foreign table fails loudly") {
+    val dirA = tmpTable(); val dirB = tmpTable()
+    val linDir = Files.createTempDirectory("graft-pin-bind").toString + "/lineage"
+    SnapshotTable.append(spark, dirA, rows(0, 30))
+    SnapshotTable.append(spark, dirB, rows(0, 30))
+    assert(Lineage.pinSnapshot(dirA, linDir) === 1L)
+    // same lineage dir, different table: the stale pin id (which DOES
+    // exist in dirB) must not be silently applied to dirB
+    val err = intercept[IllegalArgumentException] {
+      Lineage.pinSnapshot(dirB, linDir)
+    }
+    assert(err.getMessage.contains("foreign pin"))
+    // re-reading against the original table still works
+    assert(Lineage.pinSnapshot(dirA, linDir) === 1L)
+  }
+
+  test("expireSnapshots sweeps aged publish-staging orphans from meta/") {
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir, rows(0, 10))
+    val meta = Paths.get(dir, "meta")
+    val orphan = Files.createTempFile(meta, ".snap-staging", ".json")
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000))
+    // younger than the min age: kept (may be an in-flight publish)
+    SnapshotTable.expireSnapshots(dir, keepLast = 1, orphanMinAgeMs = 60000L)
+    assert(Files.exists(orphan))
+    // older than the min age: swept
+    SnapshotTable.expireSnapshots(dir, keepLast = 1, orphanMinAgeMs = 5000L)
+    assert(!Files.exists(orphan))
+  }
+
   test("snap: source spec reads latest or a pinned snapshot via option:") {
     val dir = tmpTable()
     SnapshotTable.append(spark, dir, rows(0, 40))

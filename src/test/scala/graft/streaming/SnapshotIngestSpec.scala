@@ -42,6 +42,28 @@ class SnapshotIngestSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir).count() === 4L)
   }
 
+  test("replay dedup survives retention GC expiring every tagged manifest") {
+    val dir = Files.createTempDirectory("graft-ingest-gc").toString
+    val batch = Seq((1L, 2.0)).toDF("phash", "value")
+    assert(SnapshotIngest.commitOnce(batch, dir, "img", 0L))
+    assert(SnapshotIngest.commitOnce(batch, dir, "img", 1L))
+    // another source's commits push every img-tagged manifest out of the
+    // retention window
+    SnapshotTable.append(spark, dir, batch)
+    SnapshotTable.append(spark, dir, batch)
+    SnapshotTable.expireSnapshots(dir, keepLast = 2, orphanMinAgeMs = 0L)
+    assert(SnapshotTable.snapshots(dir).forall(_.tag.isEmpty),
+      "precondition: no img-tagged manifest survives")
+    // the durable meta/source-img.txt high-water mark must still detect the
+    // replayed epochs — without it this double-appends
+    assert(SnapshotIngest.readEpoch(dir, "img") === Some(1L))
+    assert(!SnapshotIngest.commitOnce(batch, dir, "img", 0L))
+    assert(!SnapshotIngest.commitOnce(batch, dir, "img", 1L))
+    // a genuinely new epoch still commits and advances the mark
+    assert(SnapshotIngest.commitOnce(batch, dir, "img", 2L))
+    assert(SnapshotIngest.readEpoch(dir, "img") === Some(2L))
+  }
+
   test("incremental consumer processes exactly what arrived since its cursor") {
     val dir = Files.createTempDirectory("graft-inc").toString
     val cursor = s"$dir.cursor"
