@@ -182,6 +182,34 @@ object EngineQueries {
           max(col("event_id")).as("max_id"), r6(avg(col("value"))).as("avg_value"))
     }),
 
+    // Multi-column manifest pruning (SnapshotTable.readRangeMulti): the
+    // events corpus is committed per user-range group with time-ordered
+    // files inside each commit (the multi-tenant ingest shape), and BOTH
+    // columns' per-file min/max ride in the manifest — so an
+    // entity-selective time-window read prunes on the INTERSECTION of the
+    // two dimensions (Iceberg's multi-column manifest bounds). Both the
+    // window bounds AND the user split constant derive from manifest
+    // stats alone (no data scan); DuckDB replays the identical predicate
+    // over the base table from its own min/max, so pruning that dropped
+    // or leaked any in-range row hash-mismatches.
+    "q118_snapshot_range_multi" -> ((s, dir) => {
+      val table = snapMultiTable(s, dir)
+      val head = graft.sources.SnapshotTable.currentSnapshotId(table).get
+      val snap = graft.sources.SnapshotTable.snapshot(table, head)
+      require(snap.files.forall(f => f.stats.exists(_._1 == "user_id") &&
+        f.stats.exists(_._1 == "ts_sec")), "multi-column manifest stats missing")
+      val umax = snap.files.flatMap(_.stats.collect {
+        case ("user_id", _, mx) => mx }).max
+      val tmin = snap.files.flatMap(_.stats.collect {
+        case ("ts_sec", mn, _) => mn }).min
+      val k = umax / 4 + 1
+      graft.sources.SnapshotTable.readRangeMulti(s, table,
+          Seq(("user_id", k, k + k / 2), ("ts_sec", tmin + 3600L, tmin + 259200L)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"), r6(avg(col("value"))).as("avg_value"))
+    }),
+
     // Multimodal payload fidelity with a DRIVER-VISIBLE oracle: the synth
     // image table (bytes included) is materialized to parquet and DuckDB
     // re-parses the SAME stored blobs via hex slicing — container magic,
@@ -1188,6 +1216,21 @@ object EngineQueries {
          | min(event_id) AS min_id, max(event_id) AS max_id,
          | round(avg(value) + 3.7e-10, 6) AS avg_value
          |FROM ev, b WHERE ts_sec BETWEEN t0 + 3600 AND t0 + 7200
+         |GROUP BY 1""".stripMargin,
+
+    // the user split constant k and the time origin replayed from the base
+    // table — identical arithmetic to the manifest-derived Spark bounds
+    "q118_snapshot_range_multi" ->
+      s"""WITH ev AS (
+         | SELECT event_id, user_id, event_type, value,
+         |  ${Q.sqlEpoch("ts")} AS ts_sec FROM events),
+         |b AS (SELECT min(ts_sec) AS t0, max(user_id) // 4 + 1 AS k FROM ev)
+         |SELECT event_type, count(*)::BIGINT AS n,
+         | min(event_id) AS min_id, max(event_id) AS max_id,
+         | round(avg(value) + 3.7e-10, 6) AS avg_value
+         |FROM ev, b
+         |WHERE user_id BETWEEN k AND k + k // 2
+         | AND ts_sec BETWEEN t0 + 3600 AND t0 + 259200
          |GROUP BY 1""".stripMargin)
 
   /** q114/q115's two-snapshot lineitem table, built once per sf dir under
@@ -1222,6 +1265,42 @@ object EngineQueries {
     tmp
   }
 
+  /** q118's multi-dimension snapshot table: one append per user-range
+    * group, each commit's files range-partitioned on epoch seconds, with
+    * BOTH columns' min/max in the manifest — the multi-tenant ingest
+    * layout where entity and time pruning genuinely compose (each file
+    * spans one user quartile AND a narrow time slice). Cached per sf dir
+    * like [[snapTable]]. */
+  private def snapMultiTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_snapmulti_" +
+      graft.sources.TableSource.pathKey(dir)
+    val done = java.nio.file.Paths.get(tmp, "__layout_complete")
+    if (!java.nio.file.Files.exists(done)) {
+      val root = java.nio.file.Paths.get(tmp)
+      if (java.nio.file.Files.isDirectory(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally walk.close()
+      }
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_timestamp(col("ts")).as("ts_sec"))
+      val umax = ev.agg(max(col("user_id"))).collect()(0).getLong(0)
+      val k = umax / 4 + 1
+      (0L until 4L).foreach { g =>
+        graft.sources.SnapshotTable.commit(s, tmp,
+          ev.where(col("user_id") >= g * k && col("user_id") < (g + 1) * k)
+            .repartitionByRange(4, col("ts_sec")),
+          statsCols = Seq("user_id", "ts_sec"))
+      }
+      java.nio.file.Files.createFile(done)
+    }
+    tmp
+  }
+
   /** q116's range-partitioned events snapshot table: one commit, files
     * range-partitioned on epoch seconds with manifest min/max stats —
     * the time-ordered-ingest layout readRange's file skipping is built
@@ -1244,7 +1323,7 @@ object EngineQueries {
         .select(col("event_id"), col("event_type"), col("value"),
           unix_timestamp(col("ts")).as("ts_sec"))
         .repartitionByRange(8, col("ts_sec"))
-      graft.sources.SnapshotTable.commit(s, tmp, ev, statsCol = Some("ts_sec"))
+      graft.sources.SnapshotTable.commit(s, tmp, ev, statsCols = Seq("ts_sec"))
       java.nio.file.Files.createFile(done)
     }
     tmp

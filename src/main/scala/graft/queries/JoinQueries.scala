@@ -88,6 +88,59 @@ object JoinQueries {
           col("o_orderkey"), r2(col("o_totalprice")).as("o_totalprice"))
     }),
 
+    // J1d: as-of over PINNED snapshots of BUCKETED snapshot tables — the
+    // pin + layout composition (SnapshotTable.commitBucketed/readBucketed,
+    // Iceberg's bucket partition transform + snapshot isolation operating
+    // together). The events corpus is committed as TWO bucketed snapshots
+    // (event_id%3<>0 first, the remainder appended); the query reads the
+    // PINNED first snapshot — immune to the already-landed append — and
+    // the whole as-of chain plans with ZERO exchanges (PlanSpec gates it)
+    // because the pinned view re-attaches the bucket metadata. DuckDB
+    // replays the pin as the modulo predicate over the base table, so a
+    // pin that leaked any post-pin row (or a bucketed read that dropped /
+    // duplicated one) hash-mismatches against the q10-family ASOF oracle.
+    "q117_pinned_bucketed_asof" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_q117_" +
+        graft.sources.TableSource.pathKey(dir)
+      val done = java.nio.file.Paths.get(tmp, "__layout_complete")
+      if (!java.nio.file.Files.exists(done)) {
+        // a previous crashed build would leave a half-built snapshot log —
+        // wipe and rebuild rather than stacking duplicate appends (the
+        // snapTable convention in EngineQueries)
+        val root = java.nio.file.Paths.get(tmp)
+        if (java.nio.file.Files.isDirectory(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          } finally walk.close()
+        }
+        val events = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val orders = t(s, dir, "orders")
+          .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+            col("o_orderkey"), col("o_totalprice"))
+        val eSpec = SnapshotTable.BucketSpec(8, "user_id", Seq("user_id", "ts"))
+        val oSpec = SnapshotTable.BucketSpec(8, "user_id", Seq("user_id", "o_orderdate"))
+        SnapshotTable.commitBucketed(s, s"$tmp/events",
+          events.where(pmod(col("event_id"), lit(3)) =!= 0), eSpec)
+        SnapshotTable.commitBucketed(s, s"$tmp/events",
+          events.where(pmod(col("event_id"), lit(3)) === 0), eSpec)
+        SnapshotTable.commitBucketed(s, s"$tmp/orders", orders, oSpec)
+        java.nio.file.Files.createFile(done)
+      }
+      AsOfJoin.asOfSortMerge(
+          SnapshotTable.readBucketed(s, s"$tmp/events", Some(1L)),
+          SnapshotTable.readBucketed(s, s"$tmp/orders"),
+          entityCol = "user_id", probeTs = "ts", buildTs = "o_orderdate",
+          payloadCols = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_sec"),
+          col("o_orderkey"), r2(col("o_totalprice")).as("o_totalprice"))
+    }),
+
     // J2: equi + range condition (ship window relative to order date)
     "q11_range_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -177,6 +230,22 @@ object JoinQueries {
          |SELECT e.event_id, e.user_id, ${sqlEpoch("e.ts")} AS ts_sec,
          | l.o_orderkey, round(l.o_totalprice + 3.7e-10, 2) AS o_totalprice
          |FROM events e ASOF LEFT JOIN lab l
+         | ON e.user_id = l.user_id AND e.ts >= l.o_orderdate""".stripMargin,
+
+    // the q10-family ASOF oracle over the PINNED subset: snapshot 1 holds
+    // exactly the event_id%3<>0 rows, and the post-pin append must leak
+    // nothing — the layout changes the plan (zero exchanges), not the rows
+    "q117_pinned_bucketed_asof" ->
+      s"""WITH lab AS (
+         | SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM (
+         |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+         |   row_number() OVER (PARTITION BY o_custkey, o_orderdate
+         |     ORDER BY o_orderkey DESC, o_totalprice DESC) AS rn
+         |  FROM orders) WHERE rn = 1)
+         |SELECT e.event_id, e.user_id, ${sqlEpoch("e.ts")} AS ts_sec,
+         | l.o_orderkey, round(l.o_totalprice + 3.7e-10, 2) AS o_totalprice
+         |FROM (SELECT * FROM events WHERE event_id % 3 <> 0) e
+         | ASOF LEFT JOIN lab l
          | ON e.user_id = l.user_id AND e.ts >= l.o_orderdate""".stripMargin,
 
     "q11_range_join" ->

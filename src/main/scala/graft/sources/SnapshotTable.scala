@@ -30,6 +30,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    an append-only changelog ([[changes]], Iceberg's incremental append
   *    scan) — the batch analog of a streaming source, letting periodic
   *    jobs process only what arrived since their last pinned snapshot;
+  *  - a table can carry a BUCKET LAYOUT ([[commitBucketed]] /
+  *    [[readBucketed]]): every commit's data files are hash-bucketed and
+  *    per-bucket sorted, the manifest records the spec, and a (pinned)
+  *    read re-attaches the bucketing metadata — snapshot isolation AND
+  *    the zero-exchange plan at once, Iceberg's bucket partition
+  *    transform + snapshot isolation operating together;
   *  - [[expireSnapshots]] garbage-collects manifests outside the retention
   *    window and data files unreachable from any retained snapshot. At
   *    100 TB the data files are the cost: time travel must be bounded by
@@ -40,6 +46,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * {{{
   *   <tableDir>/data/c-<uuid>/part-*.parquet   immutable data files
   *   <tableDir>/meta/snap-<id>.json            one manifest per snapshot
+  *   <tableDir>/views/snap-<id>/               hard-link farms for bucketed
+  *                                             snapshot reads (derived,
+  *                                             GC'd with their snapshot)
   * }}}
   * The current snapshot is the max id present in `meta/` — there is no
   * mutable HEAD pointer to corrupt; publishing the manifest IS the commit
@@ -64,14 +73,27 @@ object SnapshotTable {
   /** One immutable data file of a snapshot. `path` is relative to the
     * table root; `rows`/`bytes` come from the parquet footer at commit
     * time so later sizing decisions (e.g. ANN cell counts over a pinned
-    * snapshot) never need a data scan. `stats` optionally carries one
-    * column's (name, min, max) — also footer-derived — enabling
-    * [[SnapshotTable.readRange]] to skip whole files without opening
-    * them (Iceberg's manifest min/max file skipping; the column name is
-    * stored per file so commits with different stats columns co-exist
-    * and pruning never consults the wrong column's bounds). */
+    * snapshot) never need a data scan. `stats` carries zero or more
+    * columns' (name, min, max) — also footer-derived — enabling
+    * [[SnapshotTable.readRange]] / [[SnapshotTable.readRangeMulti]] to
+    * skip whole files without opening them (Iceberg's manifest min/max
+    * file skipping; names are stored per file so commits with different
+    * stats columns co-exist and pruning never consults the wrong
+    * column's bounds). Multi-column stats let independent pruning
+    * dimensions COMPOSE — e.g. entity-range AND time-range over an
+    * ingest clustered on both. */
   final case class DataFile(path: String, rows: Long, bytes: Long,
-                            stats: Option[(String, Long, Long)] = None)
+                            stats: Seq[(String, Long, Long)] = Nil)
+
+  /** A table-level bucket layout: every data file of every commit is
+    * hash-bucketed on `bucketCol` into `buckets` buckets (Spark's
+    * murmur3-pmod bucketing, one file per bucket per commit) and sorted
+    * within each bucket by `sortCols`. Recorded in the manifest so a
+    * snapshot read can re-attach the metadata ([[readBucketed]]) and plan
+    * entity-keyed work exchange-free — the Iceberg bucket partition
+    * transform analog. */
+  final case class BucketSpec(buckets: Int, bucketCol: String,
+                              sortCols: Seq[String])
 
   /** An immutable table version. `files` is the COMPLETE live set at this
     * snapshot (not a delta) — reads never chase parent chains, and
@@ -86,7 +108,8 @@ object SnapshotTable {
       committedAtMs: Long,
       files: Seq[DataFile],
       tag: Option[String] = None,
-      schemaJson: Option[String] = None) {
+      schemaJson: Option[String] = None,
+      bucketSpec: Option[BucketSpec] = None) {
     def totalRows: Long = files.map(_.rows).sum
     def totalBytes: Long = files.map(_.bytes).sum
   }
@@ -94,6 +117,8 @@ object SnapshotTable {
   private def metaDir(tableDir: String): Path = Paths.get(tableDir, "meta")
   private def manifestPath(tableDir: String, id: Long): Path =
     metaDir(tableDir).resolve(f"snap-$id%08d.json")
+  private def viewDir(tableDir: String, id: Long): Path =
+    Paths.get(tableDir, "views", f"snap-$id%08d")
 
   /** Latest snapshot id, or None for an empty/uninitialized table. The max
     * over the manifest listing is the source of truth (no mutable pointer). */
@@ -148,10 +173,13 @@ object SnapshotTable {
   /** Commit `df` as a new snapshot. Data files are written first (to a
     * unique `data/c-<uuid>` directory — immutable once written), then the
     * manifest is published atomically; the publish is the commit point.
-    * Returns the committed snapshot. */
+    * Appending to a table whose head carries a [[BucketSpec]] is refused —
+    * a plain unbucketed commit would silently break the layout every
+    * downstream job plans against; use [[commitBucketed]] (an `overwrite`
+    * resets the layout and is allowed). Returns the committed snapshot. */
   def commit(spark: SparkSession, tableDir: String, df: DataFrame,
              operation: String = "append", tag: Option[String] = None,
-             statsCol: Option[String] = None): Snapshot = {
+             statsCols: Seq[String] = Nil): Snapshot = {
     require(operation == "append" || operation == "overwrite",
       s"unsupported operation: $operation")
     Files.createDirectories(metaDir(tableDir))
@@ -159,28 +187,10 @@ object SnapshotTable {
     val rel = s"data/c-$commitId"
     val dataPath = Paths.get(tableDir, rel)
     df.write.parquet(dataPath.toString)
-    val newFiles = listParquet(spark, dataPath, statsCol).map {
+    val newFiles = listParquet(spark, dataPath, statsCols).map {
       case (name, rows, bytes, st) => DataFile(s"$rel/$name", rows, bytes, st)
     }
-    // optimistic publish loop: re-read the head each attempt so a lost
-    // race stacks this commit's files on top of the winner's
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      require(attempt <= 100, s"commit to $tableDir lost 100 publish races; aborting")
-      val head = currentSnapshotId(tableDir)
-      val parentFiles =
-        if (operation == "overwrite") Nil
-        else head.map(snapshot(tableDir, _).files).getOrElse(Nil)
-      // the commit's schema rides in the manifest (the Iceberg metadata
-      // analog) so a zero-file snapshot — an idle micro-batch, an
-      // overwrite with an empty frame — still reads as a typed empty table
-      val snap = Snapshot(head.getOrElse(0L) + 1, head, operation,
-        System.currentTimeMillis(), parentFiles ++ newFiles, tag,
-        Some(df.schema.json))
-      if (publish(tableDir, snap)) return snap
-    }
-    sys.error("unreachable")
+    publishLoop(tableDir, operation, newFiles, tag, Some(df.schema.json), None)
   }
 
   def append(spark: SparkSession, tableDir: String, df: DataFrame): Snapshot =
@@ -188,6 +198,83 @@ object SnapshotTable {
 
   def overwrite(spark: SparkSession, tableDir: String, df: DataFrame): Snapshot =
     commit(spark, tableDir, df, "overwrite")
+
+  /** Commit `df` BUCKETED: hash-bucketed on `spec.bucketCol` into
+    * `spec.buckets` files (one per bucket — the repartition's murmur3-pmod
+    * HashPartitioning is the same function bucketing uses, so each output
+    * task holds exactly one bucket), each sorted by `spec.sortCols`, with
+    * the spec recorded in the manifest. Appends onto an existing bucketed
+    * head must carry the IDENTICAL spec (appending a different layout —
+    * or onto an unbucketed head — is refused: reads would silently plan
+    * wrong bucket placement). [[readBucketed]] re-attaches the layout at
+    * any retained snapshot.
+    *
+    * This is the composition the 100 TB deployment wants: the corpus is
+    * written bucket-transformed INSIDE snapshot commits, so a pinned read
+    * is simultaneously isolated from concurrent appends AND exchange-free
+    * for entity-keyed work (Iceberg's bucket partition transform +
+    * snapshot isolation operating together). */
+  def commitBucketed(spark: SparkSession, tableDir: String, df: DataFrame,
+                     spec: BucketSpec, operation: String = "append",
+                     tag: Option[String] = None,
+                     statsCols: Seq[String] = Nil): Snapshot = {
+    require(operation == "append" || operation == "overwrite",
+      s"unsupported operation: $operation")
+    require(spec.sortCols.nonEmpty, "sortCols must name at least one column")
+    Files.createDirectories(metaDir(tableDir))
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val rel = s"data/c-$commitId"
+    val dataPath = Paths.get(tableDir, rel)
+    // bucketBy is only reachable through saveAsTable — register a throwaway
+    // EXTERNAL table at the commit directory, then drop the catalog entry
+    // (external drop leaves the files). The files carry the bucket id in
+    // their names (part-...-_00003.c000...), which is what readBucketed's
+    // re-attached DDL keys on.
+    val tmpName = s"graft_snapb_${commitId.replace("-", "")}"
+    import org.apache.spark.sql.functions.col
+    df.repartition(spec.buckets, col(spec.bucketCol))
+      .write.format("parquet").option("path", dataPath.toString)
+      .bucketBy(spec.buckets, spec.bucketCol)
+      .sortBy(spec.sortCols.head, spec.sortCols.tail: _*)
+      .saveAsTable(tmpName)
+    spark.sql(s"DROP TABLE $tmpName")
+    val newFiles = listParquet(spark, dataPath, statsCols).map {
+      case (name, rows, bytes, st) => DataFile(s"$rel/$name", rows, bytes, st)
+    }
+    publishLoop(tableDir, operation, newFiles, tag, Some(df.schema.json), Some(spec))
+  }
+
+  /** Optimistic publish loop shared by [[commit]] and [[commitBucketed]]:
+    * re-reads the head each attempt so a lost race stacks this commit's
+    * files on top of the winner's, and enforces layout compatibility
+    * INSIDE the loop (the winner may have changed the head's spec). */
+  private def publishLoop(tableDir: String, operation: String,
+                          newFiles: Seq[DataFile], tag: Option[String],
+                          schemaJson: Option[String],
+                          bucketSpec: Option[BucketSpec]): Snapshot = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 100, s"commit to $tableDir lost 100 publish races; aborting")
+      val head = currentSnapshotId(tableDir)
+      val headSnap = if (operation == "append") head.map(snapshot(tableDir, _)) else None
+      headSnap.foreach { h =>
+        require(h.bucketSpec == bucketSpec,
+          s"append layout mismatch on $tableDir: head snapshot ${h.id} has " +
+            s"bucketSpec=${h.bucketSpec}, this commit has $bucketSpec — " +
+            "appends must preserve the table's layout (overwrite resets it)")
+      }
+      val parentFiles = headSnap.map(_.files).getOrElse(Nil)
+      // the commit's schema rides in the manifest (the Iceberg metadata
+      // analog) so a zero-file snapshot — an idle micro-batch, an
+      // overwrite with an empty frame — still reads as a typed empty table
+      val snap = Snapshot(head.getOrElse(0L) + 1, head, operation,
+        System.currentTimeMillis(), parentFiles ++ newFiles, tag,
+        schemaJson, bucketSpec)
+      if (publish(tableDir, snap)) return snap
+    }
+    sys.error("unreachable")
+  }
 
   /** Atomically publish a manifest; false when snapshot `snap.id` already
     * exists (a concurrent committer won — refresh and retry). Exposed
@@ -209,7 +296,9 @@ object SnapshotTable {
     * resolved HERE, once — the returned DataFrame is immune to concurrent
     * commits for its whole lifetime. A zero-file snapshot (an idle
     * micro-batch commit, an overwrite with an empty frame) reads as a
-    * typed empty table via the schema stored in its manifest. */
+    * typed empty table via the schema stored in its manifest. Bucketing
+    * metadata (if any) is NOT attached on this path — use
+    * [[readBucketed]] when the downstream plan should exploit it. */
   def read(spark: SparkSession, tableDir: String,
            snapshotId: Option[Long] = None): DataFrame = {
     val id = snapshotId.orElse(currentSnapshotId(tableDir)).getOrElse(
@@ -217,6 +306,64 @@ object SnapshotTable {
     val snap = snapshot(tableDir, id)
     if (snap.files.isEmpty) emptyWithSchema(spark, tableDir, snap)
     else readFiles(spark, tableDir, snap.files)
+  }
+
+  /** Read a BUCKETED snapshot with its layout metadata attached: scans
+    * report HashPartitioning(bucketCol, buckets), so entity-keyed joins /
+    * aggregations / windows (including the custom as-of merge join) plan
+    * with ZERO exchanges — over a PINNED snapshot, immune to concurrent
+    * appends. This is the pin + layout composition: snapshot isolation
+    * decides WHICH files exist; the bucket spec decides how they're
+    * co-located.
+    *
+    * Mechanics: Spark attaches bucket metadata only through a catalog
+    * table over a LOCATION, which cannot express "these files only" — so
+    * the snapshot's exact file list is materialized as a HARD-LINK farm
+    * under `views/snap-<id>/` (same filesystem, zero copy, immutable
+    * sources) and the bucketing DDL is declared over that directory.
+    * View building is idempotent and race-safe: links are first-writer-
+    * wins against identical targets, a completion marker gates reuse, and
+    * a crash mid-build just re-links (the per-snapshot file set is
+    * immutable). Views are derived state — [[expireSnapshots]] deletes a
+    * view with its snapshot.
+    *
+    * Multiple files per bucket (a multi-commit table) keep the
+    * zero-exchange property — Spark groups a bucket's files into one scan
+    * partition — but the per-bucket SORT order only holds within each
+    * commit's file, so residual sorts are partition-local (cheap, no
+    * shuffle feeding them). Do not enable
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` over a
+    * multi-commit view; it assumes one file per bucket. */
+  def readBucketed(spark: SparkSession, tableDir: String,
+                   snapshotId: Option[Long] = None): DataFrame = {
+    val id = snapshotId.orElse(currentSnapshotId(tableDir)).getOrElse(
+      sys.error(s"$tableDir has no snapshots"))
+    val snap = snapshot(tableDir, id)
+    val spec = snap.bucketSpec.getOrElse(sys.error(
+      s"snapshot $id of $tableDir carries no bucket layout — " +
+        "commit with commitBucketed, or use read()"))
+    if (snap.files.isEmpty) return emptyWithSchema(spark, tableDir, snap)
+    val view = viewDir(tableDir, id)
+    val marker = view.resolve("__view_complete")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(view)
+      snap.files.foreach { f =>
+        val src = Paths.get(tableDir, f.path)
+        // flat farm: names get the commit-dir prefix so two commits'
+        // part files can never collide; the trailing _NNNNN bucket-id
+        // suffix (what the bucketed scan keys on) is preserved
+        val cdir = f.path.split('/')(1)
+        val link = view.resolve(s"$cdir-${Paths.get(f.path).getFileName}")
+        try Files.createLink(link, src)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+      try Files.createFile(marker)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    val name = "graft_snapview_" + TableSource.pathKey(s"$tableDir@$id")
+    TableSource.registerBucketed(spark, name, view.toString,
+      spec.buckets, spec.bucketCol, spec.sortCols)
+    spark.table(name)
   }
 
   /** Incremental append scan: exactly the rows in files added after
@@ -269,6 +416,11 @@ object SnapshotTable {
     * genuinely died. Directories referenced by a now-expired manifest
     * were published long ago and are deleted regardless of age.
     *
+    * Expired snapshots' hard-link view farms (`views/snap-<id>`,
+    * [[readBucketed]]) are deleted with their manifests — they hold
+    * links to the dead data files, so leaving them would keep the inodes
+    * (the actual bytes) alive past retention.
+    *
     * Returns (#manifests, #data files) removed. */
   def expireSnapshots(tableDir: String, keepLast: Int,
                       orphanMinAgeMs: Long = 3600000L): (Int, Int) = {
@@ -293,6 +445,26 @@ object SnapshotTable {
         .filter(p => now - Files.getLastModifiedTime(p).toMillis > orphanMinAgeMs)
         .foreach(Files.deleteIfExists(_))
       finally listing.close()
+    }
+    // expired view farms: their links pin the dead data files' inodes
+    locally {
+      import scala.jdk.CollectionConverters._
+      val retainedIds = retained.map(_.id).toSet
+      val viewsRoot = Paths.get(tableDir, "views")
+      if (Files.isDirectory(viewsRoot)) {
+        val dirs = { val l = Files.list(viewsRoot)
+          try l.iterator().asScala.filter(Files.isDirectory(_)).toSeq
+          finally l.close() }
+        dirs.foreach { d =>
+          val n = d.getFileName.toString
+          val id = if (n.startsWith("snap-")) n.stripPrefix("snap-").toLongOption else None
+          if (id.exists(i => !retainedIds.contains(i))) {
+            val walk = Files.walk(d)
+            try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+            finally walk.close()
+          }
+        }
+      }
     }
     val dataRoot = Paths.get(tableDir, "data")
     var removed = 0
@@ -330,14 +502,14 @@ object SnapshotTable {
   }
 
   /** Part files of a freshly written parquet dir with footer row counts
-    * and (optionally) one column's min/max aggregated across row groups —
+    * and each requested column's min/max aggregated across row groups —
     * metadata-only, no Spark job. Stats are recorded only for integral
     * physical types (INT32/INT64 — longs, ints, and Spark timestamps,
     * whose physical value is epoch MICROseconds); other types or absent
-    * footer statistics yield None, which [[readRange]] treats as
-    * "cannot skip" rather than guessing. */
-  private def listParquet(spark: SparkSession, dir: Path, statsCol: Option[String])
-      : Seq[(String, Long, Long, Option[(String, Long, Long)])] = {
+    * footer statistics yield no entry for that column, which
+    * [[readRange]] treats as "cannot skip" rather than guessing. */
+  private def listParquet(spark: SparkSession, dir: Path, statsCols: Seq[String])
+      : Seq[(String, Long, Long, Seq[(String, Long, Long)])] = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir.toString)
     val fs = p.getFileSystem(conf)
@@ -348,7 +520,7 @@ object SnapshotTable {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         val (rows, st) =
-          try (r.getRecordCount, statsCol.flatMap(footerMinMax(r.getFooter, _)))
+          try (r.getRecordCount, statsCols.flatMap(footerMinMax(r.getFooter, _)))
           finally r.close()
         (s.getPath.getName, rows, s.getLen, st)
       }
@@ -432,33 +604,61 @@ object SnapshotTable {
     * [[statsUnitSafe]], so such files are read, never skipped — pruning
     * degrades, correctness doesn't. */
   def readRange(spark: SparkSession, tableDir: String, col: String,
-                lo: Long, hi: Long, snapshotId: Option[Long] = None): DataFrame = {
-    require(lo <= hi, s"empty range: [$lo, $hi]")
+                lo: Long, hi: Long, snapshotId: Option[Long] = None): DataFrame =
+    readRangeMulti(spark, tableDir, Seq((col, lo, hi)), snapshotId)
+
+  /** [[readRange]] over SEVERAL columns at once: a file is skipped when
+    * ANY requested column's recorded bounds are disjoint with its range —
+    * independent pruning dimensions COMPOSE (Iceberg's multi-column
+    * manifest bounds). Over an ingest clustered on (entity, time) —
+    * e.g. `repartitionByRange(entityBucket, ts)` per commit with both
+    * columns in `statsCols` — an entity-selective time-window read
+    * touches only the files inside the intersection, files-touched
+    * asserted in SnapshotTableSpec. Columns without recorded stats in a
+    * given file never skip it; every requested range is still applied as
+    * an exact row predicate. */
+  def readRangeMulti(spark: SparkSession, tableDir: String,
+                     ranges: Seq[(String, Long, Long)],
+                     snapshotId: Option[Long] = None): DataFrame = {
+    require(ranges.nonEmpty, "readRangeMulti needs at least one range")
+    ranges.foreach { case (c, lo, hi) =>
+      require(lo <= hi, s"empty range on $c: [$lo, $hi]") }
     val id = snapshotId.orElse(currentSnapshotId(tableDir)).getOrElse(
       sys.error(s"$tableDir has no snapshots"))
     val snap = snapshot(tableDir, id)
-    val kept = snap.files.filter { f =>
-      f.stats match {
-        case Some((c, mn, mx)) if c == col => mx >= lo && mn <= hi
-        case _ => true
-      }
-    }
+    val kept = prunedFiles(snap, ranges)
     import org.apache.spark.sql.functions.{col => c, lit, timestamp_micros}
     // every file skipped (or a zero-file snapshot): the correct result is
-    // a typed empty frame; the predicate is still applied so a bad column
-    // name fails identically on both paths
+    // a typed empty frame; the predicates are still applied so a bad
+    // column name fails identically on both paths
     val df =
       if (kept.isEmpty) emptyWithSchema(spark, tableDir, snap)
       else readFiles(spark, tableDir, kept)
-    // exact filter in the column's own type so it reaches PushedFilters
+    // exact filters in each column's own type so they reach PushedFilters
     // (a unix_micros()/cast wrapper would block parquet pushdown)
-    val pred = df.schema(col).dataType match {
-      case org.apache.spark.sql.types.TimestampType =>
-        c(col).between(timestamp_micros(lit(lo)), timestamp_micros(lit(hi)))
-      case _ => c(col).between(lo, hi)
+    ranges.foldLeft(df) { case (d, (colName, lo, hi)) =>
+      val pred = d.schema(colName).dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          c(colName).between(timestamp_micros(lit(lo)), timestamp_micros(lit(hi)))
+        case _ => c(colName).between(lo, hi)
+      }
+      d.where(pred)
     }
-    df.where(pred)
   }
+
+  /** The manifest-pruned file list for a set of ranges — the skipping
+    * decision alone, exposed within the package so specs can assert
+    * files-touched counts without reading data. */
+  private[graft] def prunedFiles(snap: Snapshot,
+                                 ranges: Seq[(String, Long, Long)]): Seq[DataFile] =
+    snap.files.filter { f =>
+      ranges.forall { case (colName, lo, hi) =>
+        f.stats.find(_._1 == colName) match {
+          case Some((_, mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }
 
   // manifest JSON via json4s (on the Spark classpath; no new dependency)
   private def renderManifest(s: Snapshot): String = {
@@ -472,13 +672,18 @@ object SnapshotTable {
         ("tag" -> s.tag) ~
         ("schema" -> s.schemaJson) ~
         ("total_rows" -> s.totalRows) ~
+        ("bucket" -> s.bucketSpec.map { b =>
+          ("buckets" -> b.buckets) ~ ("bucket_col" -> b.bucketCol) ~
+            ("sort_cols" -> b.sortCols)
+        }) ~
         ("files" -> s.files.map { f =>
-          val base = ("path" -> f.path) ~ ("rows" -> f.rows) ~ ("bytes" -> f.bytes)
-          f.stats match {
-            case Some((c, mn, mx)) =>
-              base ~ ("stats_col" -> c) ~ ("stats_min" -> mn) ~ ("stats_max" -> mx)
-            case None => base
-          }
+          ("path" -> f.path) ~ ("rows" -> f.rows) ~ ("bytes" -> f.bytes) ~
+            ("stats" -> (f.stats match {
+              case Nil => None
+              case st => Some(st.map { case (c, mn, mx) =>
+                ("col" -> c) ~ ("min" -> mn) ~ ("max" -> mx)
+              })
+            }))
         })
     JsonMethods.pretty(JsonMethods.render(json))
   }
@@ -494,15 +699,34 @@ object SnapshotTable {
       (j \ "operation").extract[String],
       (j \ "committed_at_ms").extract[Long],
       (j \ "files").extract[Seq[JValue]].map { f =>
-        val stats = for {
+        val multi = (f \ "stats") match {
+          case JArray(entries) => entries.flatMap { e =>
+            for {
+              c <- (e \ "col").extractOpt[String]
+              mn <- (e \ "min").extractOpt[Long]
+              mx <- (e \ "max").extractOpt[Long]
+            } yield (c, mn, mx)
+          }
+          case _ => Nil
+        }
+        // legacy single-column form (pre-multi-stats manifests): flat
+        // stats_col/stats_min/stats_max fields on the file entry
+        val legacy = for {
           c <- (f \ "stats_col").extractOpt[String]
           mn <- (f \ "stats_min").extractOpt[Long]
           mx <- (f \ "stats_max").extractOpt[Long]
         } yield (c, mn, mx)
         DataFile((f \ "path").extract[String], (f \ "rows").extract[Long],
-          (f \ "bytes").extract[Long], stats)
+          (f \ "bytes").extract[Long], if (multi.nonEmpty) multi else legacy.toSeq)
       },
       (j \ "tag").extractOpt[String],
-      (j \ "schema").extractOpt[String])
+      (j \ "schema").extractOpt[String],
+      (j \ "bucket") match {
+        case JNothing | JNull => None
+        case b => Some(BucketSpec(
+          (b \ "buckets").extract[Int],
+          (b \ "bucket_col").extract[String],
+          (b \ "sort_cols").extract[Seq[String]]))
+      })
   }
 }

@@ -32,33 +32,33 @@ object SnapshotIngest {
     * only: the name is also a filename in `meta/`). */
   def start(df: DataFrame, tableDir: String, checkpointDir: String,
             source: String = "ingest",
-            statsCol: Option[String] = None): StreamingQuery =
+            statsCols: Seq[String] = Nil): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        commitOnce(batch, tableDir, source, epochId, statsCol); ()
+        commitOnce(batch, tableDir, source, epochId, statsCols); ()
       }
       .start()
 
   /** Commit one micro-batch unless a commit with its tag already exists.
     * Returns true when a new snapshot was committed, false on a detected
     * replay. Package-visible so the replay branch is directly testable.
-    * `statsCol` (typically the event-time column of a time-ordered
-    * stream) records per-file min/max in the manifest: each commit's
-    * files then span only that batch's time window, and
-    * [[SnapshotTable.readRange]] over "the last hour" skips every older
-    * file without opening it. */
+    * `statsCols` (typically the event-time column of a time-ordered
+    * stream, plus any clustering key) records per-file min/max in the
+    * manifest: each commit's files then span only that batch's time
+    * window, and [[SnapshotTable.readRange]] over "the last hour" skips
+    * every older file without opening it. */
   private[streaming] def commitOnce(batch: DataFrame, tableDir: String,
                                     source: String, epochId: Long,
-                                    statsCol: Option[String] = None): Boolean = {
+                                    statsCols: Seq[String] = Nil): Boolean = {
     require(source.matches("[A-Za-z0-9._-]+"),
       s"source name must be filename-safe (it keys meta/source-<name>.txt): $source")
     val tag = s"$source:batch-$epochId"
     if (alreadyCommitted(tableDir, source, epochId, tag)) false
     else {
       SnapshotTable.commit(batch.sparkSession, tableDir, batch, "append",
-        Some(tag), statsCol)
+        Some(tag), statsCols)
       // durable high-water mark OUTSIDE the expirable manifest log: if
       // retention GC later expires every tagged manifest from this source
       // (a long stream downtime), the replay check below still has a

@@ -269,6 +269,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
   }
 
+  test("q117 pinned bucketed as-of: zero exchanges over a snapshot view") {
+    val plan = planOf(SparkEntry.queries("q117_pinned_bucketed_asof")(spark, sfDir))
+    assert(plan.contains("AsOfMergeJoin"), s"custom as-of exec not planned:\n$plan")
+    // the PINNED snapshot read re-attaches the bucket layout (hard-link
+    // view + bucketing DDL), so snapshot isolation and the zero-exchange
+    // plan hold AT ONCE — the q113 gate over a versioned table
+    assert(!plan.contains("Exchange"),
+      s"pinned bucketed snapshot still shuffles:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+  }
+
   test("q91 phash near-dup: ahash codegen'd, no cartesian, hash-agg dedup") {
     val plan = planOf(SparkEntry.queries("q91_phash_neardup")(spark, sfDir))
     // the hash is the Catalyst expression, never a UDF (the only UDF in

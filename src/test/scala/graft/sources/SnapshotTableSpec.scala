@@ -141,7 +141,7 @@ class SnapshotTableSpec extends SparkSpec {
     // footer-derived per-file (min,max) really partition the key space
     val s1 = SnapshotTable.commit(spark, dir,
       rows(0, 1000).repartitionByRange(4, col("id")),
-      statsCol = Some("id"))
+      statsCols = Seq("id"))
     assert(s1.files.length === 4)
     assert(s1.files.forall(_.stats.exists(_._1 == "id")))
     val covered = s1.files.flatMap(_.stats.map { case (_, mn, mx) => (mn, mx) }).sorted
@@ -170,7 +170,7 @@ class SnapshotTableSpec extends SparkSpec {
     val prior = spark.conf.get(key)
     spark.conf.set(key, "TIMESTAMP_MICROS")
     try SnapshotTable.commit(spark, dir,
-      rows(0, 600).repartitionByRange(3, col("ts")), statsCol = Some("ts"))
+      rows(0, 600).repartitionByRange(3, col("ts")), statsCols = Seq("ts"))
     finally spark.conf.set(key, prior)
     // minutes 100-119 live in the first of three range files
     val lo = ts("2024-01-01 01:40:00").getTime * 1000L
@@ -191,7 +191,7 @@ class SnapshotTableSpec extends SparkSpec {
     spark.conf.set(key, "TIMESTAMP_MILLIS")
     val s1 =
       try SnapshotTable.commit(spark, dir,
-        rows(0, 600).repartitionByRange(3, col("ts")), statsCol = Some("ts"))
+        rows(0, 600).repartitionByRange(3, col("ts")), statsCols = Seq("ts"))
       finally spark.conf.set(key, prior)
     assert(s1.files.forall(_.stats.isEmpty),
       "millis-unit stats must not be recorded")
@@ -201,6 +201,134 @@ class SnapshotTableSpec extends SparkSpec {
     val got = SnapshotTable.readRange(spark, dir, "ts", lo, hi)
     assert(got.inputFiles.length === 3, "stats-free files must all be read")
     assertSameRows(got, rows(0, 600).where(col("id").between(100, 119)))
+  }
+
+  test("multi-column manifest stats: entity + time pruning compose") {
+    val dir = tmpTable()
+    // clustered on (k major, id minor): each of 4 files holds one k value
+    // and a contiguous id range, so BOTH columns' bounds are selective
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("k", (col("id") / lit(250)).cast("long"))
+      .withColumn("v", col("id").cast("double"))
+    val s1 = SnapshotTable.commit(spark, dir,
+      df.repartitionByRange(4, col("k"), col("id")),
+      statsCols = Seq("k", "id"))
+    assert(s1.files.length === 4)
+    assert(s1.files.forall(f =>
+      f.stats.exists(_._1 == "k") && f.stats.exists(_._1 == "id")))
+
+    // single-dimension pruning: id <= 499 keeps 2 files; k == 1 keeps 1
+    assert(SnapshotTable.prunedFiles(s1, Seq(("id", 0L, 499L))).length === 2)
+    assert(SnapshotTable.prunedFiles(s1, Seq(("k", 1L, 1L))).length === 1)
+    // composed: k in [1,2] keeps files 1,2 but id in [260,270] cuts to 1 —
+    // the intersection, not either dimension alone
+    assert(SnapshotTable.prunedFiles(s1,
+      Seq(("k", 1L, 2L), ("id", 260L, 270L))).length === 1)
+
+    val got = SnapshotTable.readRangeMulti(spark, dir,
+      Seq(("k", 1L, 2L), ("id", 260L, 270L)))
+    assert(got.inputFiles.length === 1, "two-column pruning did not compose")
+    assertSameRows(got,
+      df.where(col("k").between(1, 2) && col("id").between(260, 270)))
+
+    // a range column with no recorded stats never skips — exact, all files
+    val noStats = SnapshotTable.readRangeMulti(spark, dir,
+      Seq(("v", 100L, 200L)))
+    assert(noStats.inputFiles.length === 4)
+    assertSameRows(noStats, df.where(col("v").between(100, 200)))
+  }
+
+  test("bucketed snapshot: pinned read plans the as-of chain with zero exchanges") {
+    import graft.sources.SnapshotTable.BucketSpec
+    val probeDir = tmpTable(); val buildDir = tmpTable()
+    val probe = (0 until 400).map(i => (i % 7L, i.toLong, i * 1.5))
+      .toDF("entity", "ts", "v")
+    val build = (0 until 80).map(i => (i % 7L, (i * 5).toLong, s"lab$i"))
+      .toDF("entity", "lts", "label")
+    val pSpec = BucketSpec(4, "entity", Seq("entity", "ts"))
+    val bSpec = BucketSpec(4, "entity", Seq("entity", "lts"))
+    SnapshotTable.commitBucketed(spark, probeDir, probe, pSpec)
+    SnapshotTable.commitBucketed(spark, buildDir, build, bSpec)
+    assert(SnapshotTable.snapshot(probeDir, 1L).bucketSpec === Some(pSpec))
+
+    // pin snapshot 1 of the probe side, then let a concurrent append land
+    val pinned = SnapshotTable.readBucketed(spark, probeDir, Some(1L))
+    SnapshotTable.commitBucketed(spark, probeDir,
+      (400 until 500).map(i => (i % 7L, i.toLong, i * 1.5))
+        .toDF("entity", "ts", "v"), pSpec)
+    assert(SnapshotTable.currentSnapshotId(probeDir) === Some(2L))
+
+    val joined = graft.ops.AsOfJoin.asOfSortMerge(
+        pinned, SnapshotTable.readBucketed(spark, buildDir),
+        "entity", "ts", "lts", Seq("label"), dedupeLatest = false)
+      .groupBy("entity")
+      .agg(count(lit(1)).as("n"), count("label").as("labeled"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"), s"custom exec missing:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"pinned bucketed snapshot read still shuffles:\n$plan")
+
+    // the PIN holds: exactly snapshot 1's 400 rows — the concurrent
+    // append leaked nothing — and values match the in-memory (shuffled) run
+    assert(joined.agg(sum("n")).collect()(0).getLong(0) === 400L)
+    val reference = graft.ops.AsOfJoin.asOfSortMerge(probe, build,
+        "entity", "ts", "lts", Seq("label"), dedupeLatest = false)
+      .groupBy("entity")
+      .agg(count(lit(1)).as("n"), count("label").as("labeled"))
+    assertSameRows(joined, reference)
+
+    // the latest read DOES see the append, still exchange-free over the
+    // multi-commit view (sorts become partition-local; no shuffle appears)
+    val latest = SnapshotTable.readBucketed(spark, probeDir)
+    assert(latest.count() === 500L)
+    val latestJoin = graft.ops.AsOfJoin.asOfSortMerge(
+      latest, SnapshotTable.readBucketed(spark, buildDir),
+      "entity", "ts", "lts", Seq("label"), dedupeLatest = false)
+    assert(!latestJoin.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(latestJoin.count() === 500L)
+  }
+
+  test("bucketed snapshot: layout mismatches on append are refused") {
+    import graft.sources.SnapshotTable.BucketSpec
+    val dir = tmpTable()
+    val df = (0 until 50).map(i => (i % 3L, i.toLong)).toDF("entity", "ts")
+    val spec = BucketSpec(4, "entity", Seq("entity", "ts"))
+    SnapshotTable.commitBucketed(spark, dir, df, spec)
+    // a plain append would silently break the layout every reader plans on
+    intercept[IllegalArgumentException] { SnapshotTable.append(spark, dir, df) }
+    // so would a different bucket count / column
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitBucketed(spark, dir, df,
+        BucketSpec(8, "entity", Seq("entity", "ts")))
+    }
+    // an overwrite RESETS the layout (and read() refuses readBucketed after)
+    SnapshotTable.overwrite(spark, dir, df)
+    assert(SnapshotTable.snapshot(dir, 2L).bucketSpec === None)
+    intercept[RuntimeException] { SnapshotTable.readBucketed(spark, dir) }
+    // bucketing onto the unbucketed head must also be an overwrite
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitBucketed(spark, dir, df, spec)
+    }
+    SnapshotTable.commitBucketed(spark, dir, df, spec, operation = "overwrite")
+    assert(SnapshotTable.readBucketed(spark, dir).count() === 50L)
+  }
+
+  test("expireSnapshots deletes expired snapshots' view farms with them") {
+    import graft.sources.SnapshotTable.BucketSpec
+    val dir = tmpTable()
+    val spec = BucketSpec(2, "entity", Seq("entity", "ts"))
+    val df1 = (0 until 30).map(i => (i % 3L, i.toLong)).toDF("entity", "ts")
+    SnapshotTable.commitBucketed(spark, dir, df1, spec)
+    SnapshotTable.readBucketed(spark, dir, Some(1L)) // materializes view 1
+    SnapshotTable.commitBucketed(spark, dir, df1, spec)
+    SnapshotTable.readBucketed(spark, dir, Some(2L)) // view 2
+    assert(Files.isDirectory(Paths.get(dir, "views", "snap-00000001")))
+    SnapshotTable.expireSnapshots(dir, keepLast = 1)
+    assert(!Files.exists(Paths.get(dir, "views", "snap-00000001")),
+      "expired view farm must be deleted (its links pin dead inodes)")
+    assert(Files.isDirectory(Paths.get(dir, "views", "snap-00000002")),
+      "retained snapshot's view must survive")
+    assert(SnapshotTable.readBucketed(spark, dir).count() === 60L)
   }
 
   test("a pin is bound to its table: a foreign table fails loudly") {
