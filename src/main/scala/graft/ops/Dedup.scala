@@ -228,16 +228,9 @@ object Dedup {
                                 bandBits: Int = 16): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band LSH guarantees recall only for maxHamming <= 3")
-    require(bandBits > 0 && bandBits <= 16, "bandBits in 1..16")
-    val mask = (1L << bandBits) - 1
-    val base = hashed.select(col(idCol).as("__id"), col(hashCol).as("__ah"))
-    val banded = base.select(col("__id"), col("__ah"),
-      explode(array((0 until 4).map(i =>
-        lit(i.toLong * (mask + 1)) +
-          shiftright(col("__ah"), bandBits * i).bitwiseAND(lit(mask))): _*))
-        .as("__bucket"))
-    val salted = graft.functions.Vectors.saltBuckets(banded, "__bucket", "__id",
-      cap = cap, broadcastSizes = broadcastSizes)
+    val salted = bandAndSalt(
+      hashed.select(col(idCol).as("__id"), col(hashCol).as("__ah")),
+      cap, broadcastSizes, bandBits)
     val a = salted.select(col("__bucket"), col("__salt"),
       col("__id").as("a"), col("__ah").as("__ha"))
     val b = salted.select(col("__bucket"), col("__salt"),
@@ -248,5 +241,72 @@ object Dedup {
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** INCREMENTAL near-dup edge discovery — the 100 TB ingest loop's hot
+    * stage: given the persisted signature state (everything hashed so far)
+    * and a freshly arrived batch's signatures, emit exactly the edges of
+    * the full graph that TOUCH the batch (batch–batch and batch–state
+    * pairs). State–state pairs were emitted when THEIR batches arrived, so
+    * the union of every batch's output equals
+    * [[perceptualEdgesFromHashes]] over the accumulated corpus — proved
+    * pairwise-equal in IncrementalDedupSpec and end-to-end by the oracled
+    * q119 (batch-incremental labels == DuckDB's full-corpus closure).
+    *
+    * Cost shape: only the BATCH is hashed upstream; this join shuffles the
+    * (id, hash) signature table — tens of bytes per corpus row, not the
+    * payload — keyed on band bucket, and the probe side is batch-sized. A
+    * deployment that bands the persisted state once into a bucketed layout
+    * ([[graft.sources.SnapshotTable.commitBucketed]] on `__bucket`) makes
+    * even that shuffle one-sided.
+    *
+    * Salting caveat: the over-`cap` salt split is keyed on the COMBINED
+    * (state + batch) bucket histogram, which grows as the corpus does —
+    * within-bucket sampling for a degenerate bucket is therefore taken at
+    * each batch's own corpus size, a different (still recall-degrading,
+    * still documented) sample than one full-corpus run would take. Below
+    * `cap` the two are exactly equal; q119 runs in that regime. */
+  def incrementalEdgesFromHashes(state: DataFrame, fresh: DataFrame,
+                                 idCol: String, hashCol: String,
+                                 maxHamming: Int, cap: Int = 4096,
+                                 broadcastSizes: Boolean = false,
+                                 bandBits: Int = 16): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band LSH guarantees recall only for maxHamming <= 3")
+    val combined = state
+      .select(col(idCol).as("__id"), col(hashCol).as("__ah"),
+        lit(false).as("__new"))
+      .unionByName(fresh.select(col(idCol).as("__id"),
+        col(hashCol).as("__ah"), lit(true).as("__new")))
+    val salted = bandAndSalt(combined, cap, broadcastSizes, bandBits)
+    val a = salted.select(col("__bucket"), col("__salt"),
+      col("__id").as("__ida"), col("__ah").as("__ha"))
+    val b = salted.where(col("__new")).select(col("__bucket"), col("__salt"),
+      col("__id").as("__idb"), col("__ah").as("__hb"))
+    // asymmetric: every candidate has a batch endpoint, so state–state
+    // pairs are never re-generated; a batch–batch pair arrives in both
+    // orientations and collapses under the canonical (least, greatest)
+    a.join(b, Seq("__bucket", "__salt"))
+      .where(col("__ida") =!= col("__idb"))
+      .select(least(col("__ida"), col("__idb")).as("a"),
+        greatest(col("__ida"), col("__idb")).as("b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** The shared LSH candidate stage: 4 `bandBits`-wide bands exploded per
+    * row (band index folded into the bucket id so bands never collide),
+    * then the over-`cap` salt split. Extra input columns ride through. */
+  private def bandAndSalt(idHash: DataFrame, cap: Int,
+                          broadcastSizes: Boolean, bandBits: Int): DataFrame = {
+    require(bandBits > 0 && bandBits <= 16, "bandBits in 1..16")
+    val mask = (1L << bandBits) - 1
+    val banded = idHash.withColumn("__bucket",
+      explode(array((0 until 4).map(i =>
+        lit(i.toLong * (mask + 1)) +
+          shiftright(col("__ah"), bandBits * i).bitwiseAND(lit(mask))): _*)))
+    graft.functions.Vectors.saltBuckets(banded, "__bucket", "__id",
+      cap = cap, broadcastSizes = broadcastSizes)
   }
 }

@@ -39,14 +39,23 @@ object Incremental {
     * history, so the consumer must restart from a full read (reset the
     * cursor) rather than silently miss replaced rows. */
   def processNew(spark: SparkSession, tableDir: String, cursorPath: String)
-                (job: DataFrame => Unit): Option[(Long, Long)] = {
+                (job: DataFrame => Unit): Option[(Long, Long)] =
+    processNewWithRange(spark, tableDir, cursorPath)((df, _, _) => job(df))
+
+  /** [[processNew]] that also hands the job its snapshot window
+    * `(fromExclusive, toInclusive)` — consumers that make their side
+    * effects idempotent (e.g. [[IncrementalDedup]]'s tagged state commits)
+    * key the idempotency on exactly this range, so a crash between `job`
+    * and the cursor write replays into a detectable no-op. */
+  def processNewWithRange(spark: SparkSession, tableDir: String, cursorPath: String)
+                         (job: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
     val last = readCursor(cursorPath)
     val head = SnapshotTable.currentSnapshotId(tableDir).getOrElse(return None)
     if (head <= last) return None
     val fresh =
       if (last == 0L) SnapshotTable.read(spark, tableDir, Some(head))
       else SnapshotTable.changes(spark, tableDir, last, head)
-    job(fresh)
+    job(fresh, last, head)
     writeCursor(cursorPath, head)
     Some((last, head))
   }

@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.ops.Dedup
+import graft.sources.SnapshotTable
+
+/** Incremental near-duplicate maintenance — the missing loop between a
+  * continuously ingesting corpus and a dedup decision that stays current:
+  * signatures for each ARRIVING batch are computed once, banded against
+  * the persisted signature state, and only the new edges land — the
+  * corpus payload is never re-hashed and state–state pairs are never
+  * re-joined. At 100 TB this is the difference between a dedup pass that
+  * costs O(batch) per ingest cycle and one that re-reads the corpus.
+  *
+  * State is two [[SnapshotTable]]s under `stateDir`:
+  * {{{
+  *   <stateDir>/signatures   (idCol, hashCol)   one row per corpus row
+  *   <stateDir>/edges        (a, b, hamming)    the verified near-dup graph
+  * }}}
+  * Both are append-only, committed with idempotency tags keyed on the
+  * processed corpus-snapshot window (`dedup-sig:<from>-<to>` /
+  * `dedup-edges:<from>-<to>`), so [[processNew]]'s at-least-once delivery
+  * (cursor advances after the job) composes to exactly-once state: a
+  * crash anywhere between the edge commit, the signature commit, and the
+  * cursor write replays into tag-detected no-ops. The edge commit lands
+  * FIRST — a replay that finds `dedup-edges` but not `dedup-sig` simply
+  * redoes the signature append; the reverse order could pair a batch
+  * against state that already contains it.
+  *
+  * Cluster decisions ([[currentLabels]]) run connected components over
+  * the ACCUMULATED edge table — the near-dup graph is pairs, orders of
+  * magnitude smaller than the corpus, so recomputing the fixpoint per
+  * cycle is the cheap part; all corpus-sized work (hash + band) is
+  * strictly incremental. Correctness is oracled end-to-end by q119:
+  * batch-incremental labels equal DuckDB's full-corpus transitive
+  * closure on the same data.
+  *
+  * Reference semantics: musif's cache skips already-extracted files on a
+  * re-run (`/root/reference/musif/extract/extract.py:559-575`); here the
+  * "already extracted" membership is by snapshot commit and the derived
+  * near-dup state is maintained transactionally beside the corpus.
+  */
+object IncrementalDedup {
+
+  /** Banding/verify parameters — must stay FIXED for the lifetime of a
+    * state dir: edges found under different `maxHamming`/`bandBits` don't
+    * compose into one graph. The caller owns the config (one config per
+    * state dir, the same way one consumer owns a cursor file). */
+  final case class Config(
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int,
+      cap: Int = 4096,
+      broadcastSizes: Boolean = false,
+      bandBits: Int = 16)
+
+  def signaturesDir(stateDir: String): String = s"$stateDir/signatures"
+  def edgesDir(stateDir: String): String = s"$stateDir/edges"
+
+  /** Process every corpus commit since this consumer's cursor: compute
+    * `signature` over ONLY the new rows, find the edges that touch them,
+    * append both to the state tables, advance the cursor. Returns the
+    * processed snapshot window, or None when nothing arrived.
+    *
+    * `signature` maps the raw batch to exactly `(cfg.idCol, cfg.hashCol)`
+    * rows — e.g. `_.select($"img", ahash64($"bytes").as("ah"))`; keeping
+    * it a caller-supplied projection means the state layer is hash-family
+    * agnostic (aHash, MinHash band folds, SimHash — anything 64-bit). */
+  def processNew(spark: SparkSession, corpusDir: String, stateDir: String,
+                 cursorPath: String, cfg: Config)
+                (signature: DataFrame => DataFrame): Option[(Long, Long)] =
+    Incremental.processNewWithRange(spark, corpusDir, cursorPath) {
+      (fresh, from, to) =>
+        processBatch(spark, stateDir,
+          signature(fresh).select(col(cfg.idCol), col(cfg.hashCol)),
+          from, to, cfg)
+    }
+
+  /** One batch's state transition, idempotent on `(from, to)` — package-
+    * visible so the crash/replay seams (edge-committed-but-not-sig,
+    * everything-committed-but-no-cursor) are directly unit-testable. */
+  private[graft] def processBatch(spark: SparkSession, stateDir: String,
+                                  freshSigs: DataFrame, from: Long, to: Long,
+                                  cfg: Config): Unit = {
+    val sigT = signaturesDir(stateDir)
+    val edgeT = edgesDir(stateDir)
+    val sigTag = s"dedup-sig:$from-$to"
+    val edgeTag = s"dedup-edges:$from-$to"
+    val sigDone = SnapshotTable.findByTag(sigT, sigTag)
+    val edgeDone = SnapshotTable.findByTag(edgeT, edgeTag).isDefined
+    if (sigDone.isDefined && edgeDone) return // full replay: nothing to do
+    // state BEFORE this batch: on a partial replay whose signature append
+    // already landed, time-travel to that commit's parent — otherwise the
+    // batch would meet its own earlier append in the state side (harmless
+    // for the edge SET — same-id pairs are excluded and distinct collapses
+    // duplicates — but it doubles the candidate work for no reason)
+    val state = sigDone match {
+      case Some(snap) => snap.parentId match {
+        case Some(pid) => SnapshotTable.read(spark, sigT, Some(pid))
+        case None => freshSigs.limit(0)
+      }
+      case None => SnapshotTable.currentSnapshotId(sigT) match {
+        case Some(head) => SnapshotTable.read(spark, sigT, Some(head))
+        case None => freshSigs.limit(0)
+      }
+    }
+    // the batch's signatures feed the edge join twice (fresh side + the
+    // combined side) and then the signature commit — compute them once
+    val fresh = freshSigs.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!edgeDone) {
+        val edges = Dedup.incrementalEdgesFromHashes(state, fresh,
+          cfg.idCol, cfg.hashCol, cfg.maxHamming, cfg.cap,
+          cfg.broadcastSizes, cfg.bandBits)
+        SnapshotTable.commit(spark, edgeT, edges, "append", Some(edgeTag))
+      }
+      if (sigDone.isEmpty)
+        SnapshotTable.commit(spark, sigT, fresh, "append", Some(sigTag))
+    } finally fresh.unpersist(blocking = false)
+  }
+
+  /** The dedup decision over everything processed so far: every id in the
+    * signature state labeled with its cluster representative (min
+    * reachable id over the accumulated near-dup graph) and a `kept` flag —
+    * the q95 output contract, maintained incrementally. Rows in no edge
+    * keep themselves. */
+  def currentLabels(spark: SparkSession, stateDir: String,
+                    cfg: Config): DataFrame = {
+    val ids = SnapshotTable.read(spark, signaturesDir(stateDir))
+      .select(col(cfg.idCol))
+    val edges = SnapshotTable.read(spark, edgesDir(stateDir))
+      .select(col("a"), col("b"))
+    val cc = Dedup.connectedComponents(edges)
+      .withColumnRenamed("id", cfg.idCol)
+    ids.join(cc, Seq(cfg.idCol), "left")
+      .select(col(cfg.idCol),
+        coalesce(col("cluster_rep"), col(cfg.idCol)).as("rep"),
+        (coalesce(col("cluster_rep"), col(cfg.idCol)) === col(cfg.idCol))
+          .as("kept"))
+  }
+
+  /** Convenience: [[currentLabels]] joined back onto a corpus frame,
+    * dropping every non-representative — the incremental face of
+    * [[Dedup.dropClusteredDuplicates]]. */
+  def keepRepresentatives(spark: SparkSession, stateDir: String, cfg: Config,
+                          corpus: DataFrame): DataFrame = {
+    val drop = currentLabels(spark, stateDir, cfg)
+      .where(!col("kept")).select(col(cfg.idCol))
+    corpus.join(drop, Seq(cfg.idCol), "left_anti")
+  }
+}

@@ -564,17 +564,67 @@ object EngineQueries {
         .select(col("img"),
           coalesce(col("cluster_rep"), col("img")).as("rep"),
           (coalesce(col("cluster_rep"), col("img")) === col("img")).as("kept"))
+    }),
+
+    // INCREMENTAL dedup against persisted signature state — q95's corpus
+    // ingested as THREE SnapshotTable commits (img%3 classes; the injected
+    // near-dup partners land in DIFFERENT batches than their originals, so
+    // cross-batch edges are genuinely exercised), each followed by an
+    // IncrementalDedup cycle that hashes ONLY that batch and bands it
+    // against the signature state. The final labels must equal the
+    // full-corpus recompute — the oracle is BYTE-IDENTICAL to q95's
+    // (DuckDB's all-pairs transitive closure over the same stored blobs),
+    // so any edge the incremental path missed or invented, any replayed
+    // append, any cursor slip hash-mismatches.
+    "q119_incremental_dedup" -> ((s, dir) => {
+      import graft.pipeline.IncrementalDedup
+      val root = s"${sys.props("java.io.tmpdir")}/graft_q119_" +
+        graft.sources.TableSource.pathKey(dir)
+      val done = java.nio.file.Paths.get(root, "__state_complete")
+      if (!java.nio.file.Files.exists(done)) {
+        val rootP = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.isDirectory(rootP)) {
+          val walk = java.nio.file.Files.walk(rootP)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          } finally walk.close()
+        }
+        val corpus = s"$root/corpus"
+        val cursor = s"$root/cursor.txt"
+        val base = ahashCorpusBytes(s)
+        (0 to 2).foreach { g =>
+          graft.sources.SnapshotTable.commit(s, corpus,
+            base.where(pmod(col("img"), lit(3)) === g))
+          IncrementalDedup.processNew(s, corpus, s"$root/state", cursor,
+            IncrementalDedupCfg) { batch =>
+            batch.select(col("img"),
+              ImageFunctions.ahash64(col("bytes")).as("ah"))
+          }
+        }
+        java.nio.file.Files.createFile(done)
+      }
+      graft.pipeline.IncrementalDedup.currentLabels(s, s"$root/state",
+        IncrementalDedupCfg)
     }))
+
+  /** q119's banding config — q95's parameters (hamming <= 1 verify over
+    * 4 x 16-bit aHash bands, cap 1024 inactive at this corpus size, so the
+    * incremental edge set is exactly the full-run edge set). */
+  private val IncrementalDedupCfg = graft.pipeline.IncrementalDedup.Config(
+    "img", "ah", maxHamming = 1, cap = 1024, broadcastSizes = true)
 
   /** q100's split weights — ONE Seq generates the Spark CASE chain and the
     * oracle thresholds (the q88 pattern). */
   private val FunnelSplitWeights =
     Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
 
-  /** The q91/q95 image corpus: 2000 synthesized images + byte-surgery
-    * near-dups (pixel (0,0) forced to 0xFF) for every img % 25 == 0,
-    * reduced to (img, aHash64). */
-  private def ahashCorpus(s: org.apache.spark.sql.SparkSession) = {
+  /** The q91/q95/q119 image corpus: 2000 synthesized images + byte-surgery
+    * near-dups (pixel (0,0) forced to 0xFF) for every img % 25 == 0, with
+    * the raw payload — q119 ingests THIS (bytes and all) so "hash only the
+    * new batch" is the real payload-side cost being saved. */
+  private def ahashCorpusBytes(s: org.apache.spark.sql.SparkSession) = {
     val base = SynthImages.images(s, 2000, 64)
       .select(substring(col("image_id"), 4, 12).cast("long").as("img"),
         col("bytes"))
@@ -584,8 +634,12 @@ object EngineQueries {
           lit(Array(0xFF.toByte)),
           substring(col("bytes"), 10, Int.MaxValue)).as("bytes"))
     base.unionByName(dups)
-      .select(col("img"), ImageFunctions.ahash64(col("bytes")).as("ah"))
   }
+
+  /** [[ahashCorpusBytes]] reduced to (img, aHash64). */
+  private def ahashCorpus(s: org.apache.spark.sql.SparkSession) =
+    ahashCorpusBytes(s)
+      .select(col("img"), ImageFunctions.ahash64(col("bytes")).as("ah"))
 
   /** Banded aHash self-join — delegates to the single band-LSH
     * implementation (`Dedup.perceptualEdgesFromHashes`; pigeonhole: any
@@ -600,6 +654,52 @@ object EngineQueries {
     graft.ops.Dedup.perceptualEdgesFromHashes(hashed, "img", "ah",
         maxHamming, cap = 1024, broadcastSizes = true)
       .select(col("a").as("d1"), col("b").as("d2"), col("hamming"))
+
+  /** The full-corpus image-dedup closure (q95 AND q119's shared oracle):
+    * the q91 aHash pipeline re-derived from the stored blobs by hex
+    * slicing, all-pairs exact hamming <= 1 edges, recursive-CTE transitive
+    * closure, min-reachable-id labels + kept flags. q95 computes this in
+    * one pass; q119 must CONVERGE to it through three incremental batches
+    * — one SQL string so the two claims can never drift apart. */
+  private val ImageDedupClosureSql: String =
+    """WITH RECURSIVE im AS (
+      | SELECT substr(image_id, 4)::BIGINT AS img, w, h, hex(bytes) AS hx
+      | FROM read_parquet('__SYNTH_DIR__/images/*.parquet')
+      | WHERE substr(image_id, 4)::BIGINT < 2000),
+      |base AS (
+      | SELECT img, w, h, hx, false AS dup FROM im
+      | UNION ALL
+      | SELECT img + 1000000 AS img, w, h, hx, true AS dup
+      | FROM im WHERE img % 25 = 0),
+      |s AS (
+      | SELECT img,
+      |  [CASE WHEN dup AND i = 0 THEN 255
+      |    ELSE ('0x' || substr(hx, 17 + 2*(least(h - 1, (i // 8) * h // 8) * w
+      |            + least(w - 1, (i % 8) * w // 8)), 2))::INT END
+      |   for i in range(0, 64)] AS px
+      | FROM base),
+      |m AS (SELECT img, px, list_sum(px) AS sm FROM s),
+      |hsh AS (
+      | SELECT img,
+      |  list_sum([(px[i + 1] * 64 > sm)::BIGINT * (1::BIGINT << i)
+      |    for i in range(0, 32)]) AS lo,
+      |  list_sum([(px[i + 33] * 64 > sm)::BIGINT * (1::BIGINT << i)
+      |    for i in range(0, 32)]) AS hi
+      | FROM m),
+      |p AS (
+      | SELECT a.img AS d1, c.img AS d2
+      | FROM hsh a JOIN hsh c ON a.img < c.img
+      | WHERE bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) <= 1),
+      |sym AS (SELECT d1 AS a, d2 AS b FROM p
+      |        UNION ALL SELECT d2 AS a, d1 AS b FROM p),
+      |reach AS (
+      | SELECT DISTINCT a AS id, a AS lbl FROM sym
+      | UNION
+      | SELECT s.a AS id, r.lbl FROM sym s JOIN reach r ON r.id = s.b),
+      |lab AS (SELECT id, min(lbl) AS cluster_rep FROM reach GROUP BY id)
+      |SELECT h.img, coalesce(l.cluster_rep, h.img) AS rep,
+      | (coalesce(l.cluster_rep, h.img) = h.img) AS kept
+      |FROM hsh h LEFT JOIN lab l ON l.id = h.img""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // q50-q52: the production polyHash (FNV-1a) signature paths replayed
@@ -1030,45 +1130,12 @@ object EngineQueries {
     // the q91 hash pipeline + recursive-CTE transitive closure over the
     // exact hamming <= 1 edge set -> same min-reachable-id labels + kept
     // flags the Spark connectedComponents path produces
-    "q95_image_dedup" ->
-      """WITH RECURSIVE im AS (
-        | SELECT substr(image_id, 4)::BIGINT AS img, w, h, hex(bytes) AS hx
-        | FROM read_parquet('__SYNTH_DIR__/images/*.parquet')
-        | WHERE substr(image_id, 4)::BIGINT < 2000),
-        |base AS (
-        | SELECT img, w, h, hx, false AS dup FROM im
-        | UNION ALL
-        | SELECT img + 1000000 AS img, w, h, hx, true AS dup
-        | FROM im WHERE img % 25 = 0),
-        |s AS (
-        | SELECT img,
-        |  [CASE WHEN dup AND i = 0 THEN 255
-        |    ELSE ('0x' || substr(hx, 17 + 2*(least(h - 1, (i // 8) * h // 8) * w
-        |            + least(w - 1, (i % 8) * w // 8)), 2))::INT END
-        |   for i in range(0, 64)] AS px
-        | FROM base),
-        |m AS (SELECT img, px, list_sum(px) AS sm FROM s),
-        |hsh AS (
-        | SELECT img,
-        |  list_sum([(px[i + 1] * 64 > sm)::BIGINT * (1::BIGINT << i)
-        |    for i in range(0, 32)]) AS lo,
-        |  list_sum([(px[i + 33] * 64 > sm)::BIGINT * (1::BIGINT << i)
-        |    for i in range(0, 32)]) AS hi
-        | FROM m),
-        |p AS (
-        | SELECT a.img AS d1, c.img AS d2
-        | FROM hsh a JOIN hsh c ON a.img < c.img
-        | WHERE bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) <= 1),
-        |sym AS (SELECT d1 AS a, d2 AS b FROM p
-        |        UNION ALL SELECT d2 AS a, d1 AS b FROM p),
-        |reach AS (
-        | SELECT DISTINCT a AS id, a AS lbl FROM sym
-        | UNION
-        | SELECT s.a AS id, r.lbl FROM sym s JOIN reach r ON r.id = s.b),
-        |lab AS (SELECT id, min(lbl) AS cluster_rep FROM reach GROUP BY id)
-        |SELECT h.img, coalesce(l.cluster_rep, h.img) AS rep,
-        | (coalesce(l.cluster_rep, h.img) = h.img) AS kept
-        |FROM hsh h LEFT JOIN lab l ON l.id = h.img""".stripMargin,
+    "q95_image_dedup" -> ImageDedupClosureSql,
+
+    // q119 ingests the SAME corpus in three batches and must converge to
+    // the SAME labels — the full-recompute closure IS its oracle, byte-
+    // identical to q95's (batch-incremental == full-corpus is the claim)
+    "q119_incremental_dedup" -> ImageDedupClosureSql,
 
     // q91's aHash replay intersected with normalized-caption fingerprint
     // equality — both channels from the same stored blobs

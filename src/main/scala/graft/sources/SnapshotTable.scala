@@ -140,6 +140,20 @@ object SnapshotTable {
     }
   }
 
+  /** Newest-first idempotency-tag lookup: the snapshot whose `tag` equals
+    * `tag`, or None. Tags mark at-most-once work (a streaming epoch, an
+    * incremental-dedup batch window), and replays only ever target recent
+    * commits, so the newest-first walk usually stops after a handful of
+    * small manifest reads. A tagged commit that was already expired by
+    * [[expireSnapshots]] is invisible here — callers that survive long
+    * downtimes must keep a durable high-water mark outside the manifest
+    * log (the [[graft.streaming.SnapshotIngest]] `meta/source-*.txt`
+    * pattern). */
+  def findByTag(tableDir: String, tag: String): Option[Snapshot] =
+    snapshotIds(tableDir).reverseIterator
+      .map(id => snapshot(tableDir, id))
+      .find(_.tag.contains(tag))
+
   /** Load one snapshot's manifest. */
   def snapshot(tableDir: String, id: Long): Snapshot = {
     val p = manifestPath(tableDir, id)

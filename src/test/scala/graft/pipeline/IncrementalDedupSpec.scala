@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.Dedup
+import graft.sources.SnapshotTable
+
+/** The incremental-dedup state machine: batch-incremental results must
+  * equal the full-corpus recompute (the q119 oracle's claim, unit-sized
+  * here), and every crash/replay seam between the edge commit, the
+  * signature commit, and the cursor write must land exactly-once. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = IncrementalDedup.Config(
+    "id", "h", maxHamming = 1, cap = 4096, broadcastSizes = true)
+
+  /** 30 rows in 6 identical-hash quads (ids 0-23; the 6 quad patterns and
+    * 6 singleton one-hots are pairwise hamming >= 2, so the TRUE clusters
+    * are exactly the quads — verified ahead: no accidental cross-group
+    * hamming <= 1 pair exists) + 6 singletons; batch split id%3 puts each
+    * quad's members across ALL THREE batches, so cross-batch edges are
+    * the common case, not the exception. */
+  private def corpus: DataFrame = {
+    val quadPatterns =
+      Seq(0xFFL, 0xFF00L, 0xFFFFL, 0xFF0000L, 0xFF00FFL, 0xFFFF00L)
+    spark.range(0, 30).toDF("id").withColumn("h",
+      when(col("id") < 24,
+        element_at(
+          array(quadPatterns.map(lit): _*), (col("id") / 4).cast("int") + 1))
+        .otherwise(expr("shiftleft(1L, cast(id - 24 AS INT) + 32)")))
+  }
+
+  private def fullEdges: DataFrame =
+    Dedup.perceptualEdgesFromHashes(corpus, "id", "h", maxHamming = 1,
+      cap = 4096, broadcastSizes = true)
+
+  private def fullLabels: DataFrame = {
+    val cc = Dedup.connectedComponents(fullEdges.select(col("a"), col("b")))
+      .withColumnRenamed("id", "cid")
+    val c = corpus
+    c.join(cc, c("id") === col("cid"), "left")
+      .select(c("id"),
+        coalesce(col("cluster_rep"), col("id")).as("rep"),
+        (coalesce(col("cluster_rep"), col("id")) === col("id")).as("kept"))
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(s"graft-incdedup-$prefix").toString
+
+  /** Ingest `corpus` as three commits, running one dedup cycle after each. */
+  private def ingestAll(corpusDir: String, stateDir: String,
+                        cursor: String): Unit =
+    (0 to 2).foreach { g =>
+      SnapshotTable.commit(spark, corpusDir,
+        corpus.where(pmod(col("id"), lit(3)) === g))
+      val r = IncrementalDedup.processNew(spark, corpusDir, stateDir,
+        cursor, cfg)(identity)
+      assert(r.isDefined, s"cycle $g saw no new commits")
+    }
+
+  test("incrementalEdgesFromHashes: union over batches == full edge set") {
+    val batches = (0 to 2).map(g => corpus.where(pmod(col("id"), lit(3)) === g))
+    var state = corpus.limit(0)
+    var got = Seq.empty[DataFrame]
+    batches.foreach { fresh =>
+      got = got :+ Dedup.incrementalEdgesFromHashes(state, fresh, "id", "h",
+        maxHamming = 1, cap = 4096, broadcastSizes = true)
+      state = state.unionByName(fresh)
+    }
+    val union = got.reduce(_ unionByName _)
+    assert(union.count() > 0, "edge set unexpectedly empty — vacuous test")
+    assertSameRows(union, fullEdges)
+    // and each batch's output only touches that batch (no state-state pairs):
+    // batch 0 alone must NOT contain any edge between two id%3 != 0 rows
+    val b0 = got.head
+    assert(b0.where(pmod(col("a"), lit(3)) =!= 0 &&
+      pmod(col("b"), lit(3)) =!= 0).isEmpty)
+  }
+
+  test("three ingest cycles converge to the full-corpus labels") {
+    val (c, s) = (tmp("corpus"), tmp("state"))
+    val cursor = s"$s/cursor.txt"
+    ingestAll(c, s, cursor)
+    val labels = IncrementalDedup.currentLabels(spark, s, cfg)
+    assertSameRows(labels, fullLabels)
+    // absolute spot checks so both sides being degenerate can't pass:
+    // a quad clusters to its min id, a singleton keeps itself
+    val row = labels.where(col("id") === 7).collect()(0)
+    assert(row.getLong(1) === 4L && !row.getBoolean(2))
+    assert(labels.where(col("kept")).count() === 12) // 6 quad reps + 6 singles
+    // accumulated edge table == full recompute (no dup edges from replays)
+    assertSameRows(
+      SnapshotTable.read(spark, IncrementalDedup.edgesDir(s)), fullEdges)
+    // keepRepresentatives drops exactly the 18 non-representatives
+    val kept = IncrementalDedup.keepRepresentatives(spark, s, cfg, corpus)
+    assert(kept.count() === 12)
+  }
+
+  test("replay of a fully committed batch is a no-op (crash before cursor)") {
+    val (c, s) = (tmp("corpus"), tmp("state"))
+    val cursor = s"$s/cursor.txt"
+    ingestAll(c, s, cursor)
+    val sigRows = SnapshotTable.read(spark,
+      IncrementalDedup.signaturesDir(s)).count()
+    val edgeHead = SnapshotTable.currentSnapshotId(IncrementalDedup.edgesDir(s))
+    // the crash: cursor never advanced past cycle 2 — rewind and reprocess
+    Files.write(java.nio.file.Paths.get(cursor), "2".getBytes("UTF-8"))
+    val r = IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
+    assert(r === Some((2L, 3L)), "replay window not re-delivered")
+    // tags detected both appends: zero new rows, zero new snapshots
+    assert(SnapshotTable.read(spark,
+      IncrementalDedup.signaturesDir(s)).count() === sigRows)
+    assert(SnapshotTable.currentSnapshotId(
+      IncrementalDedup.edgesDir(s)) === edgeHead)
+    assertSameRows(IncrementalDedup.currentLabels(spark, s, cfg), fullLabels)
+  }
+
+  test("partial replay: edges committed, signatures not — completes cleanly") {
+    val (c, s) = (tmp("corpus"), tmp("state"))
+    val cursor = s"$s/cursor.txt"
+    // cycles 1 and 2 complete normally
+    (0 to 1).foreach { g =>
+      SnapshotTable.commit(spark, c, corpus.where(pmod(col("id"), lit(3)) === g))
+      IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
+    }
+    // cycle 3 "crashes" after the edge commit: land the edges under the
+    // exact tag processBatch would use, leave signatures and cursor behind
+    SnapshotTable.commit(spark, c, corpus.where(pmod(col("id"), lit(3)) === 2))
+    val fresh = corpus.where(pmod(col("id"), lit(3)) === 2)
+    val state = SnapshotTable.read(spark, IncrementalDedup.signaturesDir(s))
+    SnapshotTable.commit(spark, IncrementalDedup.edgesDir(s),
+      Dedup.incrementalEdgesFromHashes(state, fresh, "id", "h", 1,
+        cap = 4096, broadcastSizes = true),
+      "append", Some("dedup-edges:2-3"))
+    val edgeHead = SnapshotTable.currentSnapshotId(IncrementalDedup.edgesDir(s))
+    // the replay: must append ONLY the signatures, not re-append edges
+    val r = IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
+    assert(r === Some((2L, 3L)))
+    assert(SnapshotTable.currentSnapshotId(
+      IncrementalDedup.edgesDir(s)) === edgeHead, "edges were re-appended")
+    assert(SnapshotTable.read(spark,
+      IncrementalDedup.signaturesDir(s)).count() === 30)
+    assertSameRows(IncrementalDedup.currentLabels(spark, s, cfg), fullLabels)
+  }
+
+  test("partial replay: signatures committed, edges too, cursor behind twice") {
+    // two consecutive crashed replays of the same window must both no-op
+    val (c, s) = (tmp("corpus"), tmp("state"))
+    val cursor = s"$s/cursor.txt"
+    ingestAll(c, s, cursor)
+    (1 to 2).foreach { _ =>
+      Files.write(java.nio.file.Paths.get(cursor), "2".getBytes("UTF-8"))
+      IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
+    }
+    assert(SnapshotTable.read(spark,
+      IncrementalDedup.signaturesDir(s)).count() === 30)
+    assertSameRows(IncrementalDedup.currentLabels(spark, s, cfg), fullLabels)
+  }
+}
