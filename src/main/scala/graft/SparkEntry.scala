@@ -14,9 +14,9 @@ import graft.queries._
   *  - VectorQueries: embedding cosine top-k + norms
   *  - EngineQueries: MinHash/SimHash/LSH, multimodal payload legs,
   *    lineage, quality gates, curation funnel (DuckDB-oracled via
-  *    `__SYNTH_DIR__` byte replay and the SqlHash FNV-1a replay; only
-  *    q56 — double-bit xxhash digest — stays rows-only, with the oracled
-  *    q73 sibling)
+  *    `__SYNTH_DIR__` byte replay and the SqlHash FNV-1a replay; since
+  *    round 5 every battery entry carries a full oracle — q56 included,
+  *    via the canonical scaled-BIGINT digest encoding)
   */
 object SparkEntry {
 

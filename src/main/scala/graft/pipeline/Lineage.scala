@@ -39,10 +39,29 @@ object Lineage {
   def bucketOf(entityCol: String, nBuckets: Int) =
     pmod(xxhash64(col(entityCol)), lit(nBuckets.toLong)).cast("int")
 
+  /** Canonical digest encoding: floating-point columns enter the digest as
+    * `round(x * 1e6)::BIGINT` — the same 6-decimal precision every oracled
+    * comparison in this repo uses (Q.r6). Two wins over hashing raw IEEE
+    * bits: (1) a resumed bucket recomputed at different parallelism can
+    * differ from the original by thread-summation-order ulps, and a
+    * content fingerprint must NOT flip on sub-1e-6 jitter; (2) the
+    * encoding is integer arithmetic both Spark and DuckDB express
+    * identically, so the digest is cross-engine replayable (q56/q73).
+    * Non-float columns pass through untouched. */
+  def digestEncode(dt: org.apache.spark.sql.types.DataType,
+                   c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType =>
+        round(c * lit(1e6)).cast("long")
+      case _ => c
+    }
+
   /** Lineage rows for a result DataFrame (one per non-empty bucket). */
   def compute(df: DataFrame, entityCol: String, tsCol: String,
               nBuckets: Int, hasher: RowHasher = xxHasher): DataFrame = {
-    val hashCols = df.columns.map(col).toSeq
+    val hashCols = df.schema.fields.toSeq.map(f =>
+      digestEncode(f.dataType, col(f.name)))
     df.groupBy(pmod(hasher(Seq(col(entityCol))), lit(nBuckets.toLong))
         .cast("int").as("partition_id"))
       .agg(

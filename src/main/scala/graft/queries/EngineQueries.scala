@@ -14,10 +14,11 @@ import Q._
   * oracles that re-derive results from the SAME materialized synth bytes
   * via hex slicing (`__SYNTH_DIR__`) or replay the engine's FNV-1a
   * signature hashing in wrap-safe UBIGINT arithmetic (SqlHash: q50-q52).
-  * The ONE remaining rows-only entry is q56 — its digest hashes raw
-  * IEEE-754 double bits via Spark xxhash64, which DuckDB cannot
-  * reinterpret — and it has the oracled q73 sibling (same Lineage.compute
-  * over a cross-engine hash) plus LineageSpec depth. q53 gained a direct
+  * Since round 5 NO rows-only entries remain: q56 (lineage over the
+  * flagship output) became fully oracled once the digest convention moved
+  * to a canonical encoding — floats enter as round(x*1e6) BIGINTs
+  * (Lineage.digestEncode), which DuckDB replays exactly on top of the q55
+  * feature CTEs. q53 gained a direct
   * oracle in round 4; q54/q57/q58 were retired once their content was
   * fully hash-verified elsewhere (q106; q62+q104; q64+q105 — see the
   * inline notes at their former slots). */
@@ -104,10 +105,18 @@ object EngineQueries {
     // (q55, the flagship pipeline, lives in FlagshipQueries — it gained a
     // full DuckDB oracle this round)
 
-    // Lineage rows over the flagship output
+    // Lineage rows over the flagship output — FULLY ORACLED since round 5:
+    // the digest convention hashes a canonical encoding (floats as
+    // round(x*1e6) BIGINTs, Lineage.digestEncode), so the cross-engine
+    // md5Hasher56 digest over the COMPLETE q55 feature table — doubles
+    // included — is replayed by DuckDB on top of the exact q55 oracle CTEs.
+    // Bucket assignment, row counts, min/max window keys, and the
+    // xor+modular-sum digest combine are all hash-verified end-to-end over
+    // the real pipeline output (q73 stays as the raw-table sibling).
     "q56_lineage" -> ((s, dir) =>
-      Lineage.compute(FeaturePipeline.runSynthetic(s, 20000, 64),
-        "entity", "window_start", 32)),
+      Lineage.compute(
+        FlagshipQueries.queries("q55_flagship_features")(s, dir),
+        "entity", "ws_sec", 32, Lineage.md5Hasher56)),
 
     // (q57_lsh_topk / q58_ivf_topk retired in round 4: permanently
     // rows-only — mix64 hyperplanes and trained centroids aren't oracle-
@@ -1261,6 +1270,30 @@ object EngineQueries {
          | min(ts_sec) AS min_ts, max(ts_sec) AS max_ts,
          | xor(bit_xor(rh), (sum(rh % 1000003))::BIGINT) AS digest
          |FROM h GROUP BY 1""".stripMargin,
+
+    // lineage over the FULL flagship feature table: the q55 oracle CTEs
+    // rebuild the identical features in DuckDB, each row is concatenated
+    // in the exact Spark column order with floats at the canonical
+    // round(x*1e6) BIGINT encoding (Lineage.digestEncode), and the same
+    // 56-bit md5 prefix + xor/mod-sum combine follows — retiring the last
+    // rows-only battery entry
+    "q56_lineage" -> {
+      val enc = FlagshipQueries.flagshipDigestCols.map {
+        case (n, true) => s"round($n * 1e6)::BIGINT"
+        case (n, false) => n
+      }.mkString(", ")
+      s"""${FlagshipQueries.flagshipFeatureCtes},
+         |h AS (
+         | SELECT ws_sec,
+         |  ('0x' || substr(md5(concat_ws('|', $enc)), 1, 14))::BIGINT AS rh,
+         |  ('0x' || substr(md5(entity::VARCHAR), 1, 14))::BIGINT AS eh
+         | FROM feat)
+         |SELECT (eh % 32)::INT AS partition_id,
+         | count(*)::BIGINT AS row_count,
+         | min(ws_sec) AS min_ts, max(ws_sec) AS max_ts,
+         | xor(bit_xor(rh), (sum(rh % 1000003))::BIGINT) AS digest
+         |FROM h GROUP BY 1""".stripMargin
+    },
 
     "q114_snapshot_pinned" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n,

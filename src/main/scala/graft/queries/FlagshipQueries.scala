@@ -27,8 +27,25 @@ import Q._
 object FlagshipQueries {
 
   /** `<label> -> label_share_<l>_<q>` column name, as LabelModule emits. */
-  private def shareCol(l: String): String = s"label_share_${l.replace(':', '_')}"
+  private[queries] def shareCol(l: String): String =
+    s"label_share_${l.replace(':', '_')}"
   private val Labels = graft.sources.SynthImages.LABELS.toSeq
+
+  /** (name, isFloatingPoint) of the q55 output, in exact column order —
+    * q56's lineage digest concatenates the row in THIS order on both
+    * engines, so the list exists once. Keep in sync with
+    * [[roundedFeatureCols]] (EntryContractSpec pins the q55 schema). */
+  private[queries] val flagshipDigestCols: Seq[(String, Boolean)] =
+    Seq(("entity", false), ("ws_sec", false), ("n_images", false),
+      ("brightness_mean", true), ("brightness_std", true),
+      ("brightness_skew", true), ("brightness_kurt", true),
+      ("abs_delta_mean", true), ("n_ascending", false),
+      ("n_descending", false), ("caption_tokens_mean", true),
+      ("aspect_mean", true), ("lossy_share", true), ("n_sessions", false),
+      ("n_labels", false), ("weight_max", true)) ++
+      Labels.map(l => (shareCol(l), true)) ++
+      Seq(("label_share_major", true), ("label_share_minor", true),
+        ("label_share_dim", true))
 
   /** Driver-comparable projection of the module aggregates: r6-rounded
     * doubles, integral counts as-is. Shared by q55 and q65. */
@@ -177,21 +194,28 @@ object FlagshipQueries {
        | FROM gm)""".stripMargin
   }
 
+  /** The COMPLETE q55 feature table as a CTE chain ending in `feat` —
+    * q55's oracle selects it verbatim; q56's lineage oracle appends its
+    * digest aggregation on top, so the two replay the identical features. */
+  private[queries] val flagshipFeatureCtes: String = {
+    // family sums over the ROUNDED members in sorted-name order — exactly
+    // the Spark side's groupColumnFamilies fold
+    def fam(q: String) = Labels.map(shareCol).filter(_.endsWith(s"_$q")).sorted
+      .map(m => s"coalesce($m, 0.0)").mkString(" + ")
+    s"""$prepJoinCtes,
+       |${enrichAggCtes("j", "phash",
+           "phash", "entity", "(ts_sec // 600 * 600)::BIGINT", "ws_sec")},
+       |feat AS (
+       | SELECT *,
+       |  round((${fam("maj")}) + 3.7e-10, 6) AS label_share_major,
+       |  round((${fam("min")}) + 3.7e-10, 6) AS label_share_minor,
+       |  round((${fam("dim")}) + 3.7e-10, 6) AS label_share_dim
+       | FROM g)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "q55_flagship_features" -> {
-      // family sums over the ROUNDED members in sorted-name order — exactly
-      // the Spark side's groupColumnFamilies fold
-      def fam(q: String) = Labels.map(shareCol).filter(_.endsWith(s"_$q")).sorted
-        .map(m => s"coalesce($m, 0.0)").mkString(" + ")
-      s"""$prepJoinCtes,
-         |${enrichAggCtes("j", "phash",
-             "phash", "entity", "(ts_sec // 600 * 600)::BIGINT", "ws_sec")}
-         |SELECT *,
-         | round((${fam("maj")}) + 3.7e-10, 6) AS label_share_major,
-         | round((${fam("min")}) + 3.7e-10, 6) AS label_share_minor,
-         | round((${fam("dim")}) + 3.7e-10, 6) AS label_share_dim
-         |FROM g""".stripMargin
-    },
+    "q55_flagship_features" ->
+      s"$flagshipFeatureCtes\nSELECT * FROM feat",
 
     "q65_flagship_sliding" -> {
       // window-id explode formula == WindowOps.slidingWindowIds (oracled by
