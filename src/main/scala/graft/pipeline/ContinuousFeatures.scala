@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** The continuous flagship pipeline — the composition the 100 TB
+  * deployment runs end to end: a stream lands micro-batches as corpus
+  * snapshot commits ([[graft.streaming.SnapshotIngest]]), and a periodic
+  * maintenance job turns everything that arrived since its cursor into
+  * flagship feature rows appended to a FEATURE SnapshotTable — windows
+  * emitted exactly once across any number of kills and restarts.
+  *
+  * Window-closing contract: a tumbling window `[w, w+step)` is emitted
+  * when the corpus watermark (max event time ingested so far) passes its
+  * end — with time-ordered ingest no later row can land in it. Each cycle
+  * `(from, to]` derives BOTH boundaries deterministically from the
+  * snapshot log itself (`boundary(s) = floor(maxTs(snapshot s) / step)`),
+  * so the window range [boundary(from), boundary(to)) is a pure function
+  * of the processed snapshot window: a replayed cycle re-derives the
+  * identical range and its tagged append is skipped
+  * ([[SnapshotTable.findByTag]]) — the [[IncrementalDedup]] exactly-once
+  * recipe applied to feature maintenance. `maxTs(s)` comes from the
+  * manifest's per-file stats when the ingest recorded them
+  * (`statsCols = Seq(tsCol)`) — no data scan — and falls back to a scan.
+  *
+  * Exactness: the emitted rows equal the full-corpus batch run restricted
+  * to the closed windows, because every order-dependent enrichment column
+  * (lag delta, session cumsum) depends only on PRECEDING rows per entity
+  * — rows at or above the closing boundary cannot change a closed
+  * window's values. The cycle therefore computes over the pinned corpus
+  * BELOW the new boundary and filters to the newly closed windows;
+  * ContinuousPipelineSpec asserts bitwise equality with the one-shot run.
+  *
+  * Scale note: the enrichment read spans corpus history below the
+  * boundary (lag/session state reaches back arbitrarily far for sparse
+  * entities). That is the auditable-exactness default; the bounded-state
+  * path is the streaming layer itself (flatMapGroupsWithState carries one
+  * row of state per entity — see graft.streaming.StreamingFeatures) or
+  * periodic per-entity state compaction. n_sessions is offset-invariant
+  * (max−min+1 of the running session id), so a bounded-lookback variant
+  * only needs each entity's last pre-boundary row, not its history.
+  *
+  * Late data: a row arriving with event time below an already-closed
+  * boundary violates the time-ordered-ingest contract and will not be
+  * re-windowed; route such rows to the corrupt-row channel
+  * ([[graft.sources.ErrorChannel]]) at ingest, or widen the closing lag
+  * by passing `lateness` > 0.
+  */
+object ContinuousFeatures {
+
+  /** One maintenance cycle: process corpus commits since the cursor,
+    * append the newly closed windows' feature rows to `featureDir`.
+    * Returns the processed snapshot window, or None when nothing arrived.
+    *
+    * @param labels   the as-of label dimension (static or itself pinned)
+    * @param stepSec  tumbling window width — must match the pipeline's
+    *                 (FeaturePipeline.WindowDuration = 600s by default)
+    * @param lateness extra seconds the watermark lags max event time */
+  def cycle(spark: SparkSession, corpusDir: String, labels: DataFrame,
+            featureDir: String, cursorPath: String, tsCol: String = "ts",
+            stepSec: Long = 600L, lateness: Long = 0L): Option[(Long, Long)] =
+    Incremental.processNewWithRange(spark, corpusDir, cursorPath) {
+      (_, from, to) =>
+        val tag = s"feat:$from-$to"
+        if (SnapshotTable.findByTag(featureDir, tag).isEmpty) {
+          val prev = if (from == 0L) Long.MinValue
+                     else boundarySec(spark, corpusDir, from, tsCol, stepSec, lateness)
+          val bound = boundarySec(spark, corpusDir, to, tsCol, stepSec, lateness)
+          val corpus = SnapshotTable.read(spark, corpusDir, Some(to))
+            .where(unix_timestamp(col(tsCol)) < bound)
+          val closed = FeaturePipeline.features(corpus, labels)
+            .where(unix_timestamp(col("window_start")) >= prev &&
+              unix_timestamp(col("window_start")) < bound)
+          SnapshotTable.commit(spark, featureDir, closed, "append", Some(tag))
+        }
+    }
+
+  /** The closing boundary for a corpus snapshot: the largest window start
+    * NOT yet closed — `floor((maxTs − lateness) / step) * step`. Windows
+    * strictly below it are complete. Manifest ts stats (epoch MICROS for
+    * timestamp columns) decide without opening a file; absent stats fall
+    * back to one max() over the pinned snapshot. An empty snapshot closes
+    * nothing. */
+  private[graft] def boundarySec(spark: SparkSession, corpusDir: String,
+                                 snapshotId: Long, tsCol: String,
+                                 stepSec: Long, lateness: Long): Long = {
+    val snap = SnapshotTable.snapshot(corpusDir, snapshotId)
+    if (snap.files.isEmpty) return Long.MinValue
+    val statMaxes = snap.files.map(_.stats.collectFirst {
+      case (c, _, mx) if c == tsCol => mx
+    })
+    val maxSec: Long =
+      if (statMaxes.forall(_.isDefined)) statMaxes.flatten.max / 1000000L
+      else {
+        val r = SnapshotTable.read(spark, corpusDir, Some(snapshotId))
+          .agg(max(unix_timestamp(col(tsCol)))).collect()(0)
+        if (r.isNullAt(0)) return Long.MinValue else r.getLong(0)
+      }
+    Math.floorDiv(maxSec - lateness, stepSec) * stepSec
+  }
+}

@@ -49,9 +49,9 @@ object SnapshotIngest {
     * manifest: each commit's files then span only that batch's time
     * window, and [[SnapshotTable.readRange]] over "the last hour" skips
     * every older file without opening it. */
-  private[streaming] def commitOnce(batch: DataFrame, tableDir: String,
-                                    source: String, epochId: Long,
-                                    statsCols: Seq[String] = Nil): Boolean = {
+  private[graft] def commitOnce(batch: DataFrame, tableDir: String,
+                                source: String, epochId: Long,
+                                statsCols: Seq[String] = Nil): Boolean = {
     require(source.matches("[A-Za-z0-9._-]+"),
       s"source name must be filename-safe (it keys meta/source-<name>.txt): $source")
     val tag = s"$source:batch-$epochId"

@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import graft.sources.{SnapshotTable, SynthImages}
+import graft.streaming.SnapshotIngest
+
+/** The full continuous pipeline, end to end: streaming ingest lands
+  * micro-batches as corpus snapshot commits, ContinuousFeatures turns
+  * every arrival into flagship feature rows appended to a feature
+  * SnapshotTable — and the result equals the one-shot batch run exactly,
+  * with every window emitted once across ingest replays, cursor rewinds,
+  * and duplicate maintenance runs. */
+class ContinuousPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 400L
+  private val Entities = 8
+
+  private def allImages: DataFrame = SynthImages.images(spark, N, Entities)
+  private def labels: DataFrame = SynthImages.labels(spark, N, Entities)
+
+  /** The corpus rows as ts-ordered tuples for the memory stream. */
+  private def orderedRows: Seq[(String, Array[Byte], Int, Int, String,
+      String, Long, Timestamp)] =
+    allImages.orderBy(col("ts"), col("image_id")).collect().toSeq.map { r =>
+      (r.getString(0), r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3),
+        r.getString(4), r.getString(5), r.getLong(6), r.getTimestamp(7))
+    }
+
+  /** One-shot batch reference restricted to windows below `boundSec`. */
+  private def reference(boundSec: Long): DataFrame =
+    FeaturePipeline.features(allImages, labels)
+      .where(unix_timestamp(col("window_start")) < boundSec)
+
+  test("stream -> corpus commits -> feature maintenance == one-shot batch run") {
+    implicit val ctx = spark.sqlContext
+    val corpus = Files.createTempDirectory("graft-cont-corpus").toString
+    val feats = Files.createTempDirectory("graft-cont-feats").toString
+    val ckpt = Files.createTempDirectory("graft-cont-ckpt").toString
+    val cursor = s"$feats.cursor"
+    val lbl = labels
+
+    val rows = orderedRows
+    val slices = Seq(rows.slice(0, 130), rows.slice(130, 290),
+      rows.slice(290, rows.length))
+    val in = MemoryStream[(String, Array[Byte], Int, Int, String, String,
+      Long, Timestamp)]
+    // a stats-bearing ingest writes MICROS timestamps (INT96, the legacy
+    // default, carries no footer stats the manifest layer will trust —
+    // the SnapshotTableSpec unit-mismatch cases); the stream clones the
+    // session conf at start
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prior = spark.conf.get(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    val q = SnapshotIngest.start(
+      in.toDF.toDF("image_id", "bytes", "w", "h", "fmt", "caption",
+        "phash", "ts"),
+      corpus, ckpt, source = "cam", statsCols = Seq("ts"))
+    try {
+      slices.zipWithIndex.foreach { case (slice, i) =>
+        in.addData(slice: _*)
+        q.processAllAvailable()
+        // a maintenance cycle after every arrival
+        val r = ContinuousFeatures.cycle(spark, corpus, lbl, feats, cursor)
+        assert(r.isDefined, s"cycle $i saw no new snapshot")
+        // nothing more to do until the next arrival
+        assert(ContinuousFeatures.cycle(spark, corpus, lbl, feats, cursor).isEmpty)
+      }
+    } finally { q.stop(); spark.conf.set(tsKey, prior) }
+
+    val head = SnapshotTable.currentSnapshotId(corpus).get
+    assert(head === 3L, "each micro-batch must land exactly one commit")
+    // ts stats rode the manifests, so the watermark never scanned data
+    assert(SnapshotTable.snapshot(corpus, head).files
+      .forall(_.stats.exists(_._1 == "ts")))
+
+    val bound = ContinuousFeatures.boundarySec(spark, corpus, head, "ts", 600L, 0L)
+    val got = SnapshotTable.read(spark, feats)
+    // every closed window exactly once...
+    assert(got.select(col("entity"), col("window_start")).distinct().count()
+      === got.count())
+    // ...open windows withheld (nothing at or past the watermark boundary)
+    assert(got.where(unix_timestamp(col("window_start")) >= bound).isEmpty)
+    // ...and bit-equal to the one-shot batch run over the same corpus:
+    // closed-window values can't depend on later rows (lag/session are
+    // preceding-row-only), so incremental == full must hold exactly
+    assertSameRows(got, reference(bound))
+
+    // the final arrival closes earlier windows: all three cycles emitted
+    assert(SnapshotTable.snapshots(feats).count(_.files.nonEmpty) >= 2)
+  }
+
+  test("kill/restart seams: cursor rewind, duplicate run, ingest replay") {
+    val corpus = Files.createTempDirectory("graft-cont2-corpus").toString
+    val feats = Files.createTempDirectory("graft-cont2-feats").toString
+    val cursor = s"$feats.cursor"
+    val lbl = labels
+
+    val rows = orderedRows
+    // the foreachBatch body, driven directly (SnapshotIngestSpec covers the
+    // streaming harness; the seams here are the maintenance job's)
+    assert(SnapshotIngest.commitOnce(
+      rows.slice(0, 200).toDF("image_id", "bytes", "w", "h", "fmt",
+        "caption", "phash", "ts"), corpus, "cam", 0L, Seq("ts")))
+    assert(ContinuousFeatures.cycle(spark, corpus, lbl, feats, cursor).isDefined)
+    val afterOne = SnapshotTable.read(spark, feats).collect().toSeq
+    val featHead = SnapshotTable.currentSnapshotId(feats)
+
+    // crash A: maintenance died between its feature commit and the cursor
+    // write — the replayed window re-derives the same tag and is skipped
+    Files.write(java.nio.file.Paths.get(cursor), "0".getBytes("UTF-8"))
+    assert(ContinuousFeatures.cycle(spark, corpus, lbl, feats, cursor)
+      === Some((0L, 1L)))
+    assert(SnapshotTable.currentSnapshotId(feats) === featHead,
+      "replayed cycle must not re-append")
+
+    // crash B: the stream restarted and replayed its in-flight epoch — the
+    // ingest tag dedups it, so no new corpus snapshot, so no new cycle
+    assert(!SnapshotIngest.commitOnce(
+      rows.slice(0, 200).toDF("image_id", "bytes", "w", "h", "fmt",
+        "caption", "phash", "ts"), corpus, "cam", 0L, Seq("ts")))
+    assert(ContinuousFeatures.cycle(spark, corpus, lbl, feats, cursor).isEmpty)
+
+    // normal resume: the NEXT epoch lands and its windows extend the table
+    // without touching the already-emitted ones
+    assert(SnapshotIngest.commitOnce(
+      rows.slice(200, 400).toDF("image_id", "bytes", "w", "h", "fmt",
+        "caption", "phash", "ts"), corpus, "cam", 1L, Seq("ts")))
+    assert(ContinuousFeatures.cycle(spark, corpus, lbl, feats, cursor)
+      === Some((1L, 2L)))
+    val all = SnapshotTable.read(spark, feats)
+    assert(all.select(col("entity"), col("window_start")).distinct().count()
+      === all.count())
+    // the first cycle's rows are still there, byte-identical (appends only)
+    val afterOneDf = spark.createDataFrame(
+      java.util.Arrays.asList(afterOne: _*),
+      SnapshotTable.read(spark, feats).schema)
+    assert(all.join(afterOneDf,
+      Seq("entity", "window_start"), "left_semi").count() === afterOne.length)
+
+    val bound = ContinuousFeatures.boundarySec(spark, corpus,
+      SnapshotTable.currentSnapshotId(corpus).get, "ts", 600L, 0L)
+    assertSameRows(all, reference(bound))
+  }
+}
