@@ -123,6 +123,18 @@ class PlanSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q119 incremental dedup: banded joins only, no cartesian, no corpus rehash") {
+    // the labels query reads PERSISTED state tables — the plan must contain
+    // only the CC fixpoint join + the label left join over parquet scans:
+    // no image decode / ahash (the corpus is never re-hashed at query time)
+    val plan = planOf(SparkEntry.queries("q119_incremental_dedup")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q119 label join degraded to a product:\n$plan")
+    assert(!plan.toLowerCase.contains("ahash"),
+      s"q119 re-hashed the corpus at query time:\n$plan")
+  }
+
   test("q70 melodic-motion battery: no cartesian, one entity exchange reused") {
     val plan = planOf(SparkEntry.queries("q70_melodic_motion")(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
