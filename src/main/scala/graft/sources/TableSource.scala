@@ -102,6 +102,19 @@ object TableSource {
     * (repartition's HashPartitioning is the same murmur3-pmod hash
     * bucketing uses, so each output task holds exactly one bucket).
     *
+    * Choosing `buckets` (measured on the 40 M-row flagship input,
+    * BASELINE.md round-5 sweep): make it a multiple of the LARGEST
+    * reader's core count with at least ~8 task waves — per-bucket
+    * variance (entity mix, JVM effects) amortizes across waves, and too
+    * few waves is exactly what collapses short-wall scaling (64 buckets
+    * = 4 waves at 16 cores scored 0.74 N→4N efficiency; 128 buckets =
+    * 8 waves scored 0.80 on the same input, and 0.88 vs 0.82 at the
+    * 2→8 rung). Upper bound: keep each bucket's data share around the
+    * 100-500 MB a single scan task handles well (the Iceberg bucket
+    * sizing guidance) — more buckets than that only adds file and
+    * footer overhead. For this repo's bench input (17 GB, 16-core max
+    * readers) that lands on 128.
+    *
     * The table registers in the session catalog (external, at `path`);
     * read it back with `spark.table(name)` or a `table:<name>` spec. */
   def writeBucketed(df: DataFrame, name: String, path: String, buckets: Int,
