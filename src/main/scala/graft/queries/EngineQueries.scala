@@ -219,6 +219,42 @@ object EngineQueries {
           max(col("event_id")).as("max_id"), r6(avg(col("value"))).as("avg_value"))
     }),
 
+    // Equality DELETES with sequence semantics (SnapshotTable.deleteKeys —
+    // the Iceberg equality-delete analog, the takedown path a 100 TB
+    // corpus needs): lineitem is committed bucketed, a takedown list of
+    // l_orderkey%5==0 keys is tombstoned (including keys absent at that
+    // point — no-ops), then the %3==0 remainder is appended AFTER the
+    // delete. The pinned read of that state must show the re-inserted
+    // %15-family rows ALIVE (tombstones only apply to older files) while
+    // the original %5==0 rows stay dead — DuckDB replays the exact
+    // union-of-eras predicate, so a delete that leaked, over-deleted, or
+    // ignored sequence ordering hash-mismatches.
+    "q120_snapshot_delete" -> ((s, dir) => {
+      val table = snapDeleteTable(s, dir)
+      graft.sources.SnapshotTable.read(s, table, Some(3L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_price"))
+    }),
+
+    // Compaction (SnapshotTable.compact — Iceberg's rewrite_data_files):
+    // the same table's head is the post-compaction overwrite, which must
+    // carry the SAME logical content as q120's pre-compaction snapshot
+    // (tombstones consumed, bucket layout preserved, fragmented sequence
+    // groups collapsed) — read back through the bucketed zero-exchange
+    // path and hash-compared against the identical oracle.
+    "q121_compacted_read" -> ((s, dir) => {
+      val table = snapDeleteTable(s, dir)
+      val head = graft.sources.SnapshotTable.snapshot(table,
+        graft.sources.SnapshotTable.currentSnapshotId(table).get)
+      require(head.operation == "overwrite" && head.deletes.isEmpty &&
+        head.bucketSpec.nonEmpty, "head must be the compacted rewrite")
+      graft.sources.SnapshotTable.readBucketed(s, table)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_price"))
+    }),
+
     // Multimodal payload fidelity with a DRIVER-VISIBLE oracle: the synth
     // image table (bytes included) is materialized to parquet and DuckDB
     // re-parses the SAME stored blobs via hex slicing — container magic,
@@ -1307,6 +1343,26 @@ object EngineQueries {
         | round(sum(l_extendedprice) + 3.7e-10, 2) AS sum_price
         |FROM lineitem WHERE l_orderkey % 3 = 0 GROUP BY 1""".stripMargin,
 
+    "q120_snapshot_delete" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        | round(sum(l_quantity) + 3.7e-10, 2) AS sum_qty,
+        | round(sum(l_extendedprice) + 3.7e-10, 2) AS sum_price
+        |FROM (
+        |  SELECT * FROM lineitem WHERE l_orderkey % 3 <> 0 AND l_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT * FROM lineitem WHERE l_orderkey % 3 = 0
+        |) GROUP BY 1""".stripMargin,
+
+    "q121_compacted_read" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        | round(sum(l_quantity) + 3.7e-10, 2) AS sum_qty,
+        | round(sum(l_extendedprice) + 3.7e-10, 2) AS sum_price
+        |FROM (
+        |  SELECT * FROM lineitem WHERE l_orderkey % 3 <> 0 AND l_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT * FROM lineitem WHERE l_orderkey % 3 = 0
+        |) GROUP BY 1""".stripMargin,
+
     "q116_snapshot_range" ->
       s"""WITH ev AS (
          | SELECT event_id, event_type, value,
@@ -1360,6 +1416,46 @@ object EngineQueries {
         li.where(pmod(col("l_orderkey"), lit(3)) =!= 0))
       graft.sources.SnapshotTable.append(s, tmp,
         li.where(pmod(col("l_orderkey"), lit(3)) === 0))
+      java.nio.file.Files.createFile(done)
+    }
+    tmp
+  }
+
+  /** q120/q121's delete-and-compact lineitem table, cached per sf dir
+    * like [[snapTable]]. Four snapshots: (1) bucketed append of the
+    * l_orderkey%3<>0 rows; (2) an equality-delete tombstoning every
+    * l_orderkey%5==0 key — the %15-family keys are ABSENT at this point,
+    * so the takedown list also exercises absent-key no-ops; (3) bucketed
+    * append of the %3==0 remainder, re-inserting the %15-family AFTER the
+    * delete (they must survive: sequence semantics); (4) compact() — the
+    * overwrite rewrite that consumes the tombstones, preserves the bucket
+    * layout, and must be logically identical to snapshot 3. */
+  private def snapDeleteTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_snapdel_" +
+      graft.sources.TableSource.pathKey(dir)
+    val done = java.nio.file.Paths.get(tmp, "__layout_complete")
+    if (!java.nio.file.Files.exists(done)) {
+      val root = java.nio.file.Paths.get(tmp)
+      if (java.nio.file.Files.isDirectory(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally walk.close()
+      }
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+      val spec = graft.sources.SnapshotTable.BucketSpec(
+        8, "l_orderkey", Seq("l_orderkey"))
+      graft.sources.SnapshotTable.commitBucketed(s, tmp,
+        li.where(pmod(col("l_orderkey"), lit(3)) =!= 0), spec)
+      graft.sources.SnapshotTable.deleteKeys(s, tmp, "l_orderkey",
+        li.where(pmod(col("l_orderkey"), lit(5)) === 0).select("l_orderkey"))
+      graft.sources.SnapshotTable.commitBucketed(s, tmp,
+        li.where(pmod(col("l_orderkey"), lit(3)) === 0), spec)
+      graft.sources.SnapshotTable.compact(s, tmp)
       java.nio.file.Files.createFile(done)
     }
     tmp

@@ -36,10 +36,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    read re-attaches the bucketing metadata — snapshot isolation AND
   *    the zero-exchange plan at once, Iceberg's bucket partition
   *    transform + snapshot isolation operating together;
+  *  - row-level DELETES ([[deleteKeys]]): an equality-delete tombstone
+  *    commit is O(|keys|) no matter the table size — data files are never
+  *    rewritten; readers anti-join the tombstones with sequence semantics
+  *    (a delete applies only to files older than it, so later re-inserts
+  *    survive). [[compact]] is the rewrite_data_files analog: one
+  *    overwrite that consumes tombstones, collapses small ingest files,
+  *    preserves the bucket layout, and refuses to clobber a concurrent
+  *    commit (rewrite validation via an expected-head check);
   *  - [[expireSnapshots]] garbage-collects manifests outside the retention
-  *    window and data files unreachable from any retained snapshot. At
-  *    100 TB the data files are the cost: time travel must be bounded by
-  *    explicit retention, not "keep every version forever".
+  *    window and data/tombstone files unreachable from any retained
+  *    snapshot. At 100 TB the data files are the cost: time travel must be
+  *    bounded by explicit retention, not "keep every version forever".
   *
   * Layout (all paths inside the manifest are RELATIVE to the table root,
   * so a table directory is relocatable as a unit):
@@ -81,9 +89,26 @@ object SnapshotTable {
     * stats columns co-exist and pruning never consults the wrong
     * column's bounds). Multi-column stats let independent pruning
     * dimensions COMPOSE — e.g. entity-range AND time-range over an
-    * ingest clustered on both. */
+    * ingest clustered on both. `addedAt` is the snapshot id whose commit
+    * added the file (the Iceberg data-sequence-number analog): equality
+    * deletes apply only to files STRICTLY OLDER than the delete, so a row
+    * re-inserted after a delete survives it. Legacy manifests default to
+    * 0 — every delete applies, which is vacuously correct because such
+    * tables predate the delete operation entirely. */
   final case class DataFile(path: String, rows: Long, bytes: Long,
-                            stats: Seq[(String, Long, Long)] = Nil)
+                            stats: Seq[(String, Long, Long)] = Nil,
+                            addedAt: Long = 0L)
+
+  /** One immutable equality-delete tombstone file (the Iceberg
+    * equality-delete-file analog): a parquet file of key values under
+    * `data/d-<uuid>/` whose single column `keyCol` names the rows to
+    * remove. `addedAt` is the delete snapshot's id; the file applies to
+    * exactly the data files with `DataFile.addedAt < addedAt`. Duplicate
+    * keys across delete files are harmless (anti-join semantics), and
+    * deleting an absent key is a no-op — a takedown list can be applied
+    * verbatim without first probing the corpus. */
+  final case class DeleteFile(path: String, keyCol: String, rows: Long,
+                              bytes: Long, addedAt: Long)
 
   /** A table-level bucket layout: every data file of every commit is
     * hash-bucketed on `bucketCol` into `buckets` buckets (Spark's
@@ -104,12 +129,13 @@ object SnapshotTable {
   final case class Snapshot(
       id: Long,
       parentId: Option[Long],
-      operation: String, // "append" | "overwrite"
+      operation: String, // "append" | "overwrite" | "delete"
       committedAtMs: Long,
       files: Seq[DataFile],
       tag: Option[String] = None,
       schemaJson: Option[String] = None,
-      bucketSpec: Option[BucketSpec] = None) {
+      bucketSpec: Option[BucketSpec] = None,
+      deletes: Seq[DeleteFile] = Nil) {
     def totalRows: Long = files.map(_.rows).sum
     def totalBytes: Long = files.map(_.bytes).sum
   }
@@ -196,15 +222,23 @@ object SnapshotTable {
              statsCols: Seq[String] = Nil): Snapshot = {
     require(operation == "append" || operation == "overwrite",
       s"unsupported operation: $operation")
+    val newFiles = writeCommitDir(spark, tableDir, df, statsCols)
+    publishLoop(tableDir, operation, newFiles, tag, Some(df.schema.json), None)
+  }
+
+  /** Write `df` as-is into a fresh commit directory and return its
+    * [[DataFile]]s (shared by [[commit]] and the unbucketed
+    * [[compactFrom]] path). */
+  private def writeCommitDir(spark: SparkSession, tableDir: String,
+                             df: DataFrame, statsCols: Seq[String]): Seq[DataFile] = {
     Files.createDirectories(metaDir(tableDir))
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val rel = s"data/c-$commitId"
     val dataPath = Paths.get(tableDir, rel)
     df.write.parquet(dataPath.toString)
-    val newFiles = listParquet(spark, dataPath, statsCols).map {
+    listParquet(spark, dataPath, statsCols).map {
       case (name, rows, bytes, st) => DataFile(s"$rel/$name", rows, bytes, st)
     }
-    publishLoop(tableDir, operation, newFiles, tag, Some(df.schema.json), None)
   }
 
   def append(spark: SparkSession, tableDir: String, df: DataFrame): Snapshot =
@@ -234,16 +268,26 @@ object SnapshotTable {
                      statsCols: Seq[String] = Nil): Snapshot = {
     require(operation == "append" || operation == "overwrite",
       s"unsupported operation: $operation")
+    val newFiles = writeBucketedCommitDir(spark, tableDir, df, spec, statsCols)
+    publishLoop(tableDir, operation, newFiles, tag, Some(df.schema.json), Some(spec))
+  }
+
+  /** Write `df` bucket-transformed into a fresh commit directory and
+    * return its [[DataFile]]s (shared by [[commitBucketed]] and the
+    * bucketed [[compactFrom]] path). bucketBy is only reachable through
+    * saveAsTable — register a throwaway EXTERNAL table at the commit
+    * directory, then drop the catalog entry (external drop leaves the
+    * files). The files carry the bucket id in their names
+    * (part-...-_00003.c000...), which is what readBucketed's re-attached
+    * DDL keys on. */
+  private def writeBucketedCommitDir(spark: SparkSession, tableDir: String,
+                                     df: DataFrame, spec: BucketSpec,
+                                     statsCols: Seq[String]): Seq[DataFile] = {
     require(spec.sortCols.nonEmpty, "sortCols must name at least one column")
     Files.createDirectories(metaDir(tableDir))
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val rel = s"data/c-$commitId"
     val dataPath = Paths.get(tableDir, rel)
-    // bucketBy is only reachable through saveAsTable — register a throwaway
-    // EXTERNAL table at the commit directory, then drop the catalog entry
-    // (external drop leaves the files). The files carry the bucket id in
-    // their names (part-...-_00003.c000...), which is what readBucketed's
-    // re-attached DDL keys on.
     val tmpName = s"graft_snapb_${commitId.replace("-", "")}"
     import org.apache.spark.sql.functions.col
     df.repartition(spec.buckets, col(spec.bucketCol))
@@ -252,39 +296,164 @@ object SnapshotTable {
       .sortBy(spec.sortCols.head, spec.sortCols.tail: _*)
       .saveAsTable(tmpName)
     spark.sql(s"DROP TABLE $tmpName")
-    val newFiles = listParquet(spark, dataPath, statsCols).map {
+    listParquet(spark, dataPath, statsCols).map {
       case (name, rows, bytes, st) => DataFile(s"$rel/$name", rows, bytes, st)
     }
-    publishLoop(tableDir, operation, newFiles, tag, Some(df.schema.json), Some(spec))
   }
 
-  /** Optimistic publish loop shared by [[commit]] and [[commitBucketed]]:
-    * re-reads the head each attempt so a lost race stacks this commit's
-    * files on top of the winner's, and enforces layout compatibility
-    * INSIDE the loop (the winner may have changed the head's spec). */
+  /** Row-level DELETE by key (the Iceberg equality-delete analog — the
+    * takedown / right-to-be-forgotten path a 100 TB corpus must support
+    * without rewriting petabytes): `keys`' `keyCol` column is written as
+    * an immutable tombstone file and a "delete" snapshot is published —
+    * data files are NOT touched, the commit is O(|keys|) regardless of
+    * table size. Readers apply tombstones as an anti-join; a key
+    * re-inserted by a LATER append survives (sequence semantics via
+    * [[DataFile.addedAt]]), and deleting an absent key is a no-op.
+    * Tombstones accumulate until a [[compact]] rewrite consumes them;
+    * reads stay correct either way, compaction restores read speed.
+    * Returns the delete snapshot. */
+  def deleteKeys(spark: SparkSession, tableDir: String, keyCol: String,
+                 keys: DataFrame, tag: Option[String] = None): Snapshot = {
+    val headId = currentSnapshotId(tableDir).getOrElse(
+      sys.error(s"$tableDir has no snapshots to delete from"))
+    val head = snapshot(tableDir, headId)
+    head.schemaJson.foreach { json =>
+      val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(schema.fieldNames.contains(keyCol),
+        s"delete key column '$keyCol' is not a column of $tableDir " +
+          s"(schema: ${schema.fieldNames.mkString(", ")})")
+    }
+    Files.createDirectories(metaDir(tableDir))
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val rel = s"data/d-$commitId"
+    val dataPath = Paths.get(tableDir, rel)
+    keys.select(keyCol).distinct().write.parquet(dataPath.toString)
+    val dels = listParquet(spark, dataPath, Nil).map {
+      case (name, rows, bytes, _) => DeleteFile(s"$rel/$name", keyCol, rows, bytes, 0L)
+    }
+    publishLoop(tableDir, "delete", Nil, tag, None, None, dels)
+  }
+
+  /** Rewrite the CURRENT snapshot's logical state as one fresh overwrite
+    * commit (Iceberg's `rewrite_data_files`): tombstones are materialized
+    * and dropped, a streaming ingest's pile of per-micro-batch small files
+    * collapses into full-size ones, and a bucketed table is rewritten
+    * bucket-transformed (the head's [[BucketSpec]] is preserved, so
+    * post-compaction [[readBucketed]] is exchange-free again even after
+    * post-delete appends fragmented the sequence groups). Time travel to
+    * pre-compaction snapshots keeps working until [[expireSnapshots]];
+    * `targetFiles > 0` coalesces an unbucketed rewrite to that many files. */
+  def compact(spark: SparkSession, tableDir: String, targetFiles: Int = 0,
+              tag: Option[String] = None, statsCols: Seq[String] = Nil): Snapshot =
+    compactFrom(spark, tableDir,
+      currentSnapshotId(tableDir).getOrElse(sys.error(s"$tableDir has no snapshots")),
+      targetFiles, tag, statsCols)
+
+  /** [[compact]] from an explicit snapshot id, with the conflict check
+    * made visible: the rewrite is computed from `fromId` and REFUSES to
+    * publish if the head moved past it meanwhile (a concurrent append's
+    * rows must never be silently dropped by an overwrite computed before
+    * they existed — Iceberg's rewrite validation). */
+  def compactFrom(spark: SparkSession, tableDir: String, fromId: Long,
+                  targetFiles: Int = 0, tag: Option[String] = None,
+                  statsCols: Seq[String] = Nil): Snapshot = {
+    val snap = snapshot(tableDir, fromId)
+    val df = read(spark, tableDir, Some(fromId))
+    snap.bucketSpec match {
+      case Some(spec) =>
+        val newFiles = writeBucketedCommitDir(spark, tableDir, df, spec, statsCols)
+        publishLoop(tableDir, "overwrite", newFiles, tag, Some(df.schema.json),
+          Some(spec), Nil, Some(fromId))
+      case None =>
+        val out = if (targetFiles > 0) df.coalesce(targetFiles) else df
+        val newFiles = writeCommitDir(spark, tableDir, out, statsCols)
+        publishLoop(tableDir, "overwrite", newFiles, tag, Some(df.schema.json),
+          None, Nil, Some(fromId))
+    }
+  }
+
+  /** Optimistic publish loop shared by [[commit]], [[commitBucketed]],
+    * [[deleteKeys]] and [[compactFrom]]: re-reads the head each attempt so
+    * a lost race stacks this commit's files on top of the winner's, and
+    * enforces layout compatibility INSIDE the loop (the winner may have
+    * changed the head's spec). New data/delete files are stamped with the
+    * candidate snapshot id (`DataFile.addedAt`) — re-stamped on every
+    * retry, so the sequence-number ordering deletes rely on is exact even
+    * after lost races. `expectedHead` (compaction's validation, Iceberg's
+    * rewrite conflict check) refuses to publish when the head moved past
+    * it: a rewrite computed from snapshot N must not silently drop a
+    * concurrent commit N+1's rows. */
   private def publishLoop(tableDir: String, operation: String,
                           newFiles: Seq[DataFile], tag: Option[String],
                           schemaJson: Option[String],
-                          bucketSpec: Option[BucketSpec]): Snapshot = {
+                          bucketSpec: Option[BucketSpec],
+                          newDeletes: Seq[DeleteFile] = Nil,
+                          expectedHead: Option[Long] = None): Snapshot = {
     var attempt = 0
     while (true) {
       attempt += 1
       require(attempt <= 100, s"commit to $tableDir lost 100 publish races; aborting")
       val head = currentSnapshotId(tableDir)
-      val headSnap = if (operation == "append") head.map(snapshot(tableDir, _)) else None
-      headSnap.foreach { h =>
+      expectedHead.foreach { e =>
+        require(head.contains(e),
+          s"$tableDir moved to snapshot ${head.getOrElse(0L)} while a rewrite " +
+            s"of snapshot $e was in flight — publishing would drop the " +
+            "concurrent commit's rows; re-run the rewrite from the new head")
+      }
+      val headSnap =
+        if (operation == "overwrite") None else head.map(snapshot(tableDir, _))
+      if (operation == "append") headSnap.foreach { h =>
         require(h.bucketSpec == bucketSpec,
           s"append layout mismatch on $tableDir: head snapshot ${h.id} has " +
             s"bucketSpec=${h.bucketSpec}, this commit has $bucketSpec — " +
             "appends must preserve the table's layout (overwrite resets it)")
+        // schema evolution rule (Iceberg's): an append may ADD columns —
+        // older files read the new column as null — but never drop or
+        // retype one: the manifest schema drives every read, so a
+        // narrower/retyped append would corrupt reads of the OLD files
+        for (pj <- h.schemaJson; nj <- schemaJson) {
+          val prev = structFromJson(pj); val next = structFromJson(nj)
+          prev.fields.foreach { f =>
+            val nf = next.fields.find(_.name == f.name)
+            require(nf.nonEmpty,
+              s"append to $tableDir drops column '${f.name}' — appends may " +
+                "add columns, never drop them (overwrite replaces the schema)")
+            require(nf.get.dataType == f.dataType,
+              s"append to $tableDir retypes column '${f.name}' from " +
+                s"${f.dataType.simpleString} to ${nf.get.dataType.simpleString} — " +
+                "appends may add columns, never retype them")
+          }
+        }
       }
+      val nextId = head.getOrElse(0L) + 1
+      val stamped = newFiles.map(_.copy(addedAt = nextId))
       val parentFiles = headSnap.map(_.files).getOrElse(Nil)
+      val parentDeletes = headSnap.map(_.deletes).getOrElse(Nil)
       // the commit's schema rides in the manifest (the Iceberg metadata
       // analog) so a zero-file snapshot — an idle micro-batch, an
       // overwrite with an empty frame — still reads as a typed empty table
-      val snap = Snapshot(head.getOrElse(0L) + 1, head, operation,
-        System.currentTimeMillis(), parentFiles ++ newFiles, tag,
-        schemaJson, bucketSpec)
+      val snap = operation match {
+        case "append" =>
+          // appends inherit the head's tombstones: they still apply to the
+          // OLDER files; the newly stamped files are younger, so survive
+          Snapshot(nextId, head, operation, System.currentTimeMillis(),
+            parentFiles ++ stamped, tag, schemaJson, bucketSpec, parentDeletes)
+        case "overwrite" =>
+          // an overwrite replaces the complete live state — tombstones are
+          // consumed (compaction's whole point) and the layout resets
+          Snapshot(nextId, head, operation, System.currentTimeMillis(),
+            stamped, tag, schemaJson, bucketSpec, Nil)
+        case "delete" =>
+          // data files, layout and schema are untouched; only tombstones
+          // accumulate (stamped with THIS snapshot's id — they apply to
+          // every current file, none of any later append's)
+          Snapshot(nextId, head, operation, System.currentTimeMillis(),
+            parentFiles, tag, headSnap.flatMap(_.schemaJson),
+            headSnap.flatMap(_.bucketSpec),
+            parentDeletes ++ newDeletes.map(_.copy(addedAt = nextId)))
+        case other => sys.error(s"unsupported operation: $other")
+      }
       if (publish(tableDir, snap)) return snap
     }
     sys.error("unreachable")
@@ -319,8 +488,42 @@ object SnapshotTable {
       sys.error(s"$tableDir has no snapshots"))
     val snap = snapshot(tableDir, id)
     if (snap.files.isEmpty) emptyWithSchema(spark, tableDir, snap)
-    else readFiles(spark, tableDir, snap.files)
+    else if (snap.deletes.isEmpty)
+      readFiles(spark, tableDir, snap.files, snap.schemaJson)
+    else {
+      // Equality-delete application with sequence semantics: a tombstone
+      // applies only to data files strictly older than it, so group the
+      // files by their applicable tombstone set (always a SUFFIX of the
+      // delete list ordered by addedAt — at most #delete-snapshots + 1
+      // groups, a manifest-sized driver loop) and anti-join each group
+      // against exactly its suffix. Tombstone scans carry accurate
+      // sizeInBytes from their parquet footers, so Spark auto-broadcasts
+      // small delete sets — the common takedown case costs no shuffle of
+      // the data side. Re-inserted rows (appended after the delete) land
+      // in a group with an empty suffix and pass through untouched.
+      val grouped = snap.files.groupBy(f =>
+        snap.deletes.map(_.addedAt).filter(_ > f.addedAt).toSet)
+      grouped.toSeq.sortBy(_._1.size).map { case (applIds, fs) =>
+        applyDeletes(spark, tableDir,
+          readFiles(spark, tableDir, fs, snap.schemaJson),
+          snap.deletes.filter(d => applIds(d.addedAt)))
+      }.reduce(_ unionByName _)
+    }
   }
+
+  /** Anti-join `base` against the given tombstone files, one join per
+    * distinct key column. Duplicate keys across tombstone files are
+    * harmless (anti-join ignores right-side multiplicity), so the files
+    * are scanned as-is — a plain parquet relation whose footer-accurate
+    * size lets Spark pick a broadcast anti-join for small delete sets. */
+  private def applyDeletes(spark: SparkSession, tableDir: String,
+                           base: DataFrame, dels: Seq[DeleteFile]): DataFrame =
+    dels.groupBy(_.keyCol).toSeq.sortBy(_._1).foldLeft(base) {
+      case (df, (keyCol, ds)) =>
+        val tomb = spark.read.parquet(
+          ds.map(d => Paths.get(tableDir, d.path).toString): _*)
+        df.join(tomb, Seq(keyCol), "left_anti")
+    }
 
   /** Read a BUCKETED snapshot with its layout metadata attached: scans
     * report HashPartitioning(bucketCol, buckets), so entity-keyed joins /
@@ -357,6 +560,22 @@ object SnapshotTable {
       s"snapshot $id of $tableDir carries no bucket layout — " +
         "commit with commitBucketed, or use read()"))
     if (snap.files.isEmpty) return emptyWithSchema(spark, tableDir, snap)
+    // Tombstones over a bucketed view: the view is one directory, so the
+    // per-sequence-group split read() performs cannot be expressed here.
+    // The uniform case — every tombstone applies to every file, i.e. no
+    // append landed after the newest delete — is handled by anti-joining
+    // the whole view (a broadcast anti-join for small delete sets, which
+    // preserves the scan's bucket partitioning: entity-keyed work stays
+    // exchange-free). The fragmented case is refused with the remedy:
+    // compact() consumes the tombstones and restores the uniform layout.
+    if (snap.deletes.nonEmpty) {
+      val oldestDelete = snap.deletes.map(_.addedAt).min
+      require(snap.files.forall(_.addedAt < oldestDelete),
+        s"snapshot $id of $tableDir has data files not older than its " +
+          "oldest tombstone — sequence-correct deletes need the split read() " +
+          "plan, which a bucketed view cannot express; run compact() " +
+          "to consume the tombstones, then readBucketed is exchange-free again")
+    }
     val view = viewDir(tableDir, id)
     val marker = view.resolve("__view_complete")
     if (!Files.exists(marker)) {
@@ -376,8 +595,9 @@ object SnapshotTable {
     }
     val name = "graft_snapview_" + TableSource.pathKey(s"$tableDir@$id")
     TableSource.registerBucketed(spark, name, view.toString,
-      spec.buckets, spec.bucketCol, spec.sortCols)
-    spark.table(name)
+      spec.buckets, spec.bucketCol, spec.sortCols,
+      snap.schemaJson.map(structFromJson(_).toDDL))
+    applyDeletes(spark, tableDir, spark.table(name), snap.deletes)
   }
 
   /** Incremental append scan: exactly the rows in files added after
@@ -390,8 +610,11 @@ object SnapshotTable {
     require(fromExclusive < toInclusive,
       s"empty snapshot range: ($fromExclusive, $toInclusive]")
     ((fromExclusive + 1) to toInclusive).foreach { id =>
-      require(snapshot(tableDir, id).operation == "append",
-        s"snapshot $id is an overwrite — a file-add diff cannot represent it")
+      val op = snapshot(tableDir, id).operation
+      require(op == "append",
+        s"snapshot $id is an $op — a file-add diff cannot represent " +
+          "replaced or removed rows (Iceberg's incremental scan has the " +
+          "same append-only restriction)")
     }
     val before = snapshot(tableDir, fromExclusive).files.map(_.path).toSet
     val to = snapshot(tableDir, toInclusive)
@@ -399,7 +622,7 @@ object SnapshotTable {
     // a commit can add zero files (an empty streaming micro-batch): the
     // diff is legitimately empty — a typed empty frame, not a refusal
     if (added.isEmpty) emptyWithSchema(spark, tableDir, to)
-    else readFiles(spark, tableDir, added)
+    else readFiles(spark, tableDir, added, to.schemaJson)
   }
 
   /** Typed empty frame for a snapshot with no (selected) data files, from
@@ -442,8 +665,14 @@ object SnapshotTable {
     val all = snapshots(tableDir)
     if (all.isEmpty) return (0, 0)
     val (expired, retained) = all.splitAt(math.max(0, all.size - keepLast))
-    val live = retained.flatMap(_.files.map(_.path)).toSet
-    val expiredRefs = expired.flatMap(_.files.map(_.path)).toSet -- live
+    // tombstone files are reachable state like data files: a retained
+    // snapshot's deletes must survive GC (reads re-apply them), an
+    // expired-only tombstone dir (post-compaction) is swept like any
+    // dead commit dir — d-* dirs live under data/ so one sweep covers both
+    val live = retained.flatMap(s =>
+      s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
+    val expiredRefs = expired.flatMap(s =>
+      s.files.map(_.path) ++ s.deletes.map(_.path)).toSet -- live
     expired.foreach(s => Files.deleteIfExists(manifestPath(tableDir, s.id)))
     // a crash between staging and link(2) in publish leaves a
     // .snap-staging* orphan in meta/ that nothing else ever touches —
@@ -509,11 +738,25 @@ object SnapshotTable {
     (expired.size, removed)
   }
 
+  /** Plan a scan over an explicit file list. When the owning snapshot
+    * recorded a schema, the read is METADATA-DRIVEN: the manifest schema
+    * is imposed instead of inferred, which (a) skips footer sampling at
+    * plan time — at 100 TB, schema inference over a million files is a
+    * real cost — and (b) makes SCHEMA EVOLUTION work: files written
+    * before a column was added simply read it as null (parquet's
+    * missing-column semantics), exactly Iceberg's add-column behavior. */
   private def readFiles(spark: SparkSession, tableDir: String,
-                        files: Seq[DataFile]): DataFrame = {
+                        files: Seq[DataFile],
+                        schemaJson: Option[String] = None): DataFrame = {
     require(files.nonEmpty, s"snapshot of $tableDir lists no data files")
-    spark.read.parquet(files.map(f => Paths.get(tableDir, f.path).toString): _*)
+    val reader = schemaJson.map(j => spark.read.schema(structFromJson(j)))
+      .getOrElse(spark.read)
+    reader.parquet(files.map(f => Paths.get(tableDir, f.path).toString): _*)
   }
+
+  private def structFromJson(json: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** Part files of a freshly written parquet dir with footer row counts
     * and each requested column's min/max aggregated across row groups —
@@ -647,7 +890,7 @@ object SnapshotTable {
     // column name fails identically on both paths
     val df =
       if (kept.isEmpty) emptyWithSchema(spark, tableDir, snap)
-      else readFiles(spark, tableDir, kept)
+      else readFiles(spark, tableDir, kept, snap.schemaJson)
     // exact filters in each column's own type so they reach PushedFilters
     // (a unix_micros()/cast wrapper would block parquet pushdown)
     ranges.foldLeft(df) { case (d, (colName, lo, hi)) =>
@@ -692,13 +935,22 @@ object SnapshotTable {
         }) ~
         ("files" -> s.files.map { f =>
           ("path" -> f.path) ~ ("rows" -> f.rows) ~ ("bytes" -> f.bytes) ~
+            ("added_at" -> f.addedAt) ~
             ("stats" -> (f.stats match {
               case Nil => None
               case st => Some(st.map { case (c, mn, mx) =>
                 ("col" -> c) ~ ("min" -> mn) ~ ("max" -> mx)
               })
             }))
-        })
+        }) ~
+        ("deletes" -> (s.deletes match {
+          case Nil => None
+          case ds => Some(ds.map { d =>
+            ("path" -> d.path) ~ ("key_col" -> d.keyCol) ~
+              ("rows" -> d.rows) ~ ("bytes" -> d.bytes) ~
+              ("added_at" -> d.addedAt)
+          })
+        }))
     JsonMethods.pretty(JsonMethods.render(json))
   }
 
@@ -731,7 +983,8 @@ object SnapshotTable {
           mx <- (f \ "stats_max").extractOpt[Long]
         } yield (c, mn, mx)
         DataFile((f \ "path").extract[String], (f \ "rows").extract[Long],
-          (f \ "bytes").extract[Long], if (multi.nonEmpty) multi else legacy.toSeq)
+          (f \ "bytes").extract[Long], if (multi.nonEmpty) multi else legacy.toSeq,
+          (f \ "added_at").extractOpt[Long].getOrElse(0L))
       },
       (j \ "tag").extractOpt[String],
       (j \ "schema").extractOpt[String],
@@ -741,6 +994,16 @@ object SnapshotTable {
           (b \ "buckets").extract[Int],
           (b \ "bucket_col").extract[String],
           (b \ "sort_cols").extract[Seq[String]]))
+      },
+      (j \ "deletes") match {
+        case JArray(entries) => entries.map { d =>
+          DeleteFile((d \ "path").extract[String],
+            (d \ "key_col").extract[String],
+            (d \ "rows").extract[Long],
+            (d \ "bytes").extractOpt[Long].getOrElse(0L),
+            (d \ "added_at").extract[Long])
+        }
+        case _ => Nil
       })
   }
 }

@@ -145,9 +145,14 @@ object TableSource {
     * at write time and this call is just `spark.table`.) */
   def registerBucketed(spark: SparkSession, name: String, path: String,
                        buckets: Int, bucketCol: String,
-                       sortCols: Seq[String]): Unit = {
+                       sortCols: Seq[String],
+                       schemaDDL: Option[String] = None): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    val schema = spark.read.parquet(path).schema.toDDL
+    // an explicit schema (e.g. a SnapshotTable manifest's) beats inference:
+    // no footer sampling at plan time, and a schema-evolved table reads
+    // added columns as null from pre-evolution files instead of whatever
+    // single file the sampler happened to open
+    val schema = schemaDDL.getOrElse(spark.read.parquet(path).schema.toDDL)
     spark.sql(
       s"""CREATE TABLE $name ($schema) USING parquet
          |CLUSTERED BY ($bucketCol) SORTED BY (${sortCols.mkString(", ")})

@@ -445,4 +445,176 @@ class SnapshotTableSpec extends SparkSpec {
     assert(pinned2 === 2L)
     assert(out2.count() === 300L)
   }
+
+  test("schema evolution: appended columns read as null from older files; drop/retype refused") {
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir, rows(0, 50))
+    // add a column: older files read it as null (the manifest schema
+    // drives the scan — no mergeSchema footer sweep, no sampler luck)
+    SnapshotTable.append(spark, dir, rows(50, 80).withColumn("tag", lit("new")))
+    val df = SnapshotTable.read(spark, dir)
+    assert(df.columns.contains("tag"))
+    assert(df.where(col("tag").isNull).count() === 50L)
+    assert(df.where(col("tag") === "new").count() === 30L)
+    // time travel: the pre-evolution snapshot has the old schema
+    assert(!SnapshotTable.read(spark, dir, Some(1L)).columns.contains("tag"))
+    // changes across the evolution: the added files carry the new column
+    val delta = SnapshotTable.changes(spark, dir, 1L, 2L)
+    assert(delta.columns.contains("tag") && delta.count() === 30L)
+    // dropping or retyping a column on append is refused (reads of older
+    // files would silently corrupt); an overwrite may do either
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, dir, rows(80, 90)) // lacks "tag"
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, dir,
+        rows(80, 90).withColumn("tag", lit(7L))) // retypes string -> long
+    }
+    SnapshotTable.overwrite(spark, dir, rows(0, 10))
+    assert(!SnapshotTable.read(spark, dir).columns.contains("tag"))
+
+    // bucketed layout: the view DDL comes from the manifest schema, so a
+    // widened bucketed table reads old files' new column as null too
+    import graft.sources.SnapshotTable.BucketSpec
+    val bdir = tmpTable()
+    val spec = BucketSpec(4, "entity", Seq("entity", "ts"))
+    SnapshotTable.commitBucketed(spark, bdir, rows(0, 40), spec)
+    SnapshotTable.commitBucketed(spark, bdir,
+      rows(40, 60).withColumn("tag", lit("b")), spec)
+    val bread = SnapshotTable.readBucketed(spark, bdir)
+    assert(bread.where(col("tag").isNull).count() === 40L)
+    assert(bread.where(col("tag") === "b").count() === 20L)
+  }
+
+  test("equality deletes: keys removed, re-insert survives, absent key is a no-op") {
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir, rows(0, 100))
+    // delete ids 10..19 plus an absent key (id 5000) — a takedown list
+    // applied verbatim, no pre-probing of the corpus
+    val del = SnapshotTable.deleteKeys(spark, dir, "id",
+      spark.range(10, 20).union(spark.range(5000, 5001)).toDF("id"))
+    assert(del.operation === "delete" && del.id === 2L)
+    assert(del.files.map(_.path) ===
+      SnapshotTable.snapshot(dir, 1L).files.map(_.path),
+      "a delete commit must not touch data files")
+    assert(SnapshotTable.read(spark, dir).count() === 90L)
+    assertSameRows(SnapshotTable.read(spark, dir),
+      rows(0, 100).where(col("id") < 10 || col("id") >= 20))
+    // time travel: the pre-delete snapshot still shows all 100 rows
+    assert(SnapshotTable.read(spark, dir, Some(1L)).count() === 100L)
+
+    // re-insert AFTER the delete: sequence semantics — the tombstone only
+    // applies to files older than it, so the re-inserted rows survive
+    SnapshotTable.append(spark, dir, rows(10, 15))
+    assertSameRows(SnapshotTable.read(spark, dir),
+      rows(0, 100).where(col("id") < 10 || col("id") >= 20)
+        .union(rows(10, 15)))
+
+    // a second delete applies to EVERYTHING current (old files and the
+    // re-inserted batch alike)
+    SnapshotTable.deleteKeys(spark, dir, "id", spark.range(12, 14).toDF("id")
+      .union(spark.range(50, 52).toDF("id")))
+    assertSameRows(SnapshotTable.read(spark, dir),
+      rows(0, 100).where((col("id") < 10 || col("id") >= 20) &&
+          !col("id").isin(50L, 51L))
+        .union(rows(10, 15).where(!col("id").isin(12L, 13L))))
+
+    // deleting a non-existent column is refused at commit time
+    intercept[IllegalArgumentException] {
+      SnapshotTable.deleteKeys(spark, dir, "nope", spark.range(1).toDF("nope"))
+    }
+    // changes cannot cross a delete: row removal is not a file-add diff
+    intercept[IllegalArgumentException] {
+      SnapshotTable.changes(spark, dir, 1L, 2L)
+    }
+  }
+
+  test("compact: consumes tombstones, collapses small files, refuses to drop a concurrent commit") {
+    val dir = tmpTable()
+    // an ingest-shaped table: many small appends, then a takedown
+    (0 until 5).foreach(i =>
+      SnapshotTable.append(spark, dir, rows(i * 40, (i + 1) * 40).repartition(4)))
+    SnapshotTable.deleteKeys(spark, dir, "id", spark.range(0, 30).toDF("id"))
+    SnapshotTable.append(spark, dir, rows(0, 10)) // re-insert post-delete
+    val logical = SnapshotTable.read(spark, dir)
+    assert(logical.count() === 180L)
+    val preFiles = SnapshotTable.snapshot(dir,
+      SnapshotTable.currentSnapshotId(dir).get).files.size
+    assert(preFiles >= 21, s"ingest should have fragmented the table, got $preFiles files")
+
+    val compacted = SnapshotTable.compact(spark, dir, targetFiles = 2)
+    assert(compacted.operation === "overwrite")
+    assert(compacted.deletes.isEmpty, "compaction must consume tombstones")
+    assert(compacted.files.size === 2)
+    assertSameRows(SnapshotTable.read(spark, dir),
+      rows(30, 200).union(rows(0, 10)))
+    // time travel to the pre-compaction snapshot still works until GC
+    assert(SnapshotTable.read(spark, dir, Some(compacted.id - 1)).count() === 180L)
+
+    // conflict check: a rewrite computed from a stale snapshot must refuse
+    // to publish once the head moved (it would drop the newer commit's rows)
+    val stale = SnapshotTable.currentSnapshotId(dir).get
+    SnapshotTable.append(spark, dir, rows(500, 510))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.compactFrom(spark, dir, stale)
+    }
+
+    // GC after compaction: expired tombstone dirs (data/d-*) are swept
+    val (gcManifests, gcFiles) = SnapshotTable.expireSnapshots(dir, 1, orphanMinAgeMs = 0L)
+    assert(gcManifests > 0 && gcFiles > 0)
+    import scala.jdk.CollectionConverters._
+    val deadTombs = { val l = Files.list(Paths.get(dir, "data"))
+      try l.iterator().asScala.count(_.getFileName.toString.startsWith("d-"))
+      finally l.close() }
+    assert(deadTombs === 0, "expired tombstone dirs must be GC'd")
+    assert(SnapshotTable.read(spark, dir).count() === 190L)
+  }
+
+  test("bucketed deletes: broadcast anti-join keeps the scan exchange-free; fragmented layout is refused") {
+    import graft.sources.SnapshotTable.BucketSpec
+    val dir = tmpTable()
+    val spec = BucketSpec(4, "entity", Seq("entity", "ts"))
+    SnapshotTable.commitBucketed(spark, dir,
+      (0 until 400).map(i => (i % 7L, i.toLong, i * 1.5)).toDF("entity", "ts", "v"),
+      spec)
+    SnapshotTable.deleteKeys(spark, dir, "entity", Seq(3L).toDF("entity"))
+
+    // uniform case (every tombstone newer than every data file): the
+    // delete rides as a broadcast anti-join over the bucketed scan —
+    // entity-keyed aggregation still plans with zero exchanges
+    val agg = SnapshotTable.readBucketed(spark, dir)
+      .groupBy("entity").agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstones should apply as a broadcast anti-join:\n$plan")
+    assert(!plan.toLowerCase.contains("exchange hashpartitioning"),
+      s"bucketed read with deletes must not shuffle the data side:\n$plan")
+    assert(agg.count() === 6L)
+    assert(SnapshotTable.readBucketed(spark, dir)
+      .where(col("entity") === 3L).count() === 0L)
+
+    // fragment the sequence groups: an append after the delete means the
+    // one-directory view can no longer express the split plan — refused
+    // with compact() named as the remedy
+    SnapshotTable.commitBucketed(spark, dir,
+      Seq((3L, 9999L, 1.0)).toDF("entity", "ts", "v"), spec)
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.readBucketed(spark, dir)
+    }
+    assert(err.getMessage.contains("compact"))
+    // read() keeps serving the fragmented state correctly meanwhile
+    assert(SnapshotTable.read(spark, dir).where(col("entity") === 3L).count() === 1L)
+
+    // compact preserves the bucket layout and restores the exchange-free
+    // bucketed read, now including the re-inserted row
+    val compacted = SnapshotTable.compact(spark, dir)
+    assert(compacted.bucketSpec === Some(spec))
+    val agg2 = SnapshotTable.readBucketed(spark, dir)
+      .groupBy("entity").agg(count(lit(1)).as("n"))
+    assert(!agg2.queryExecution.executedPlan.toString.contains("Exchange"),
+      "post-compaction bucketed read must be exchange-free again")
+    assert(agg2.where(col("entity") === 3L).collect()(0).getLong(1) === 1L)
+    assert(SnapshotTable.read(spark, dir).count() ===
+      400L - 400L / 7L - (if (400L % 7L > 3L) 1L else 0L) + 1L)
+  }
 }
