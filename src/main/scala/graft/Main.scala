@@ -16,6 +16,13 @@ import scala.jdk.CollectionConverters._
   *     [--split train:0.8,val:0.1,test:0.1] [--dedup <maxHamming>] [--quality]
   *     [--limit id1,id2,...|@file] [--exclude id1,id2,...|@file]
   *
+  * Table-admin mode (SnapshotTable maintenance — the scheduled
+  * takedown/compaction/retention loop; verbs compose in this order):
+  *
+  *   spark-submit --class graft.Main musifspark.jar \
+  *     --admin <tableDir> [--delete-keys col=<parquetOfKeys>] \
+  *     [--compact] [--expire <keepLast>]
+  *
   * Reads the image+caption table (any Spark source — parquet in the
   * sandbox, an Iceberg catalog table in production via
   * `spark.read.table(...)`), validates rows through the error channel,
@@ -48,6 +55,41 @@ object Main {
       opts.get("config"),
       opts.getOrElse("set", "").split(";;").filter(_.contains("="))
         .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
+
+    // table-admin mode: maintenance verbs against a SnapshotTable, the
+    // spark-submit surface for the takedown/compaction/retention loop a
+    // long-lived corpus runs on a schedule (Iceberg's delete +
+    // rewrite_data_files + expire_snapshots procedures). Verbs compose in
+    // the order delete -> compact -> expire: a takedown followed by the
+    // rewrite that materializes it and the GC that reclaims the space.
+    opts.get("admin").foreach { tableDir =>
+      require(opts.contains("deleteKeys") || opts.contains("compact") ||
+        opts.contains("expire"),
+        "--admin needs at least one verb: --delete-keys col=<parquet>, " +
+          "--compact, --expire <keepLast>")
+      opts.get("deleteKeys").foreach { v =>
+        val Array(keyCol, src) = v.split("=", 2)
+        val snap = sources.SnapshotTable.deleteKeys(spark, tableDir, keyCol,
+          spark.read.parquet(src))
+        println(s"[admin] snapshot ${snap.id}: tombstoned " +
+          s"${snap.deletes.map(_.rows).sum} '$keyCol' keys in $tableDir")
+      }
+      if (opts.contains("compact")) {
+        val snap = sources.SnapshotTable.compact(spark, tableDir)
+        println(s"[admin] snapshot ${snap.id}: compacted $tableDir to " +
+          s"${snap.files.size} files / ${snap.totalRows} rows" +
+          snap.bucketSpec.map(b => s" (bucket layout ${b.buckets}x${b.bucketCol} kept)")
+            .getOrElse(""))
+      }
+      opts.get("expire").foreach { keep =>
+        val (manifests, files) =
+          sources.SnapshotTable.expireSnapshots(tableDir, keep.toInt)
+        println(s"[admin] expired $manifests snapshots, " +
+          s"removed $files data files from $tableDir")
+      }
+      if (!hadSession) spark.stop()
+      return
+    }
 
     // ONE on-disk layout for both modes (bucket-partitioned, dynamic
     // overwrite, via runResumable): running once without --resume and later
@@ -289,6 +331,19 @@ object Main {
         require(h >= 0 && h <= 3,
           s"--dedup expects 0..3 (the 4-band LSH recall bound), got $h")
         parseArgs(rest, acc + ("dedup" -> h.toString))
+      case "--admin" :: v :: rest  => parseArgs(rest, acc + ("admin" -> v))
+      case "--delete-keys" :: v :: rest =>
+        require(v.contains("=") && !v.startsWith("="),
+          s"--delete-keys expects <keyCol>=<parquet-of-keys>, got '$v'")
+        parseArgs(rest, acc + ("deleteKeys" -> v))
+      case "--compact" :: rest     => parseArgs(rest, acc + ("compact" -> "true"))
+      case "--expire" :: v :: rest =>
+        val n = try v.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"--expire expects the number of snapshots to retain (>=1), got '$v'")
+        }
+        require(n >= 1, s"--expire must retain at least the current snapshot, got $n")
+        parseArgs(rest, acc + ("expire" -> n.toString))
       case "--limit" :: v :: rest  => parseArgs(rest, acc + ("limit" -> v))
       case "--exclude" :: v :: rest => parseArgs(rest, acc + ("exclude" -> v))
       case "--quality" :: rest     => parseArgs(rest, acc + ("quality" -> "true"))

@@ -264,4 +264,39 @@ class MainSpec extends SparkSpec {
       feats.schema.map(f => (f.name, f.dataType)))
     assertSameRows(feats, back)
   }
+
+  test("--admin: delete-keys + compact + expire run as one maintenance pass") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-main-admin").toString
+    val table = s"$tmp/corpus"
+    sources.SnapshotTable.append(spark,
+      table, spark.range(0, 200).withColumn("v", col("id") * 2))
+    sources.SnapshotTable.append(spark,
+      table, spark.range(200, 300).withColumn("v", col("id") * 2))
+    val takedown = s"$tmp/takedown"
+    spark.range(0, 50).toDF("id").write.parquet(takedown)
+
+    Main.main(Array("--admin", table,
+      "--delete-keys", s"id=$takedown", "--compact", "--expire", "1"))
+
+    // one maintenance pass: the takedown applied, the rewrite consumed the
+    // tombstones, retention GC'd everything older than the compacted head
+    val head = sources.SnapshotTable.snapshot(table,
+      sources.SnapshotTable.currentSnapshotId(table).get)
+    assert(head.operation === "overwrite" && head.deletes.isEmpty)
+    assert(sources.SnapshotTable.read(spark, table).count() === 250L)
+    assert(sources.SnapshotTable.snapshotIds(table) === Seq(head.id))
+
+    // verbs are validated at parse time, before any table is touched
+    intercept[IllegalArgumentException] {
+      Main.main(Array("--admin", table, "--expire", "0"))
+    }
+    intercept[IllegalArgumentException] {
+      Main.main(Array("--admin", table, "--delete-keys", "no-equals-sign"))
+    }
+    intercept[IllegalArgumentException] {
+      Main.main(Array("--admin", table)) // no verb
+    }
+  }
 }
