@@ -375,20 +375,46 @@ class SnapshotTableSpec extends SparkSpec {
   }
 
   test("randomized op sequences: the latest read always replays the operation log") {
+    // append / overwrite / DELETE / COMPACT drawn at random, checked after
+    // every commit against an in-memory replay of the log — including the
+    // sequence-semantics subtlety: a delete never touches keys appended
+    // after it, even when the same key value is re-used (the replay keeps
+    // a multiset keyed by insertion order, exactly what addedAt encodes)
     val rnd = new scala.util.Random(42)
     (1 to 3).foreach { _ =>
       val dir = tmpTable()
       var expected = Vector.empty[Long]
       var nextId = 0L
-      (1 to 6).foreach { _ =>
-        val n = 1L + rnd.nextInt(50)
-        val batch = nextId until (nextId + n)
-        nextId += n
-        val df = spark.range(batch.start, batch.end).toDF("id")
-        if (rnd.nextInt(4) == 0) {
-          SnapshotTable.overwrite(spark, dir, df); expected = batch.toVector
-        } else {
-          SnapshotTable.append(spark, dir, df); expected ++= batch
+      (1 to 10).foreach { _ =>
+        rnd.nextInt(8) match {
+          case 0 =>
+            val n = 1L + rnd.nextInt(50)
+            val batch = nextId until (nextId + n); nextId += n
+            SnapshotTable.overwrite(spark, dir,
+              spark.range(batch.start, batch.end).toDF("id"))
+            expected = batch.toVector
+          case 1 | 2 if expected.nonEmpty =>
+            // delete a random slice of CURRENT keys plus some absent ones
+            val victims = rnd.shuffle(expected.distinct)
+              .take(1 + rnd.nextInt(math.max(1, expected.distinct.size / 2)))
+            val absent = Seq(nextId + 1000L, nextId + 1001L)
+            SnapshotTable.deleteKeys(spark, dir, "id",
+              (victims ++ absent).toDF("id"))
+            expected = expected.filterNot(victims.toSet)
+          case 3 if expected.nonEmpty =>
+            SnapshotTable.compact(spark, dir, targetFiles = 2)
+          case 4 =>
+            // re-insert keys that may have been deleted before: they must
+            // survive any PREVIOUS delete (only future ones can hit them)
+            val reused = expected.headOption.getOrElse(0L)
+            SnapshotTable.append(spark, dir, Seq(reused).toDF("id"))
+            expected :+= reused
+          case _ =>
+            val n = 1L + rnd.nextInt(50)
+            val batch = nextId until (nextId + n); nextId += n
+            SnapshotTable.append(spark, dir,
+              spark.range(batch.start, batch.end).toDF("id"))
+            expected ++= batch
         }
         val got = SnapshotTable.read(spark, dir)
           .select("id").as[Long].collect().sorted.toSeq
