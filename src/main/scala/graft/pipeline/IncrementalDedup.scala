@@ -121,6 +121,35 @@ object IncrementalDedup {
     } finally fresh.unpersist(blocking = false)
   }
 
+  /** Cascade a corpus takedown into the dedup state — the composition a
+    * right-to-be-forgotten pass needs: removing rows from the corpus
+    * ([[SnapshotTable.deleteKeys]]) must also remove their SIGNATURES
+    * (or arriving batches keep banding against ghosts) and every edge
+    * touching them (or [[currentLabels]] keeps clustering survivors with
+    * rows that no longer exist — a survivor whose only duplicate was
+    * retracted must become its own representative again, i.e. KEPT).
+    *
+    * Three equality-delete commits, each O(|ids|): the signature table on
+    * `cfg.idCol`, the edge table on `a` and on `b` (an edge dies when
+    * EITHER endpoint is retracted). No state rewrite — compact the state
+    * tables on the usual maintenance schedule. Sequence semantics make
+    * the cascade compose with ongoing ingest for free: a crash mid-retract
+    * replays into extra no-op tombstones, and a later RE-INGEST of a
+    * retracted id appends a fresh signature that the old tombstones
+    * cannot touch, so it re-enters dedup cleanly. */
+  def retract(spark: SparkSession, stateDir: String, cfg: Config,
+              ids: DataFrame): Unit = {
+    val keys = ids.select(col(cfg.idCol))
+    val sigT = signaturesDir(stateDir)
+    if (SnapshotTable.currentSnapshotId(sigT).nonEmpty)
+      SnapshotTable.deleteKeys(spark, sigT, cfg.idCol, keys)
+    val edgeT = edgesDir(stateDir)
+    if (SnapshotTable.currentSnapshotId(edgeT).nonEmpty) {
+      SnapshotTable.deleteKeys(spark, edgeT, "a", keys.select(col(cfg.idCol).as("a")))
+      SnapshotTable.deleteKeys(spark, edgeT, "b", keys.select(col(cfg.idCol).as("b")))
+    }
+  }
+
   /** The dedup decision over everything processed so far: every id in the
     * signature state labeled with its cluster representative (min
     * reachable id over the accumulated near-dup graph) and a `kept` flag —

@@ -652,6 +652,55 @@ object EngineQueries {
       }
       graft.pipeline.IncrementalDedup.currentLabels(s, s"$root/state",
         IncrementalDedupCfg)
+    }),
+
+    // RETRACTION cascade (IncrementalDedup.retract — the GDPR-deletion
+    // composition): q119's three-batch ingest, then every original with
+    // img < 200 is taken down from the corpus AND retracted from the
+    // dedup state (signature tombstone + edge tombstones on both
+    // endpoints). The oracle recomputes the full closure over ONLY the
+    // surviving rows — so a near-dup partner whose original was retracted
+    // must flip back to kept=true, connectivity through retracted nodes
+    // must vanish, and any ghost signature or dangling edge the cascade
+    // left behind hash-mismatches.
+    "q122_retracted_dedup" -> ((s, dir) => {
+      import graft.pipeline.IncrementalDedup
+      val root = s"${sys.props("java.io.tmpdir")}/graft_q122_" +
+        graft.sources.TableSource.pathKey(dir)
+      val done = java.nio.file.Paths.get(root, "__state_complete")
+      if (!java.nio.file.Files.exists(done)) {
+        val rootP = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.isDirectory(rootP)) {
+          val walk = java.nio.file.Files.walk(rootP)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          } finally walk.close()
+        }
+        val corpus = s"$root/corpus"
+        val cursor = s"$root/cursor.txt"
+        val base = ahashCorpusBytes(s)
+        (0 to 2).foreach { g =>
+          graft.sources.SnapshotTable.commit(s, corpus,
+            base.where(pmod(col("img"), lit(3)) === g))
+          IncrementalDedup.processNew(s, corpus, s"$root/state", cursor,
+            IncrementalDedupCfg) { batch =>
+            batch.select(col("img"),
+              ImageFunctions.ahash64(col("bytes")).as("ah"))
+          }
+        }
+        // takedown: originals img < 200 leave the corpus and the cascade
+        // removes their signatures and every edge touching them (their
+        // injected +1000000 partners survive and must re-keep themselves)
+        val takedown = base.where(col("img") < 200).select("img")
+        graft.sources.SnapshotTable.deleteKeys(s, corpus, "img", takedown)
+        IncrementalDedup.retract(s, s"$root/state", IncrementalDedupCfg,
+          takedown)
+        java.nio.file.Files.createFile(done)
+      }
+      graft.pipeline.IncrementalDedup.currentLabels(s, s"$root/state",
+        IncrementalDedupCfg)
     }))
 
   /** q119's banding config — q95's parameters (hamming <= 1 verify over
@@ -706,16 +755,23 @@ object EngineQueries {
     * closure, min-reachable-id labels + kept flags. q95 computes this in
     * one pass; q119 must CONVERGE to it through three incremental batches
     * — one SQL string so the two claims can never drift apart. */
-  private val ImageDedupClosureSql: String =
-    """WITH RECURSIVE im AS (
+  private val ImageDedupClosureSql: String = imageDedupClosureSql("true")
+
+  /** The closure SQL with a survivor predicate over `img`: q122 retracts
+    * part of the corpus and the oracle recomputes the closure over ONLY
+    * the alive rows — connectivity THROUGH a retracted node must vanish
+    * with it, exactly what the edge-endpoint tombstones implement. */
+  private def imageDedupClosureSql(alivePred: String): String =
+    s"""WITH RECURSIVE im AS (
       | SELECT substr(image_id, 4)::BIGINT AS img, w, h, hex(bytes) AS hx
       | FROM read_parquet('__SYNTH_DIR__/images/*.parquet')
       | WHERE substr(image_id, 4)::BIGINT < 2000),
-      |base AS (
+      |base0 AS (
       | SELECT img, w, h, hx, false AS dup FROM im
       | UNION ALL
       | SELECT img + 1000000 AS img, w, h, hx, true AS dup
       | FROM im WHERE img % 25 = 0),
+      |base AS (SELECT * FROM base0 WHERE $alivePred),
       |s AS (
       | SELECT img,
       |  [CASE WHEN dup AND i = 0 THEN 255
@@ -1181,6 +1237,7 @@ object EngineQueries {
     // the SAME labels — the full-recompute closure IS its oracle, byte-
     // identical to q95's (batch-incremental == full-corpus is the claim)
     "q119_incremental_dedup" -> ImageDedupClosureSql,
+    "q122_retracted_dedup" -> imageDedupClosureSql("img >= 200"),
 
     // q91's aHash replay intersected with normalized-caption fingerprint
     // equality — both channels from the same stored blobs

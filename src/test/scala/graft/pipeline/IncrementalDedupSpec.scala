@@ -159,4 +159,42 @@ class IncrementalDedupSpec extends SparkSpec {
       IncrementalDedup.signaturesDir(s)).count() === 30)
     assertSameRows(IncrementalDedup.currentLabels(spark, s, cfg), fullLabels)
   }
+
+  test("retract: takedown cascades through signatures and edges; survivors re-keep") {
+    val (c, s) = (tmp("corpus"), tmp("state"))
+    val cursor = s"$s/cursor.txt"
+    ingestAll(c, s, cursor)
+
+    // retract 3 of quad-0's 4 members (ids 0,1,2) and singleton 24: the
+    // quad's survivor (id 3) loses every partner and must flip to kept
+    IncrementalDedup.retract(spark, s, cfg, Seq(0L, 1L, 2L, 24L).toDF("id"))
+    val labels = IncrementalDedup.currentLabels(spark, s, cfg)
+    assert(labels.count() === 26, "retracted ids must leave the state")
+    assert(labels.where(col("id").isin(0L, 1L, 2L, 24L)).count() === 0)
+    val id3 = labels.where(col("id") === 3L).collect()(0)
+    assert(id3.getAs[Long]("rep") === 3L && id3.getAs[Boolean]("kept"),
+      "a survivor whose partners were all retracted must keep itself")
+    // untouched quads keep their full-corpus labels
+    assertSameRows(labels.where(col("id") >= 4 && col("id") < 24),
+      fullLabels.where(col("id") >= 4 && col("id") < 24))
+    // no dangling edges: every remaining endpoint is a remaining id
+    val edges = SnapshotTable.read(spark, IncrementalDedup.edgesDir(s))
+    assert(edges.where(col("a").isin(0L, 1L, 2L) ||
+      col("b").isin(0L, 1L, 2L)).count() === 0)
+
+    // a replayed (crashed) retract is harmless: extra no-op tombstones
+    IncrementalDedup.retract(spark, s, cfg, Seq(0L, 1L, 2L, 24L).toDF("id"))
+    assertSameRows(IncrementalDedup.currentLabels(spark, s, cfg), labels)
+
+    // RE-INGEST of a retracted id: the fresh signature is newer than the
+    // tombstones, so it re-enters dedup and re-forms its quad-0 edges
+    SnapshotTable.commit(spark, c, corpus.where(col("id") === 0L))
+    IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
+    val after = IncrementalDedup.currentLabels(spark, s, cfg)
+    assert(after.count() === 27)
+    val pair = after.where(col("id").isin(0L, 3L)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("rep")).toMap
+    assert(pair(0L) === 0L && pair(3L) === 0L,
+      "the re-ingested id must re-cluster with its surviving partner")
+  }
 }
