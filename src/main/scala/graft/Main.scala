@@ -21,7 +21,7 @@ import scala.jdk.CollectionConverters._
   *
   *   spark-submit --class graft.Main musifspark.jar \
   *     --admin <tableDir> [--delete-keys col=<parquetOfKeys>] \
-  *     [--compact] [--expire <keepLast>]
+  *     [--retract-state <stateDir>] [--compact] [--expire <keepLast>]
   *
   * Reads the image+caption table (any Spark source — parquet in the
   * sandbox, an Iceberg catalog table in production via
@@ -67,12 +67,24 @@ object Main {
         opts.contains("expire"),
         "--admin needs at least one verb: --delete-keys col=<parquet>, " +
           "--compact, --expire <keepLast>")
+      require(!opts.contains("retractState") || opts.contains("deleteKeys"),
+        "--retract-state cascades a takedown and needs --delete-keys to " +
+          "name the keys")
       opts.get("deleteKeys").foreach { v =>
         val Array(keyCol, src) = v.split("=", 2)
+        val keys = spark.read.parquet(src)
         val snap = sources.SnapshotTable.deleteKeys(spark, tableDir, keyCol,
-          spark.read.parquet(src))
+          keys)
         println(s"[admin] snapshot ${snap.id}: tombstoned " +
           s"${snap.deletes.map(_.rows).sum} '$keyCol' keys in $tableDir")
+        // cascade the same takedown into a derived incremental-dedup state
+        // (signature tombstone + edge tombstones on both endpoints) — the
+        // GDPR composition q122/q123 oracle, as one CLI invocation
+        opts.get("retractState").foreach { stateDir =>
+          IncrementalDedup.retract(spark, stateDir, keyCol, keys)
+          println(s"[admin] retracted the '$keyCol' keys from dedup state " +
+            stateDir)
+        }
       }
       if (opts.contains("compact")) {
         val snap = sources.SnapshotTable.compact(spark, tableDir)
@@ -336,6 +348,10 @@ object Main {
         require(v.contains("=") && !v.startsWith("="),
           s"--delete-keys expects <keyCol>=<parquet-of-keys>, got '$v'")
         parseArgs(rest, acc + ("deleteKeys" -> v))
+      case "--retract-state" :: v :: rest =>
+        require(v.nonEmpty && !v.startsWith("--"),
+          s"--retract-state expects an IncrementalDedup state dir, got '$v'")
+        parseArgs(rest, acc + ("retractState" -> v))
       case "--compact" :: rest     => parseArgs(rest, acc + ("compact" -> "true"))
       case "--expire" :: v :: rest =>
         val n = try v.trim.toInt catch {

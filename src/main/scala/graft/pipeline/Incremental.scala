@@ -34,10 +34,14 @@ object Incremental {
     * snapshot range `(fromExclusive, toInclusive)`, or None when the table
     * has no new commits (the job is not invoked). A cursor of 0 (first
     * run) processes the full current snapshot — bootstrap and steady state
-    * are the same call. Crossing an `overwrite` commit fails (inherited
-    * from [[SnapshotTable.changes]]): an overwrite invalidates incremental
-    * history, so the consumer must restart from a full read (reset the
-    * cursor) rather than silently miss replaced rows. */
+    * are the same call. `delete` commits in the window are fine (inherited
+    * from [[SnapshotTable.changes]]): a takedown adds no files, the job
+    * sees the window's appends with the window's tombstones applied, and
+    * already-delivered rows are never re-reported — derived state composes
+    * the takedown in explicitly ([[IncrementalDedup.retract]]). Crossing
+    * an `overwrite` commit still fails: an overwrite invalidates
+    * incremental history, so the consumer must restart from a full read
+    * (reset the cursor) rather than silently miss replaced rows. */
   def processNew(spark: SparkSession, tableDir: String, cursorPath: String)
                 (job: DataFrame => Unit): Option[(Long, Long)] =
     processNewWithRange(spark, tableDir, cursorPath)((df, _, _) => job(df))

@@ -138,15 +138,23 @@ object IncrementalDedup {
     * retracted id appends a fresh signature that the old tombstones
     * cannot touch, so it re-enters dedup cleanly. */
   def retract(spark: SparkSession, stateDir: String, cfg: Config,
+              ids: DataFrame): Unit =
+    retract(spark, stateDir, cfg.idCol, ids)
+
+  /** [[retract]] addressed by the id column alone — the banding config is
+    * irrelevant to a takedown (tombstones don't hash anything), so the
+    * CLI's `--retract-state` can cascade a `--delete-keys` takedown
+    * without knowing the state dir's dedup parameters. */
+  def retract(spark: SparkSession, stateDir: String, idCol: String,
               ids: DataFrame): Unit = {
-    val keys = ids.select(col(cfg.idCol))
+    val keys = ids.select(col(idCol))
     val sigT = signaturesDir(stateDir)
     if (SnapshotTable.currentSnapshotId(sigT).nonEmpty)
-      SnapshotTable.deleteKeys(spark, sigT, cfg.idCol, keys)
+      SnapshotTable.deleteKeys(spark, sigT, idCol, keys)
     val edgeT = edgesDir(stateDir)
     if (SnapshotTable.currentSnapshotId(edgeT).nonEmpty) {
-      SnapshotTable.deleteKeys(spark, edgeT, "a", keys.select(col(cfg.idCol).as("a")))
-      SnapshotTable.deleteKeys(spark, edgeT, "b", keys.select(col(cfg.idCol).as("b")))
+      SnapshotTable.deleteKeys(spark, edgeT, "a", keys.select(col(idCol).as("a")))
+      SnapshotTable.deleteKeys(spark, edgeT, "b", keys.select(col(idCol).as("b")))
     }
   }
 

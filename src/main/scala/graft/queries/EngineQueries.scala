@@ -701,6 +701,57 @@ object EngineQueries {
       }
       graft.pipeline.IncrementalDedup.currentLabels(s, s"$root/state",
         IncrementalDedupCfg)
+    }),
+
+    // MID-STREAM takedown — the seam q122 leaves open: there the
+    // retraction lands AFTER ingest finished; here it lands BETWEEN
+    // batches, so the NEXT processNew cycle's window crosses the corpus
+    // `delete` commit (SnapshotTable.changes traverses it — a takedown
+    // adds no files, the file-add diff stays exact) and batch 2's img<200
+    // rows arrive AFTER the tombstone, so sequence semantics keep them
+    // alive in corpus AND state. The oracle recomputes the closure over
+    // exactly the rows alive at the end: originals img<200 die only in
+    // the two batches ingested before the takedown (img%3 != 2); every
+    // partner and every post-takedown arrival survives. A consumer that
+    // wedged on the delete commit, a tombstone misapplied to the younger
+    // batch, or a ghost edge through a retracted node all hash-mismatch.
+    "q123_midstream_retract" -> ((s, dir) => {
+      import graft.pipeline.IncrementalDedup
+      val root = s"${sys.props("java.io.tmpdir")}/graft_q123_" +
+        graft.sources.TableSource.pathKey(dir)
+      val done = java.nio.file.Paths.get(root, "__state_complete")
+      if (!java.nio.file.Files.exists(done)) {
+        val rootP = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.isDirectory(rootP)) {
+          val walk = java.nio.file.Files.walk(rootP)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          } finally walk.close()
+        }
+        val corpus = s"$root/corpus"
+        val cursor = s"$root/cursor.txt"
+        val base = ahashCorpusBytes(s)
+        def ingest(g: Int): Unit = {
+          graft.sources.SnapshotTable.commit(s, corpus,
+            base.where(pmod(col("img"), lit(3)) === g))
+          IncrementalDedup.processNew(s, corpus, s"$root/state", cursor,
+            IncrementalDedupCfg) { batch =>
+            batch.select(col("img"),
+              ImageFunctions.ahash64(col("bytes")).as("ah"))
+          }
+        }
+        ingest(0); ingest(1)
+        val takedown = base.where(col("img") < 200).select("img")
+        graft.sources.SnapshotTable.deleteKeys(s, corpus, "img", takedown)
+        IncrementalDedup.retract(s, s"$root/state", IncrementalDedupCfg,
+          takedown)
+        ingest(2) // this cycle's changes window crosses the delete commit
+        java.nio.file.Files.createFile(done)
+      }
+      graft.pipeline.IncrementalDedup.currentLabels(s, s"$root/state",
+        IncrementalDedupCfg)
     }))
 
   /** q119's banding config — q95's parameters (hamming <= 1 verify over
@@ -1238,6 +1289,11 @@ object EngineQueries {
     // identical to q95's (batch-incremental == full-corpus is the claim)
     "q119_incremental_dedup" -> ImageDedupClosureSql,
     "q122_retracted_dedup" -> imageDedupClosureSql("img >= 200"),
+    // mid-stream takedown: only the pre-takedown batches' img<200 rows die;
+    // batch img%3==2 arrives after the tombstone and survives (sequence
+    // semantics), as does every +1000000 partner (img >= 1000000)
+    "q123_midstream_retract" ->
+      imageDedupClosureSql("NOT (img < 200 AND img % 3 != 2)"),
 
     // q91's aHash replay intersected with normalized-caption fingerprint
     // equality — both channels from the same stored blobs

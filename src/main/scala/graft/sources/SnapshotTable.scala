@@ -488,28 +488,34 @@ object SnapshotTable {
       sys.error(s"$tableDir has no snapshots"))
     val snap = snapshot(tableDir, id)
     if (snap.files.isEmpty) emptyWithSchema(spark, tableDir, snap)
-    else if (snap.deletes.isEmpty)
-      readFiles(spark, tableDir, snap.files, snap.schemaJson)
+    else readWithDeletes(spark, tableDir, snap.files, snap.deletes, snap.schemaJson)
+  }
+
+  /** Scan `files` with equality-delete tombstones applied under sequence
+    * semantics: a tombstone applies only to data files strictly older than
+    * it, so group the files by their applicable tombstone set (always a
+    * SUFFIX of the delete list ordered by addedAt — at most
+    * #delete-snapshots + 1 groups, a manifest-sized driver loop) and
+    * anti-join each group against exactly its suffix. Tombstone scans
+    * carry accurate sizeInBytes from their parquet footers, so Spark
+    * auto-broadcasts small delete sets — the common takedown case costs no
+    * shuffle of the data side. Re-inserted rows (appended after the
+    * delete) land in a group with an empty suffix and pass through
+    * untouched. Shared by [[read]] (full live set) and [[changes]] (the
+    * window's added files against the window's tombstones). */
+  private def readWithDeletes(spark: SparkSession, tableDir: String,
+                              files: Seq[DataFile], deletes: Seq[DeleteFile],
+                              schemaJson: Option[String]): DataFrame =
+    if (deletes.isEmpty) readFiles(spark, tableDir, files, schemaJson)
     else {
-      // Equality-delete application with sequence semantics: a tombstone
-      // applies only to data files strictly older than it, so group the
-      // files by their applicable tombstone set (always a SUFFIX of the
-      // delete list ordered by addedAt — at most #delete-snapshots + 1
-      // groups, a manifest-sized driver loop) and anti-join each group
-      // against exactly its suffix. Tombstone scans carry accurate
-      // sizeInBytes from their parquet footers, so Spark auto-broadcasts
-      // small delete sets — the common takedown case costs no shuffle of
-      // the data side. Re-inserted rows (appended after the delete) land
-      // in a group with an empty suffix and pass through untouched.
-      val grouped = snap.files.groupBy(f =>
-        snap.deletes.map(_.addedAt).filter(_ > f.addedAt).toSet)
+      val grouped = files.groupBy(f =>
+        deletes.map(_.addedAt).filter(_ > f.addedAt).toSet)
       grouped.toSeq.sortBy(_._1.size).map { case (applIds, fs) =>
         applyDeletes(spark, tableDir,
-          readFiles(spark, tableDir, fs, snap.schemaJson),
-          snap.deletes.filter(d => applIds(d.addedAt)))
+          readFiles(spark, tableDir, fs, schemaJson),
+          deletes.filter(d => applIds(d.addedAt)))
       }.reduce(_ unionByName _)
     }
-  }
 
   /** Anti-join `base` against the given tombstone files, one join per
     * distinct key column. Duplicate keys across tombstone files are
@@ -600,21 +606,31 @@ object SnapshotTable {
     applyDeletes(spark, tableDir, spark.table(name), snap.deletes)
   }
 
-  /** Incremental append scan: exactly the rows in files added after
-    * `fromExclusive` up to `toInclusive`. Well-defined across `append`
-    * commits (files are only ever added); crossing an `overwrite` boundary
-    * is refused — an overwrite REPLACES rows, which a file-add diff cannot
-    * represent (Iceberg's incremental scan has the same restriction). */
+  /** Incremental append scan: the rows in files added after
+    * `fromExclusive` up to `toInclusive` that are still LIVE at
+    * `toInclusive`. Well-defined across `append` commits (files are only
+    * ever added) AND across `delete` commits — a takedown adds no data
+    * files, so the file-add diff stays exact, and the window's tombstones
+    * are applied to the window's own earlier appends under the usual
+    * sequence semantics (appended at 5, deleted at 6, read at 7 ⇒ not
+    * delivered). Rows appended BEFORE the window and deleted inside it are
+    * NOT re-reported: an append scan carries no retraction channel —
+    * consumers that maintain derived state compose the takedown in
+    * explicitly ([[graft.pipeline.IncrementalDedup.retract]], oracled with
+    * a mid-stream takedown by q123). Crossing an `overwrite` boundary is
+    * still refused — an overwrite REPLACES rows, which a file-add diff
+    * cannot represent (Iceberg's incremental scan has the same
+    * restriction). */
   def changes(spark: SparkSession, tableDir: String,
               fromExclusive: Long, toInclusive: Long): DataFrame = {
     require(fromExclusive < toInclusive,
       s"empty snapshot range: ($fromExclusive, $toInclusive]")
     ((fromExclusive + 1) to toInclusive).foreach { id =>
       val op = snapshot(tableDir, id).operation
-      require(op == "append",
+      require(op == "append" || op == "delete",
         s"snapshot $id is an $op — a file-add diff cannot represent " +
-          "replaced or removed rows (Iceberg's incremental scan has the " +
-          "same append-only restriction)")
+          "replaced rows (Iceberg's incremental scan has the same " +
+          "restriction); reset the consumer's cursor and re-read")
     }
     val before = snapshot(tableDir, fromExclusive).files.map(_.path).toSet
     val to = snapshot(tableDir, toInclusive)
@@ -622,7 +638,14 @@ object SnapshotTable {
     // a commit can add zero files (an empty streaming micro-batch): the
     // diff is legitimately empty — a typed empty frame, not a refusal
     if (added.isEmpty) emptyWithSchema(spark, tableDir, to)
-    else readFiles(spark, tableDir, added, to.schemaJson)
+    else {
+      // only tombstones committed INSIDE the window can touch the added
+      // files (older tombstones predate them; sequence semantics exclude
+      // them in the groupBy anyway — this filter just keeps the group
+      // arithmetic windowed)
+      val winDeletes = to.deletes.filter(_.addedAt > fromExclusive)
+      readWithDeletes(spark, tableDir, added, winDeletes, to.schemaJson)
+    }
   }
 
   /** Typed empty frame for a snapshot with no (selected) data files, from
@@ -887,10 +910,13 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.{col => c, lit, timestamp_micros}
     // every file skipped (or a zero-file snapshot): the correct result is
     // a typed empty frame; the predicates are still applied so a bad
-    // column name fails identically on both paths
+    // column name fails identically on both paths. Kept files go through
+    // the same tombstone application as read() — a range read must never
+    // resurrect deleted rows (file skipping composes with the anti-join:
+    // pruning shrinks the DATA side, the tombstones still apply whole).
     val df =
       if (kept.isEmpty) emptyWithSchema(spark, tableDir, snap)
-      else readFiles(spark, tableDir, kept, snap.schemaJson)
+      else readWithDeletes(spark, tableDir, kept, snap.deletes, snap.schemaJson)
     // exact filters in each column's own type so they reach PushedFilters
     // (a unix_micros()/cast wrapper would block parquet pushdown)
     ranges.foldLeft(df) { case (d, (colName, lo, hi)) =>

@@ -299,4 +299,38 @@ class MainSpec extends SparkSpec {
       Main.main(Array("--admin", table)) // no verb
     }
   }
+
+  test("--admin --retract-state: a takedown cascades into the dedup state") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-main-retract").toString
+    val (table, state) = (s"$tmp/corpus", s"$tmp/state")
+    // a 3-member identical-hash cluster {0,1,2} plus a singleton 9
+    val corpus = Seq((0L, 0xF0L), (1L, 0xF0L), (2L, 0xF0L), (9L, 0x0FL))
+      .toDF("id", "h")
+    sources.SnapshotTable.append(spark, table, corpus)
+    val cfg = pipeline.IncrementalDedup.Config(
+      "id", "h", maxHamming = 1, broadcastSizes = true)
+    pipeline.IncrementalDedup.processNew(spark, table, state,
+      s"$tmp/cursor.txt", cfg)(identity)
+    val takedown = s"$tmp/takedown"
+    Seq(0L).toDF("id").write.parquet(takedown)
+
+    Main.main(Array("--admin", table,
+      "--delete-keys", s"id=$takedown", "--retract-state", state))
+
+    // corpus and derived state agree after the cascade: id 0 gone from
+    // both, the cluster re-labels to its surviving min id
+    assert(sources.SnapshotTable.read(spark, table)
+      .where(col("id") === 0L).isEmpty)
+    val labels = pipeline.IncrementalDedup.currentLabels(spark, state, cfg)
+    assert(labels.count() === 3)
+    assert(labels.where(col("id") === 1L).select("rep").as[Long].head() === 1L)
+    assert(labels.where(col("id") === 2L).select("rep").as[Long].head() === 1L)
+
+    // --retract-state without the takedown keys is refused up front
+    intercept[IllegalArgumentException] {
+      Main.main(Array("--admin", table, "--compact", "--retract-state", state))
+    }
+  }
 }

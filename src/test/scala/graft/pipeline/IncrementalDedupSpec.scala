@@ -197,4 +197,54 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(pair(0L) === 0L && pair(3L) === 0L,
       "the re-ingested id must re-cluster with its surviving partner")
   }
+
+  test("mid-stream takedown: the next cycle crosses the delete commit (q123 unit)") {
+    val (c, s) = (tmp("corpus"), tmp("state"))
+    val cursor = s"$s/cursor.txt"
+    def cycle(g: Int): Unit = {
+      SnapshotTable.commit(spark, c, corpus.where(pmod(col("id"), lit(3)) === g))
+      IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
+    }
+    cycle(0); cycle(1)
+    // takedown of quad-0 members 0, 1 (already ingested) and 2 (NOT yet —
+    // its batch arrives after the tombstone, so sequence semantics keep it
+    // alive in the corpus AND it must still enter the dedup state)
+    val takedown = Seq(0L, 1L, 2L).toDF("id")
+    SnapshotTable.deleteKeys(spark, c, "id", takedown)
+    IncrementalDedup.retract(spark, s, cfg, takedown)
+    cycle(2) // window (2, 4] crosses the corpus delete commit — must not wedge
+    val labels = IncrementalDedup.currentLabels(spark, s, cfg)
+    assert(labels.count() === 28, "0 and 1 retracted; 2 arrived post-tombstone")
+    assert(labels.where(col("id").isin(0L, 1L)).isEmpty)
+    // the late arrival re-forms its quad edge with the surviving member 3
+    val q0 = labels.where(col("id").isin(2L, 3L)).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rep"), r.getAs[Boolean]("kept")))).toMap
+    assert(q0(2L) === ((2L, true)) && q0(3L) === ((2L, false)),
+      s"quad-0 survivors mislabeled: $q0")
+    // untouched quads and singletons keep their full-corpus labels
+    assertSameRows(labels.where(col("id") >= 4),
+      fullLabels.where(col("id") >= 4))
+    // corpus membership and state membership agree after the cascade
+    assertSameRows(SnapshotTable.read(spark, c).select("id"),
+      labels.select("id"))
+  }
+
+  test("append-then-delete inside one window: the row is never delivered") {
+    val (c, s) = (tmp("corpus"), tmp("state"))
+    val cursor = s"$s/cursor.txt"
+    SnapshotTable.commit(spark, c, corpus.where(pmod(col("id"), lit(3)) === 0))
+    IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
+    // batch 1 lands, then id 4 is taken down BEFORE the consumer runs: the
+    // window's own tombstone (younger than the window's append) applies,
+    // so the row must not reach the job at all
+    SnapshotTable.commit(spark, c, corpus.where(pmod(col("id"), lit(3)) === 1))
+    SnapshotTable.deleteKeys(spark, c, "id", Seq(4L).toDF("id"))
+    IncrementalDedup.retract(spark, s, cfg, Seq(4L).toDF("id")) // no-op tombstones
+    val r = IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
+    assert(r === Some((1L, 3L)))
+    val sigs = SnapshotTable.read(spark, IncrementalDedup.signaturesDir(s))
+    assert(sigs.where(col("id") === 4L).isEmpty,
+      "a row deleted within its own delivery window was signed")
+  }
 }

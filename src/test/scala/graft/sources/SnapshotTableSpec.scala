@@ -160,6 +160,17 @@ class SnapshotTableSpec extends SparkSpec {
     val noStats = SnapshotTable.readRange(spark, dir, "entity", 2L, 3L)
     assert(noStats.inputFiles.length === 4)
     assertSameRows(noStats, rows(0, 1000).where(col("entity").between(2, 3)))
+
+    // a range read must never resurrect deleted rows: file skipping
+    // composes with the tombstone anti-join (and re-inserts after the
+    // delete still survive it, sequence semantics intact)
+    SnapshotTable.deleteKeys(spark, dir, "id", spark.range(12, 15).toDF("id"))
+    assertSameRows(SnapshotTable.readRange(spark, dir, "id", 10L, 20L),
+      rows(0, 1000).where(col("id").between(10, 20) && !col("id").between(12, 14)))
+    SnapshotTable.append(spark, dir, rows(13, 14))
+    assertSameRows(SnapshotTable.readRange(spark, dir, "id", 10L, 20L),
+      rows(0, 1000).where(col("id").between(10, 20) && !col("id").between(12, 14))
+        .union(rows(13, 14)))
   }
 
   test("readRange on a timestamp stats column prunes by epoch micros") {
@@ -549,10 +560,21 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SnapshotTable.deleteKeys(spark, dir, "nope", spark.range(1).toDF("nope"))
     }
-    // changes cannot cross a delete: row removal is not a file-add diff
-    intercept[IllegalArgumentException] {
-      SnapshotTable.changes(spark, dir, 1L, 2L)
-    }
+    // changes TRAVERSES delete commits (a takedown adds no files, so the
+    // file-add diff stays exact) with windowed sequence semantics:
+    //   snapshots: 1=append 0..99  2=delete {10..19}  3=append 10..14
+    //              4=delete {12,13,50,51}
+    // a delete-only window is a legitimately empty diff…
+    assert(SnapshotTable.changes(spark, dir, 1L, 2L).count() === 0L)
+    // …the window's appends arrive with only the tombstones YOUNGER than
+    // them applied (snapshot 2's delete predates the re-insert at 3)…
+    assertSameRows(SnapshotTable.changes(spark, dir, 1L, 3L), rows(10, 15))
+    // …and a tombstone inside the window kills the window's own earlier
+    // appends, while rows deleted from PRE-window files (50, 51) are not
+    // re-reported — an append scan has no retraction channel
+    assertSameRows(SnapshotTable.changes(spark, dir, 1L, 4L),
+      rows(10, 15).where(!col("id").isin(12L, 13L)))
+    assert(SnapshotTable.changes(spark, dir, 3L, 4L).count() === 0L)
   }
 
   test("compact: consumes tombstones, collapses small files, refuses to drop a concurrent commit") {
