@@ -661,6 +661,76 @@ object SnapshotTable {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  private def refPath(tableDir: String, name: String): Path =
+    metaDir(tableDir).resolve(s"ref-$name.txt")
+
+  /** Publish an immutable NAME for a snapshot (Iceberg's tag refs) — the
+    * reproducible-release primitive a training-data pipeline needs:
+    * "run R trained on corpus@v3" is only auditable if v3 can neither
+    * move nor expire. A tagged snapshot is retained by [[expireSnapshots]]
+    * beyond `keepLast` (manifest AND data files); [[dropTag]] releases it
+    * back to normal retention. Tags are immutable: re-creating an existing
+    * name is refused unless it already points at the same snapshot (so a
+    * replayed release job is a no-op, the usual idempotency convention
+    * here). Published with the same link(2) first-writer-wins publish as
+    * manifests — two concurrent `createTag("v3", ...)` calls cannot both
+    * win. Distinct from [[Snapshot.tag]] (a committer's per-commit
+    * idempotency token, [[findByTag]]): a ref NAMES a snapshot from the
+    * outside and pins it against GC. Returns the tagged snapshot id. */
+  def createTag(tableDir: String, name: String,
+                snapshotId: Option[Long] = None): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"tag name must be filename-safe (it keys meta/ref-<name>.txt): $name")
+    val id = snapshotId.orElse(currentSnapshotId(tableDir)).getOrElse(
+      sys.error(s"$tableDir has no snapshots to tag"))
+    require(Files.exists(manifestPath(tableDir, id)),
+      s"no snapshot $id in $tableDir (expired or never committed)")
+    val target = refPath(tableDir, name)
+    val tmp = Files.createTempFile(metaDir(tableDir), ".ref-staging", ".txt")
+    Files.write(tmp, id.toString.getBytes("UTF-8"))
+    try { Files.createLink(target, tmp); id }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val existing = resolveTag(tableDir, name).getOrElse(
+          sys.error(s"tag '$name' exists but is unreadable in $tableDir"))
+        require(existing == id,
+          s"tag '$name' already names snapshot $existing in $tableDir — " +
+            "tags are immutable; dropTag first or pick a new name")
+        id
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** The snapshot id a tag names, or None. */
+  def resolveTag(tableDir: String, name: String): Option[Long] = {
+    val p = refPath(tableDir, name)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+  }
+
+  /** All tags of a table: name -> snapshot id. */
+  def tags(tableDir: String): Map[String, Long] = {
+    val md = metaDir(tableDir)
+    if (!Files.isDirectory(md)) Map.empty
+    else {
+      val listing = Files.list(md)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("ref-") && n.endsWith(".txt"))
+          .map(n => n.stripPrefix("ref-").stripSuffix(".txt"))
+          .toSeq.sorted
+          .flatMap(n => resolveTag(tableDir, n).map(n -> _)).toMap
+      } finally listing.close()
+    }
+  }
+
+  /** Delete a tag, releasing its snapshot back to normal retention (the
+    * next [[expireSnapshots]] may reclaim it). Returns false when the tag
+    * never existed. */
+  def dropTag(tableDir: String, name: String): Boolean =
+    Files.deleteIfExists(refPath(tableDir, name))
+
   /** Retain the newest `keepLast` snapshots; delete older manifests and
     * every commit DIRECTORY none of whose files is reachable from the
     * retained set — including `_SUCCESS`/`.crc` sidecars and the directory
@@ -687,7 +757,13 @@ object SnapshotTable {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val all = snapshots(tableDir)
     if (all.isEmpty) return (0, 0)
-    val (expired, retained) = all.splitAt(math.max(0, all.size - keepLast))
+    // TAGGED snapshots are retained regardless of age — a published
+    // release name must stay readable until someone explicitly dropTag's
+    // it; everything it references (data, tombstones, view farms) is
+    // thereby reachable state
+    val keepIds = all.takeRight(keepLast).map(_.id).toSet ++
+      tags(tableDir).values.toSet
+    val (retained, expired) = all.partition(s => keepIds(s.id))
     // tombstone files are reachable state like data files: a retained
     // snapshot's deletes must survive GC (reads re-apply them), an
     // expired-only tombstone dir (post-compaction) is swept like any
@@ -707,7 +783,8 @@ object SnapshotTable {
       val now = System.currentTimeMillis()
       val listing = Files.list(metaDir(tableDir))
       try listing.iterator().asScala
-        .filter(_.getFileName.toString.startsWith(".snap-staging"))
+        .filter { p => val n = p.getFileName.toString
+          n.startsWith(".snap-staging") || n.startsWith(".ref-staging") }
         .filter(p => now - Files.getLastModifiedTime(p).toMillis > orphanMinAgeMs)
         .foreach(Files.deleteIfExists(_))
       finally listing.close()

@@ -52,13 +52,24 @@ object TableSource {
         }) { case (r, (k, v)) => r.option(k, v) }
           .csv(s.stripPrefix("csv:"))
       case s if s.startsWith("snap:") =>
-        // only snapshot-id applies here — SnapshotTable resolves its own
-        // file list, so a generic reader option would be silently dropped
-        val unknown = opts.collect { case (k, _) if k != "snapshot-id" => k }
+        // only snapshot-id / snapshot-tag apply here — SnapshotTable
+        // resolves its own file list, so a generic reader option would be
+        // silently dropped
+        val unknown = opts.collect {
+          case (k, _) if k != "snapshot-id" && k != "snapshot-tag" => k }
         require(unknown.isEmpty,
           s"options not applicable to snap: specs: ${unknown.mkString(",")}")
-        SnapshotTable.read(spark, s.stripPrefix("snap:"),
-          opts.collectFirst { case ("snapshot-id", v) => v.toLong })
+        require(!(opts.exists(_._1 == "snapshot-id") &&
+          opts.exists(_._1 == "snapshot-tag")),
+          "pass snapshot-id OR snapshot-tag, not both")
+        val dir = s.stripPrefix("snap:")
+        val pinned = opts.collectFirst { case ("snapshot-id", v) => v.toLong }
+          .orElse(opts.collectFirst { case ("snapshot-tag", v) =>
+            SnapshotTable.resolveTag(dir, v).getOrElse(sys.error(
+              s"no tag '$v' on snapshot table $dir (tags: " +
+                s"${SnapshotTable.tags(dir).keys.mkString(", ")})"))
+          })
+        SnapshotTable.read(spark, dir, pinned)
       case s if s.startsWith("json:") => reader.json(s.stripPrefix("json:"))
       case s if s.startsWith("orc:") => reader.orc(s.stripPrefix("orc:"))
       case s if s.startsWith("bucketed:") =>

@@ -29,15 +29,27 @@ object SnapshotIngest {
   /** Start ingesting `df` (a streaming DataFrame) into the snapshot table
     * at `tableDir`. `source` namespaces the idempotency tags — give each
     * concurrently ingesting query its own name (identifier characters
-    * only: the name is also a filename in `meta/`). */
+    * only: the name is also a filename in `meta/`).
+    *
+    * With `bucketSpec`, every micro-batch commits BUCKET-TRANSFORMED
+    * ([[SnapshotTable.commitBucketed]]) so the continuously-ingesting
+    * corpus keeps the zero-exchange layout entity-keyed readers plan
+    * against — without this a bucketed table would refuse the stream's
+    * plain appends and the ingest would wedge against the layout. Each
+    * micro-batch writes `spec.buckets` files; run
+    * [[SnapshotTable.compact]] on the usual maintenance schedule to
+    * collapse them back to one file per bucket (the layout is preserved
+    * through the rewrite) — the Iceberg streaming-write + periodic
+    * rewrite_data_files pattern. */
   def start(df: DataFrame, tableDir: String, checkpointDir: String,
             source: String = "ingest",
-            statsCols: Seq[String] = Nil): StreamingQuery =
+            statsCols: Seq[String] = Nil,
+            bucketSpec: Option[SnapshotTable.BucketSpec] = None): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        commitOnce(batch, tableDir, source, epochId, statsCols); ()
+        commitOnce(batch, tableDir, source, epochId, statsCols, bucketSpec); ()
       }
       .start()
 
@@ -51,14 +63,19 @@ object SnapshotIngest {
     * every older file without opening it. */
   private[graft] def commitOnce(batch: DataFrame, tableDir: String,
                                 source: String, epochId: Long,
-                                statsCols: Seq[String] = Nil): Boolean = {
+                                statsCols: Seq[String] = Nil,
+                                bucketSpec: Option[SnapshotTable.BucketSpec] = None): Boolean = {
     require(source.matches("[A-Za-z0-9._-]+"),
       s"source name must be filename-safe (it keys meta/source-<name>.txt): $source")
     val tag = s"$source:batch-$epochId"
     if (alreadyCommitted(tableDir, source, epochId, tag)) false
     else {
-      SnapshotTable.commit(batch.sparkSession, tableDir, batch, "append",
-        Some(tag), statsCols)
+      bucketSpec match {
+        case Some(spec) => SnapshotTable.commitBucketed(batch.sparkSession,
+          tableDir, batch, spec, "append", Some(tag), statsCols)
+        case None => SnapshotTable.commit(batch.sparkSession, tableDir,
+          batch, "append", Some(tag), statsCols)
+      }
       // durable high-water mark OUTSIDE the expirable manifest log: if
       // retention GC later expires every tagged manifest from this source
       // (a long stream downtime), the replay check below still has a

@@ -383,6 +383,51 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TableSource.load(spark, s"option:mergeSchema=true;snap:$dir", synth)
     }
+    // tags resolve through the spec surface too
+    SnapshotTable.createTag(dir, "v1", Some(1L))
+    assert(TableSource.load(spark, s"option:snapshot-tag=v1;snap:$dir", synth)
+      .count() === 40L)
+    intercept[RuntimeException] {
+      TableSource.load(spark, s"option:snapshot-tag=nope;snap:$dir", synth)
+    }
+    intercept[IllegalArgumentException] {
+      TableSource.load(spark,
+        s"option:snapshot-id=1;option:snapshot-tag=v1;snap:$dir", synth)
+    }
+  }
+
+  test("tags: immutable release names pin snapshots against retention GC") {
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir, rows(0, 50))           // 1
+    assert(SnapshotTable.createTag(dir, "v1") === 1L)       // tags the head
+    SnapshotTable.overwrite(spark, dir, rows(100, 150))     // 2: drops 1's files
+    SnapshotTable.append(spark, dir, rows(150, 160))        // 3
+    // re-creating at the same target is a no-op; MOVING a tag is refused
+    assert(SnapshotTable.createTag(dir, "v1", Some(1L)) === 1L)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.createTag(dir, "v1", Some(3L))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.createTag(dir, "bad name")
+    }
+    assert(SnapshotTable.tags(dir) === Map("v1" -> 1L))
+
+    // GC with keepLast=1: snapshot 2 expires, but the tagged snapshot 1 —
+    // whose files head no longer references — must survive with its DATA
+    val (nManifests, nFiles) =
+      SnapshotTable.expireSnapshots(dir, keepLast = 1, orphanMinAgeMs = 0L)
+    assert(nManifests === 1 && nFiles === 0,
+      "the tagged snapshot's manifest and files must survive GC")
+    assertSameRows(SnapshotTable.read(spark, dir, Some(1L)), rows(0, 50))
+    assert(SnapshotTable.read(spark, dir).count() === 60L)
+
+    // dropping the tag releases the snapshot to normal retention
+    assert(SnapshotTable.dropTag(dir, "v1"))
+    assert(!SnapshotTable.dropTag(dir, "v1"))
+    val (nm2, nf2) =
+      SnapshotTable.expireSnapshots(dir, keepLast = 1, orphanMinAgeMs = 0L)
+    assert(nm2 === 1 && nf2 > 0, "dropTag must release the files to GC")
+    intercept[IllegalArgumentException] { SnapshotTable.snapshot(dir, 1L) }
   }
 
   test("randomized op sequences: the latest read always replays the operation log") {

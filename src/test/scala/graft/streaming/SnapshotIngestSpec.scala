@@ -42,6 +42,46 @@ class SnapshotIngestSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir).count() === 4L)
   }
 
+  test("bucketed streaming ingest: micro-batches keep the layout, compaction collapses them") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-ingest-bkt").toString
+    val ckpt = Files.createTempDirectory("graft-ingest-bkt-ckpt").toString
+    val spec = SnapshotTable.BucketSpec(4, "phash", Seq("phash", "ts"))
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val q = SnapshotIngest.start(in.toDF.toDF("phash", "ts", "value"),
+      dir, ckpt, source = "cam", bucketSpec = Some(spec))
+    try {
+      in.addData((0 until 40).map(i =>
+        (i.toLong, ts(f"2024-01-01 00:${i % 60}%02d:00"), i * 1.0)): _*)
+      q.processAllAvailable()
+      in.addData((40 until 60).map(i =>
+        (i.toLong, ts(f"2024-01-01 01:${i % 60}%02d:00"), i * 1.0)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // every commit carries the spec and ADDS one file per bucket (files
+    // is the cumulative live set; the commit's own delta is addedAt == id)
+    val snaps = SnapshotTable.snapshots(dir).filter(_.files.nonEmpty)
+    assert(snaps.size >= 2 && snaps.forall(_.bucketSpec.contains(spec)))
+    assert(snaps.forall(s => s.files.count(_.addedAt == s.id) === 4))
+    // the bucketed read attaches the layout: entity-keyed agg, no exchange
+    val agg = SnapshotTable.readBucketed(spark, dir)
+      .groupBy("phash").count()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "bucketed ingest must keep entity-keyed work exchange-free")
+    assert(agg.count() === 60L)
+    // a replayed epoch is still detected through the bucketed path
+    val lastEpoch = snaps.last.tag.get.stripPrefix("cam:batch-").toLong
+    val replay = Seq((59L, ts("2024-01-01 01:59:00"), 59.0))
+      .toDF("phash", "ts", "value")
+    assert(!SnapshotIngest.commitOnce(replay, dir, "cam", lastEpoch,
+      bucketSpec = Some(spec)))
+    // maintenance compaction collapses the per-batch files, keeps the layout
+    val compacted = SnapshotTable.compact(spark, dir)
+    assert(compacted.bucketSpec.contains(spec) && compacted.files.size === 4)
+    assert(SnapshotTable.readBucketed(spark, dir).count() === 60L)
+  }
+
   test("replay dedup survives retention GC expiring every tagged manifest") {
     val dir = Files.createTempDirectory("graft-ingest-gc").toString
     val batch = Seq((1L, 2.0)).toDF("phash", "value")
