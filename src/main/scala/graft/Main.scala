@@ -75,8 +75,11 @@ object Main {
         val keys = spark.read.parquet(src)
         val snap = sources.SnapshotTable.deleteKeys(spark, tableDir, keyCol,
           keys)
+        // report THIS takedown's keys (addedAt == snap.id), not the
+        // accumulated tombstone total — an operator audits the pass
         println(s"[admin] snapshot ${snap.id}: tombstoned " +
-          s"${snap.deletes.map(_.rows).sum} '$keyCol' keys in $tableDir")
+          s"${snap.deletes.filter(_.addedAt == snap.id).map(_.rows).sum} " +
+          s"'$keyCol' keys in $tableDir")
         // cascade the same takedown into a derived incremental-dedup state
         // (signature tombstone + edge tombstones on both endpoints) — the
         // GDPR composition q122/q123 oracle, as one CLI invocation

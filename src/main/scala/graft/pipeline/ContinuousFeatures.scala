@@ -14,14 +14,19 @@ import graft.sources.SnapshotTable
   * Window-closing contract: a tumbling window `[w, w+step)` is emitted
   * when the corpus watermark (max event time ingested so far) passes its
   * end — with time-ordered ingest no later row can land in it. Each cycle
-  * `(from, to]` derives BOTH boundaries deterministically from the
-  * snapshot log itself (`boundary(s) = floor(maxTs(snapshot s) / step)`),
-  * so the window range [boundary(from), boundary(to)) is a pure function
-  * of the processed snapshot window: a replayed cycle re-derives the
-  * identical range and its tagged append is skipped
-  * ([[SnapshotTable.findByTag]]) — the [[IncrementalDedup]] exactly-once
-  * recipe applied to feature maintenance. `maxTs(s)` comes from the
-  * manifest's per-file stats when the ingest recorded them
+  * emits exactly the windows in `[emitted, boundary(head))`, where
+  * `boundary(s) = floor(maxTs(snapshot s) / step)` and `emitted` is the
+  * feature table's own durable high-water mark (the newest `feat:b<bound>`
+  * commit tag, backed by a `meta/feat-bound.txt` mark that survives
+  * retention GC). Keying idempotency on BOUNDARY COVERAGE rather than the
+  * processed snapshot window is what makes every crash seam safe: a cycle
+  * that died between its feature commit and the cursor write, with MORE
+  * corpus commits landing before the replay, re-derives `emitted` from the
+  * committed state and emits only the genuinely new windows — a
+  * window-pair tag would treat the wider replay window as never-committed
+  * and duplicate everything below it. One maintenance job per feature
+  * table (the single-consumer cursor convention). `maxTs(s)` comes from
+  * the manifest's per-file stats when the ingest recorded them
   * (`statsCols = Seq(tsCol)`) — no data scan — and falls back to a scan.
   *
   * Exactness: the emitted rows equal the full-corpus batch run restricted
@@ -61,20 +66,39 @@ object ContinuousFeatures {
             featureDir: String, cursorPath: String, tsCol: String = "ts",
             stepSec: Long = 600L, lateness: Long = 0L): Option[(Long, Long)] =
     Incremental.processNewWithRange(spark, corpusDir, cursorPath) {
-      (_, from, to) =>
-        val tag = s"feat:$from-$to"
-        if (SnapshotTable.findByTag(featureDir, tag).isEmpty) {
-          val prev = if (from == 0L) Long.MinValue
-                     else boundarySec(spark, corpusDir, from, tsCol, stepSec, lateness)
-          val bound = boundarySec(spark, corpusDir, to, tsCol, stepSec, lateness)
+      (_, _, to) =>
+        val bound = boundarySec(spark, corpusDir, to, tsCol, stepSec, lateness)
+        val prev = emittedBound(featureDir).getOrElse(Long.MinValue)
+        if (bound > prev) {
           val corpus = SnapshotTable.read(spark, corpusDir, Some(to))
             .where(unix_timestamp(col(tsCol)) < bound)
           val closed = FeaturePipeline.features(corpus, labels)
             .where(unix_timestamp(col("window_start")) >= prev &&
               unix_timestamp(col("window_start")) < bound)
-          SnapshotTable.commit(spark, featureDir, closed, "append", Some(tag))
+          SnapshotTable.commit(spark, featureDir, closed, "append",
+            Some(s"feat:b$bound"))
+          writeBound(featureDir, bound)
         }
     }
+
+  /** The upper boundary (exclusive) of everything this feature table has
+    * already emitted: max of the newest `feat:b<bound>` commit tag (the
+    * durable word — written atomically WITH the rows; newest-first
+    * early-stop walk, [[SnapshotTable.findByTagPrefix]]) and the
+    * `meta/feat-bound.txt` mark (survives manifest retention GC; written
+    * after each commit). None on a fresh table. */
+  private[graft] def emittedBound(featureDir: String): Option[Long] = {
+    val fromTag = SnapshotTable.findByTagPrefix(featureDir, "feat:b")
+      .flatMap(_.tag).map(_.stripPrefix("feat:b").toLong)
+    (fromTag.toSeq ++ Incremental.readLongFile(boundFile(featureDir)).toSeq)
+      .maxOption
+  }
+
+  private def boundFile(featureDir: String) =
+    java.nio.file.Paths.get(featureDir, "meta", "feat-bound.txt")
+
+  private def writeBound(featureDir: String, bound: Long): Unit =
+    Incremental.writeLongFile(boundFile(featureDir), bound)
 
   /** The closing boundary for a corpus snapshot: the largest window start
     * NOT yet closed — `floor((maxTs − lateness) / step) * step`. Windows

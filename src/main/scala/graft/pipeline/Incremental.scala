@@ -64,20 +64,25 @@ object Incremental {
     Some((last, head))
   }
 
-  private[graft] def readCursor(path: String): Long = {
-    val p = Paths.get(path)
-    if (!Files.exists(p)) 0L
-    else new String(Files.readAllBytes(p), "UTF-8").trim.toLong
-  }
+  private[graft] def readCursor(path: String): Long =
+    readLongFile(Paths.get(path)).getOrElse(0L)
 
-  private def writeCursor(path: String, id: Long): Unit = {
-    val p = Paths.get(path)
+  private[graft] def writeCursor(path: String, id: Long): Unit =
+    writeLongFile(Paths.get(path), id)
+
+  /** The single-writer marker-file convention shared by the cursor, the
+    * dedup `processed-upto` mark and the feature `feat-bound` mark: an
+    * atomic REPLACE (unlike the first-writer-wins pin/manifest publishes)
+    * — the newest position wins. */
+  private[graft] def readLongFile(p: java.nio.file.Path): Option[Long] =
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+
+  private[graft] def writeLongFile(p: java.nio.file.Path, v: Long): Unit = {
     Option(p.getParent).foreach(Files.createDirectories(_))
     val tmp = Files.createTempFile(
       Option(p.getParent).getOrElse(Paths.get(".")), ".cursor-staging", ".txt")
-    Files.write(tmp, id.toString.getBytes("UTF-8"))
-    // single-consumer cursor: an atomic REPLACE is correct here (unlike the
-    // first-writer-wins pin/manifest publishes) — the newest position wins
+    Files.write(tmp, v.toString.getBytes("UTF-8"))
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }

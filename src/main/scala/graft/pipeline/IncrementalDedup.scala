@@ -70,13 +70,41 @@ object IncrementalDedup {
     * agnostic (aHash, MinHash band folds, SimHash — anything 64-bit). */
   def processNew(spark: SparkSession, corpusDir: String, stateDir: String,
                  cursorPath: String, cfg: Config)
-                (signature: DataFrame => DataFrame): Option[(Long, Long)] =
+                (signature: DataFrame => DataFrame): Option[(Long, Long)] = {
+    // cursor SELF-HEALING: if the state tables prove a newer corpus
+    // snapshot was fully processed (sig commit landed) but the cursor
+    // write crashed, fast-forward the cursor first. Without this, a
+    // replay whose corpus head MOVED since the crash re-delivers the
+    // already-signed batch under a different window — a tag the
+    // idempotency check has never seen — and the signature table absorbs
+    // it as duplicate rows (duplicate labels downstream).
+    processedUpto(stateDir).filter(_ > Incremental.readCursor(cursorPath))
+      .foreach(Incremental.writeCursor(cursorPath, _))
     Incremental.processNewWithRange(spark, corpusDir, cursorPath) {
       (fresh, from, to) =>
         processBatch(spark, stateDir,
           signature(fresh).select(col(cfg.idCol), col(cfg.hashCol)),
           from, to, cfg)
     }
+  }
+
+  private def uptoFile(stateDir: String) =
+    java.nio.file.Paths.get(stateDir, "processed-upto.txt")
+
+  /** The newest corpus snapshot this state dir FULLY processed: max of
+    * the durable `processed-upto.txt` mark and the newest `dedup-sig:`
+    * tag's window end (the sig commit is a cycle's last state commit;
+    * the newest-first tag walk stops at the first sig commit, so the
+    * lookup is O(1) amortized — [[SnapshotTable.findByTagPrefix]]). The
+    * two sources cover each other: the mark survives state-table
+    * retention GC, the tag survives a crash before the mark's write. */
+  private[graft] def processedUpto(stateDir: String): Option[Long] = {
+    val fromTag = SnapshotTable
+      .findByTagPrefix(signaturesDir(stateDir), "dedup-sig:")
+      .flatMap(_.tag).map(_.stripPrefix("dedup-sig:").split("-")(1).toLong)
+    (fromTag.toSeq ++ Incremental.readLongFile(uptoFile(stateDir)).toSeq)
+      .maxOption
+  }
 
   /** One batch's state transition, idempotent on `(from, to)` — package-
     * visible so the crash/replay seams (edge-committed-but-not-sig,
@@ -88,9 +116,20 @@ object IncrementalDedup {
     val edgeT = edgesDir(stateDir)
     val sigTag = s"dedup-sig:$from-$to"
     val edgeTag = s"dedup-edges:$from-$to"
-    val sigDone = SnapshotTable.findByTag(sigT, sigTag)
-    val edgeDone = SnapshotTable.findByTag(edgeT, edgeTag).isDefined
-    if (sigDone.isDefined && edgeDone) return // full replay: nothing to do
+    // replay detection via the NEWEST same-prefix tag only (early-stop
+    // walk): a single consumer commits windows in order, so the newest
+    // window end decides — a full-log findByTag miss would re-parse every
+    // manifest on every fresh window, quadratic over the stream's lifetime
+    def winEnd(s: SnapshotTable.Snapshot, prefix: String): Long =
+      s.tag.get.stripPrefix(prefix).split("-")(1).toLong
+    val newestSig = SnapshotTable.findByTagPrefix(sigT, "dedup-sig:")
+    val newestEdge = SnapshotTable.findByTagPrefix(edgeT, "dedup-edges:")
+    val sigDone = newestSig.filter(_.tag.contains(sigTag))
+    val sigCovered = sigDone.isDefined ||
+      newestSig.exists(winEnd(_, "dedup-sig:") >= to)
+    val edgeDone = newestEdge.exists(_.tag.contains(edgeTag)) ||
+      newestEdge.exists(winEnd(_, "dedup-edges:") >= to)
+    if (sigCovered && edgeDone) return // full replay: nothing to do
     // state BEFORE this batch: on a partial replay whose signature append
     // already landed, time-travel to that commit's parent — otherwise the
     // batch would meet its own earlier append in the state side (harmless
@@ -111,13 +150,30 @@ object IncrementalDedup {
     val fresh = freshSigs.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       if (!edgeDone) {
-        val edges = Dedup.incrementalEdgesFromHashes(state, fresh,
+        val newEdges = Dedup.incrementalEdgesFromHashes(state, fresh,
           cfg.idCol, cfg.hashCol, cfg.maxHamming, cfg.cap,
           cfg.broadcastSizes, cfg.bandBits)
+        // content-level idempotency for the one seam window arithmetic
+        // can't close: edge commit landed, sig commit didn't, corpus head
+        // moved — the replay's wider window re-generates the crashed
+        // window's edges under a fresh tag. The crash signature is visible
+        // in state (the newest edge window is AHEAD of the newest sig
+        // window), so the dedup anti-join runs ONLY then — the normal path
+        // stays O(batch), never scanning the accumulated edge table.
+        val edgesAheadOfSigs = newestEdge.exists(winEnd(_, "dedup-edges:") >
+          newestSig.map(winEnd(_, "dedup-sig:")).getOrElse(Long.MinValue))
+        val edges =
+          if (!edgesAheadOfSigs) newEdges
+          else newEdges.join(
+            SnapshotTable.read(spark, edgeT).select("a", "b"),
+            Seq("a", "b"), "left_anti")
         SnapshotTable.commit(spark, edgeT, edges, "append", Some(edgeTag))
       }
       if (sigDone.isEmpty)
         SnapshotTable.commit(spark, sigT, fresh, "append", Some(sigTag))
+      // durable completion mark OUTSIDE the expirable manifest log — the
+      // cursor self-heal's GC-proof source (the SnapshotIngest pattern)
+      Incremental.writeLongFile(uptoFile(stateDir), to)
     } finally fresh.unpersist(blocking = false)
   }
 

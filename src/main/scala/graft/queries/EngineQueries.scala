@@ -247,7 +247,7 @@ object EngineQueries {
       val table = snapDeleteTable(s, dir)
       val head = graft.sources.SnapshotTable.snapshot(table,
         graft.sources.SnapshotTable.currentSnapshotId(table).get)
-      require(head.operation == "overwrite" && head.deletes.isEmpty &&
+      require(head.operation == "replace" && head.deletes.isEmpty &&
         head.bucketSpec.nonEmpty, "head must be the compacted rewrite")
       graft.sources.SnapshotTable.readBucketed(s, table)
         .groupBy(col("l_returnflag"))
@@ -622,33 +622,9 @@ object EngineQueries {
     // so any edge the incremental path missed or invented, any replayed
     // append, any cursor slip hash-mismatches.
     "q119_incremental_dedup" -> ((s, dir) => {
-      import graft.pipeline.IncrementalDedup
-      val root = s"${sys.props("java.io.tmpdir")}/graft_q119_" +
-        graft.sources.TableSource.pathKey(dir)
-      val done = java.nio.file.Paths.get(root, "__state_complete")
-      if (!java.nio.file.Files.exists(done)) {
-        val rootP = java.nio.file.Paths.get(root)
-        if (java.nio.file.Files.isDirectory(rootP)) {
-          val walk = java.nio.file.Files.walk(rootP)
-          try {
-            import scala.jdk.CollectionConverters._
-            walk.iterator().asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.deleteIfExists(_))
-          } finally walk.close()
-        }
-        val corpus = s"$root/corpus"
-        val cursor = s"$root/cursor.txt"
-        val base = ahashCorpusBytes(s)
-        (0 to 2).foreach { g =>
-          graft.sources.SnapshotTable.commit(s, corpus,
-            base.where(pmod(col("img"), lit(3)) === g))
-          IncrementalDedup.processNew(s, corpus, s"$root/state", cursor,
-            IncrementalDedupCfg) { batch =>
-            batch.select(col("img"),
-              ImageFunctions.ahash64(col("bytes")).as("ah"))
-          }
-        }
-        java.nio.file.Files.createFile(done)
+      val root = dedupStateRoot("q119", dir)
+      Q.cachedBuild(root, "__state_complete") {
+        (0 to 2).foreach(g => ingestDedupBatch(s, root, g))
       }
       graft.pipeline.IncrementalDedup.currentLabels(s, s"$root/state",
         IncrementalDedupCfg)
@@ -664,40 +640,13 @@ object EngineQueries {
     // must vanish, and any ghost signature or dangling edge the cascade
     // left behind hash-mismatches.
     "q122_retracted_dedup" -> ((s, dir) => {
-      import graft.pipeline.IncrementalDedup
-      val root = s"${sys.props("java.io.tmpdir")}/graft_q122_" +
-        graft.sources.TableSource.pathKey(dir)
-      val done = java.nio.file.Paths.get(root, "__state_complete")
-      if (!java.nio.file.Files.exists(done)) {
-        val rootP = java.nio.file.Paths.get(root)
-        if (java.nio.file.Files.isDirectory(rootP)) {
-          val walk = java.nio.file.Files.walk(rootP)
-          try {
-            import scala.jdk.CollectionConverters._
-            walk.iterator().asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.deleteIfExists(_))
-          } finally walk.close()
-        }
-        val corpus = s"$root/corpus"
-        val cursor = s"$root/cursor.txt"
-        val base = ahashCorpusBytes(s)
-        (0 to 2).foreach { g =>
-          graft.sources.SnapshotTable.commit(s, corpus,
-            base.where(pmod(col("img"), lit(3)) === g))
-          IncrementalDedup.processNew(s, corpus, s"$root/state", cursor,
-            IncrementalDedupCfg) { batch =>
-            batch.select(col("img"),
-              ImageFunctions.ahash64(col("bytes")).as("ah"))
-          }
-        }
+      val root = dedupStateRoot("q122", dir)
+      Q.cachedBuild(root, "__state_complete") {
+        (0 to 2).foreach(g => ingestDedupBatch(s, root, g))
         // takedown: originals img < 200 leave the corpus and the cascade
         // removes their signatures and every edge touching them (their
         // injected +1000000 partners survive and must re-keep themselves)
-        val takedown = base.where(col("img") < 200).select("img")
-        graft.sources.SnapshotTable.deleteKeys(s, corpus, "img", takedown)
-        IncrementalDedup.retract(s, s"$root/state", IncrementalDedupCfg,
-          takedown)
-        java.nio.file.Files.createFile(done)
+        retractUnder200(s, root)
       }
       graft.pipeline.IncrementalDedup.currentLabels(s, s"$root/state",
         IncrementalDedupCfg)
@@ -716,43 +665,44 @@ object EngineQueries {
     // wedged on the delete commit, a tombstone misapplied to the younger
     // batch, or a ghost edge through a retracted node all hash-mismatch.
     "q123_midstream_retract" -> ((s, dir) => {
-      import graft.pipeline.IncrementalDedup
-      val root = s"${sys.props("java.io.tmpdir")}/graft_q123_" +
-        graft.sources.TableSource.pathKey(dir)
-      val done = java.nio.file.Paths.get(root, "__state_complete")
-      if (!java.nio.file.Files.exists(done)) {
-        val rootP = java.nio.file.Paths.get(root)
-        if (java.nio.file.Files.isDirectory(rootP)) {
-          val walk = java.nio.file.Files.walk(rootP)
-          try {
-            import scala.jdk.CollectionConverters._
-            walk.iterator().asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.deleteIfExists(_))
-          } finally walk.close()
-        }
-        val corpus = s"$root/corpus"
-        val cursor = s"$root/cursor.txt"
-        val base = ahashCorpusBytes(s)
-        def ingest(g: Int): Unit = {
-          graft.sources.SnapshotTable.commit(s, corpus,
-            base.where(pmod(col("img"), lit(3)) === g))
-          IncrementalDedup.processNew(s, corpus, s"$root/state", cursor,
-            IncrementalDedupCfg) { batch =>
-            batch.select(col("img"),
-              ImageFunctions.ahash64(col("bytes")).as("ah"))
-          }
-        }
-        ingest(0); ingest(1)
-        val takedown = base.where(col("img") < 200).select("img")
-        graft.sources.SnapshotTable.deleteKeys(s, corpus, "img", takedown)
-        IncrementalDedup.retract(s, s"$root/state", IncrementalDedupCfg,
-          takedown)
-        ingest(2) // this cycle's changes window crosses the delete commit
-        java.nio.file.Files.createFile(done)
+      val root = dedupStateRoot("q123", dir)
+      Q.cachedBuild(root, "__state_complete") {
+        ingestDedupBatch(s, root, 0); ingestDedupBatch(s, root, 1)
+        retractUnder200(s, root)
+        ingestDedupBatch(s, root, 2) // crosses the delete commit
       }
       graft.pipeline.IncrementalDedup.currentLabels(s, s"$root/state",
         IncrementalDedupCfg)
     }))
+
+  /** Deterministic per-(query, sf-dir) state root for the q119 family. */
+  private def dedupStateRoot(q: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${q}_" +
+      graft.sources.TableSource.pathKey(dir)
+
+  /** One q119-family ingest cycle: commit the img%3 == g class of
+    * [[ahashCorpusBytes]] (bytes and all) to `<root>/corpus`, then run one
+    * IncrementalDedup cycle that hashes ONLY that batch. */
+  private def ingestDedupBatch(s: org.apache.spark.sql.SparkSession,
+                               root: String, g: Int): Unit = {
+    graft.sources.SnapshotTable.commit(s, s"$root/corpus",
+      ahashCorpusBytes(s).where(pmod(col("img"), lit(3)) === g))
+    graft.pipeline.IncrementalDedup.processNew(s, s"$root/corpus",
+      s"$root/state", s"$root/cursor.txt", IncrementalDedupCfg) { batch =>
+      batch.select(col("img"), ImageFunctions.ahash64(col("bytes")).as("ah"))
+    }
+  }
+
+  /** The q122/q123 takedown: originals img < 200 leave the corpus
+    * (equality delete) and the cascade retracts them from the dedup
+    * state. */
+  private def retractUnder200(s: org.apache.spark.sql.SparkSession,
+                              root: String): Unit = {
+    val takedown = ahashCorpusBytes(s).where(col("img") < 200).select("img")
+    graft.sources.SnapshotTable.deleteKeys(s, s"$root/corpus", "img", takedown)
+    graft.pipeline.IncrementalDedup.retract(s, s"$root/state",
+      IncrementalDedupCfg, takedown)
+  }
 
   /** q119's banding config — q95's parameters (hamming <= 1 verify over
     * 4 x 16-bit aHash bands, cap 1024 inactive at this corpus size, so the
@@ -1503,25 +1453,13 @@ object EngineQueries {
          |GROUP BY 1""".stripMargin)
 
   /** q114/q115's two-snapshot lineitem table, built once per sf dir under
-    * a deterministic temp path (the q113 layout-cache pattern) so repeated
-    * Verify/Bench invocations measure snapshot READS, not rebuilds. A
-    * missing completion marker with leftovers present means a previous
-    * build crashed mid-commit — wipe and rebuild rather than stacking
-    * duplicate appends on a half-built log. */
+    * a deterministic temp path ([[Q.cachedBuild]], the q113 layout-cache
+    * pattern) so repeated Verify/Bench invocations measure snapshot READS,
+    * not rebuilds. */
   private def snapTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_snaptbl_" +
       graft.sources.TableSource.pathKey(dir)
-    val done = java.nio.file.Paths.get(tmp, "__layout_complete")
-    if (!java.nio.file.Files.exists(done)) {
-      val root = java.nio.file.Paths.get(tmp)
-      if (java.nio.file.Files.isDirectory(root)) {
-        val walk = java.nio.file.Files.walk(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        } finally walk.close()
-      }
+    Q.cachedBuild(tmp) {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"),
           col("l_quantity"), col("l_extendedprice"))
@@ -1529,9 +1467,7 @@ object EngineQueries {
         li.where(pmod(col("l_orderkey"), lit(3)) =!= 0))
       graft.sources.SnapshotTable.append(s, tmp,
         li.where(pmod(col("l_orderkey"), lit(3)) === 0))
-      java.nio.file.Files.createFile(done)
     }
-    tmp
   }
 
   /** q120/q121's delete-and-compact lineitem table, cached per sf dir
@@ -1546,17 +1482,7 @@ object EngineQueries {
   private def snapDeleteTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_snapdel_" +
       graft.sources.TableSource.pathKey(dir)
-    val done = java.nio.file.Paths.get(tmp, "__layout_complete")
-    if (!java.nio.file.Files.exists(done)) {
-      val root = java.nio.file.Paths.get(tmp)
-      if (java.nio.file.Files.isDirectory(root)) {
-        val walk = java.nio.file.Files.walk(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        } finally walk.close()
-      }
+    Q.cachedBuild(tmp) {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"),
           col("l_quantity"), col("l_extendedprice"))
@@ -1569,9 +1495,7 @@ object EngineQueries {
       graft.sources.SnapshotTable.commitBucketed(s, tmp,
         li.where(pmod(col("l_orderkey"), lit(3)) === 0), spec)
       graft.sources.SnapshotTable.compact(s, tmp)
-      java.nio.file.Files.createFile(done)
     }
-    tmp
   }
 
   /** q118's multi-dimension snapshot table: one append per user-range
@@ -1583,17 +1507,7 @@ object EngineQueries {
   private def snapMultiTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_snapmulti_" +
       graft.sources.TableSource.pathKey(dir)
-    val done = java.nio.file.Paths.get(tmp, "__layout_complete")
-    if (!java.nio.file.Files.exists(done)) {
-      val root = java.nio.file.Paths.get(tmp)
-      if (java.nio.file.Files.isDirectory(root)) {
-        val walk = java.nio.file.Files.walk(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        } finally walk.close()
-      }
+    Q.cachedBuild(tmp) {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), unix_timestamp(col("ts")).as("ts_sec"))
@@ -1605,9 +1519,7 @@ object EngineQueries {
             .repartitionByRange(4, col("ts_sec")),
           statsCols = Seq("user_id", "ts_sec"))
       }
-      java.nio.file.Files.createFile(done)
     }
-    tmp
   }
 
   /** q116's range-partitioned events snapshot table: one commit, files
@@ -1617,24 +1529,12 @@ object EngineQueries {
   private def snapRangeTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_snaprng_" +
       graft.sources.TableSource.pathKey(dir)
-    val done = java.nio.file.Paths.get(tmp, "__layout_complete")
-    if (!java.nio.file.Files.exists(done)) {
-      val root = java.nio.file.Paths.get(tmp)
-      if (java.nio.file.Files.isDirectory(root)) {
-        val walk = java.nio.file.Files.walk(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        } finally walk.close()
-      }
+    Q.cachedBuild(tmp) {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"),
           unix_timestamp(col("ts")).as("ts_sec"))
         .repartitionByRange(8, col("ts_sec"))
       graft.sources.SnapshotTable.commit(s, tmp, ev, statsCols = Seq("ts_sec"))
-      java.nio.file.Files.createFile(done)
     }
-    tmp
   }
 }

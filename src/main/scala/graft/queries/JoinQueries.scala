@@ -103,20 +103,7 @@ object JoinQueries {
       import graft.sources.SnapshotTable
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_q117_" +
         graft.sources.TableSource.pathKey(dir)
-      val done = java.nio.file.Paths.get(tmp, "__layout_complete")
-      if (!java.nio.file.Files.exists(done)) {
-        // a previous crashed build would leave a half-built snapshot log —
-        // wipe and rebuild rather than stacking duplicate appends (the
-        // snapTable convention in EngineQueries)
-        val root = java.nio.file.Paths.get(tmp)
-        if (java.nio.file.Files.isDirectory(root)) {
-          val walk = java.nio.file.Files.walk(root)
-          try {
-            import scala.jdk.CollectionConverters._
-            walk.iterator().asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.deleteIfExists(_))
-          } finally walk.close()
-        }
+      Q.cachedBuild(tmp) {
         val events = t(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("ts"))
         val orders = t(s, dir, "orders")
@@ -129,7 +116,6 @@ object JoinQueries {
         SnapshotTable.commitBucketed(s, s"$tmp/events",
           events.where(pmod(col("event_id"), lit(3)) === 0), eSpec)
         SnapshotTable.commitBucketed(s, s"$tmp/orders", orders, oSpec)
-        java.nio.file.Files.createFile(done)
       }
       AsOfJoin.asOfSortMerge(
           SnapshotTable.readBucketed(s, s"$tmp/events", Some(1L)),

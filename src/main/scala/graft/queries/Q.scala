@@ -37,4 +37,31 @@ object Q {
   /** DuckDB-side normalized text, matching graft.functions.Text.normText. */
   def sqlNorm(col: String): String =
     s"regexp_replace(lower(trim($col)), '\\s+', ' ', 'g')"
+
+  /** Build-once cache under a deterministic temp path: when
+    * `<root>/<marker>` is absent, wipe any leftovers and run `build`, then
+    * create the marker. Repeated Verify/Bench invocations then measure
+    * READS of the cached layout, not rebuilds; a missing marker with
+    * leftovers present means a previous build crashed mid-commit — wipe
+    * and rebuild rather than stacking duplicate commits on a half-built
+    * snapshot log. Returns `root`. */
+  def cachedBuild(root: String, marker: String = "__layout_complete")
+                 (build: => Unit): String = {
+    import java.nio.file.{Files, Paths}
+    val done = Paths.get(root, marker)
+    if (!Files.exists(done)) {
+      val rootP = Paths.get(root)
+      if (Files.isDirectory(rootP)) {
+        val walk = Files.walk(rootP)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        } finally walk.close()
+      }
+      build
+      Files.createDirectories(done.getParent)
+      Files.createFile(done)
+    }
+    root
+  }
 }

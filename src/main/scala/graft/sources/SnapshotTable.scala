@@ -129,7 +129,7 @@ object SnapshotTable {
   final case class Snapshot(
       id: Long,
       parentId: Option[Long],
-      operation: String, // "append" | "overwrite" | "delete"
+      operation: String, // "append" | "overwrite" | "delete" | "replace"
       committedAtMs: Long,
       files: Seq[DataFile],
       tag: Option[String] = None,
@@ -179,6 +179,19 @@ object SnapshotTable {
     snapshotIds(tableDir).reverseIterator
       .map(id => snapshot(tableDir, id))
       .find(_.tag.contains(tag))
+
+  /** The NEWEST snapshot whose tag starts with `prefix`, walking newest-
+    * first and stopping at the first match — the bounded-cost lookup for
+    * single-consumer monotone tag families (`dedup-sig:<from>-<to>`,
+    * `feat:b<bound>`): a consumer that processes windows in order can
+    * decide "was window W committed?" from the newest same-prefix tag
+    * alone, without the full-log walk a [[findByTag]] miss costs (that
+    * miss parses EVERY manifest — quadratic over a long-running stream's
+    * lifetime when a fresh window is checked each cycle). */
+  def findByTagPrefix(tableDir: String, prefix: String): Option[Snapshot] =
+    snapshotIds(tableDir).reverseIterator
+      .map(id => snapshot(tableDir, id))
+      .find(_.tag.exists(_.startsWith(prefix)))
 
   /** Load one snapshot's manifest. */
   def snapshot(tableDir: String, id: Long): Snapshot = {
@@ -335,7 +348,7 @@ object SnapshotTable {
     publishLoop(tableDir, "delete", Nil, tag, None, None, dels)
   }
 
-  /** Rewrite the CURRENT snapshot's logical state as one fresh overwrite
+  /** Rewrite the CURRENT snapshot's logical state as one fresh `replace`
     * commit (Iceberg's `rewrite_data_files`): tombstones are materialized
     * and dropped, a streaming ingest's pile of per-micro-batch small files
     * collapses into full-size ones, and a bucketed table is rewritten
@@ -353,22 +366,32 @@ object SnapshotTable {
   /** [[compact]] from an explicit snapshot id, with the conflict check
     * made visible: the rewrite is computed from `fromId` and REFUSES to
     * publish if the head moved past it meanwhile (a concurrent append's
-    * rows must never be silently dropped by an overwrite computed before
-    * they existed — Iceberg's rewrite validation). */
+    * rows must never be silently dropped by a rewrite computed before
+    * they existed — Iceberg's rewrite validation).
+    *
+    * The published snapshot's operation is `"replace"`, not `"overwrite"`:
+    * a compaction changes FILES, never logical rows, so incremental
+    * consumers ([[changes]]) traverse it — an overwrite (new content)
+    * still breaks incremental history loudly. With `statsCols` empty the
+    * rewrite INHERITS the stats columns the source snapshot's files carry
+    * (a scheduled compaction must not silently strip the manifest min/max
+    * bounds that make range reads and watermarks metadata-only). */
   def compactFrom(spark: SparkSession, tableDir: String, fromId: Long,
                   targetFiles: Int = 0, tag: Option[String] = None,
                   statsCols: Seq[String] = Nil): Snapshot = {
     val snap = snapshot(tableDir, fromId)
     val df = read(spark, tableDir, Some(fromId))
+    val st = if (statsCols.nonEmpty) statsCols
+             else snap.files.flatMap(_.stats.map(_._1)).distinct
     snap.bucketSpec match {
       case Some(spec) =>
-        val newFiles = writeBucketedCommitDir(spark, tableDir, df, spec, statsCols)
-        publishLoop(tableDir, "overwrite", newFiles, tag, Some(df.schema.json),
+        val newFiles = writeBucketedCommitDir(spark, tableDir, df, spec, st)
+        publishLoop(tableDir, "replace", newFiles, tag, Some(df.schema.json),
           Some(spec), Nil, Some(fromId))
       case None =>
         val out = if (targetFiles > 0) df.coalesce(targetFiles) else df
-        val newFiles = writeCommitDir(spark, tableDir, out, statsCols)
-        publishLoop(tableDir, "overwrite", newFiles, tag, Some(df.schema.json),
+        val newFiles = writeCommitDir(spark, tableDir, out, st)
+        publishLoop(tableDir, "replace", newFiles, tag, Some(df.schema.json),
           None, Nil, Some(fromId))
     }
   }
@@ -402,7 +425,8 @@ object SnapshotTable {
             "concurrent commit's rows; re-run the rewrite from the new head")
       }
       val headSnap =
-        if (operation == "overwrite") None else head.map(snapshot(tableDir, _))
+        if (operation == "overwrite" || operation == "replace") None
+        else head.map(snapshot(tableDir, _))
       if (operation == "append") headSnap.foreach { h =>
         require(h.bucketSpec == bucketSpec,
           s"append layout mismatch on $tableDir: head snapshot ${h.id} has " +
@@ -439,9 +463,12 @@ object SnapshotTable {
           // OLDER files; the newly stamped files are younger, so survive
           Snapshot(nextId, head, operation, System.currentTimeMillis(),
             parentFiles ++ stamped, tag, schemaJson, bucketSpec, parentDeletes)
-        case "overwrite" =>
-          // an overwrite replaces the complete live state — tombstones are
-          // consumed (compaction's whole point) and the layout resets
+        case "overwrite" | "replace" =>
+          // both replace the complete live state — tombstones are consumed
+          // and the layout resets to the provided spec; they differ only in
+          // MEANING: an overwrite carries new content (changes() refuses to
+          // cross it), a replace rewrites files over identical logical rows
+          // (compaction — changes() traverses it)
           Snapshot(nextId, head, operation, System.currentTimeMillis(),
             stamped, tag, schemaJson, bucketSpec, Nil)
         case "delete" =>
@@ -617,33 +644,42 @@ object SnapshotTable {
     * NOT re-reported: an append scan carries no retraction channel —
     * consumers that maintain derived state compose the takedown in
     * explicitly ([[graft.pipeline.IncrementalDedup.retract]], oracled with
-    * a mid-stream takedown by q123). Crossing an `overwrite` boundary is
-    * still refused — an overwrite REPLACES rows, which a file-add diff
-    * cannot represent (Iceberg's incremental scan has the same
+    * a mid-stream takedown by q123). `replace` commits (compaction) are
+    * traversed too — a rewrite changes files, not logical rows, so the
+    * scheduled maintenance pass never wedges a consumer. Only an
+    * `overwrite` boundary is refused — new CONTENT cannot be represented
+    * as a file-add diff (Iceberg's incremental scan has the same
     * restriction). */
   def changes(spark: SparkSession, tableDir: String,
               fromExclusive: Long, toInclusive: Long): DataFrame = {
     require(fromExclusive < toInclusive,
       s"empty snapshot range: ($fromExclusive, $toInclusive]")
-    ((fromExclusive + 1) to toInclusive).foreach { id =>
-      val op = snapshot(tableDir, id).operation
-      require(op == "append" || op == "delete",
-        s"snapshot $id is an $op — a file-add diff cannot represent " +
-          "replaced rows (Iceberg's incremental scan has the same " +
+    val window = ((fromExclusive + 1) to toInclusive)
+      .map(id => snapshot(tableDir, id))
+    window.foreach { s =>
+      require(s.operation != "overwrite",
+        s"snapshot ${s.id} is an overwrite — new CONTENT invalidates " +
+          "incremental history (Iceberg's incremental scan has the same " +
           "restriction); reset the consumer's cursor and re-read")
     }
-    val before = snapshot(tableDir, fromExclusive).files.map(_.path).toSet
-    val to = snapshot(tableDir, toInclusive)
-    val added = to.files.filterNot(f => before(f.path))
-    // a commit can add zero files (an empty streaming micro-batch): the
-    // diff is legitimately empty — a typed empty frame, not a refusal
+    // per-commit formulation (Iceberg's incremental append scan): each
+    // APPEND commit's own added files are read directly — they are
+    // immutable on disk until their manifest expires, so this stays exact
+    // even when a later `replace` (compaction) in the window rewrote the
+    // live set: the replace's files are EXISTING data in new clothing and
+    // are skipped entirely, which is what lets scheduled compaction run
+    // without wedging cursor consumers
+    val added = window.filter(_.operation == "append")
+      .flatMap(s => s.files.filter(_.addedAt == s.id))
+    val to = window.last
+    // a window can add zero files (idle micro-batches, delete/replace
+    // only): the diff is legitimately empty — a typed frame, not a refusal
     if (added.isEmpty) emptyWithSchema(spark, tableDir, to)
     else {
-      // only tombstones committed INSIDE the window can touch the added
-      // files (older tombstones predate them; sequence semantics exclude
-      // them in the groupBy anyway — this filter just keeps the group
-      // arithmetic windowed)
-      val winDeletes = to.deletes.filter(_.addedAt > fromExclusive)
+      // the window's takedowns apply to the window's own earlier appends
+      // (sequence semantics; pre-window tombstones never touch them)
+      val winDeletes = window.filter(_.operation == "delete")
+        .flatMap(s => s.deletes.filter(_.addedAt == s.id))
       readWithDeletes(spark, tableDir, added, winDeletes, to.schemaJson)
     }
   }
@@ -688,7 +724,7 @@ object SnapshotTable {
     val target = refPath(tableDir, name)
     val tmp = Files.createTempFile(metaDir(tableDir), ".ref-staging", ".txt")
     Files.write(tmp, id.toString.getBytes("UTF-8"))
-    try { Files.createLink(target, tmp); id }
+    try { Files.createLink(target, tmp) }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         val existing = resolveTag(tableDir, name).getOrElse(
@@ -696,8 +732,22 @@ object SnapshotTable {
         require(existing == id,
           s"tag '$name' already names snapshot $existing in $tableDir — " +
             "tags are immutable; dropTag first or pick a new name")
-        id
+        return id
     } finally Files.deleteIfExists(tmp)
+    // post-publish verify: a concurrent [[expireSnapshots]] that computed
+    // its retained set BEFORE this ref landed may have just deleted the
+    // snapshot — fail LOUDLY and remove the dangling ref rather than
+    // publishing a name that resolves to nothing. (expireSnapshots
+    // re-reads the refs immediately before acting — between the two
+    // guards the race window is microseconds; a catalog with atomic
+    // metadata swaps, e.g. real Iceberg, closes it entirely.)
+    if (!Files.exists(manifestPath(tableDir, id))) {
+      Files.deleteIfExists(target)
+      sys.error(s"snapshot $id of $tableDir was expired while tag '$name' " +
+        "was being published — the tag was rolled back; re-create the " +
+        "snapshot or tag a retained one")
+    }
+    id
   }
 
   /** The snapshot id a tag names, or None. */
@@ -761,8 +811,8 @@ object SnapshotTable {
     // release name must stay readable until someone explicitly dropTag's
     // it; everything it references (data, tombstones, view farms) is
     // thereby reachable state
-    val keepIds = all.takeRight(keepLast).map(_.id).toSet ++
-      tags(tableDir).values.toSet
+    val tagIds = tags(tableDir).values.toSet
+    val keepIds = all.takeRight(keepLast).map(_.id).toSet ++ tagIds
     val (retained, expired) = all.partition(s => keepIds(s.id))
     // tombstone files are reachable state like data files: a retained
     // snapshot's deletes must survive GC (reads re-apply them), an
@@ -772,19 +822,27 @@ object SnapshotTable {
       s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
     val expiredRefs = expired.flatMap(s =>
       s.files.map(_.path) ++ s.deletes.map(_.path)).toSet -- live
+    // last-moment ref re-read before anything destructive: a tag published
+    // while this pass was computing must be honored — restart with the new
+    // tag set (createTag's post-publish verify is the complementary guard
+    // for a ref landing inside the remaining microsecond window)
+    if (tags(tableDir).values.toSet != tagIds)
+      return expireSnapshots(tableDir, keepLast, orphanMinAgeMs)
     expired.foreach(s => Files.deleteIfExists(manifestPath(tableDir, s.id)))
-    // a crash between staging and link(2) in publish leaves a
-    // .snap-staging* orphan in meta/ that nothing else ever touches —
-    // sweep them here once safely older than any in-flight publish
-    // (publish stages and links within milliseconds; orphanMinAgeMs is
-    // hours), so a long-lived table doesn't accumulate them unboundedly
+    // a crash between staging and the atomic publish/move leaves a
+    // dot-prefixed staging orphan in meta/ (.snap-staging*, .ref-staging*,
+    // .feat-bound*, .source-*) that nothing else ever touches — sweep them
+    // once safely older than any in-flight write (staging and publishing
+    // happen within milliseconds; orphanMinAgeMs is hours), so a
+    // long-lived table doesn't accumulate them unboundedly. All durable
+    // meta/ files (snap-*.json, ref-*.txt, source-*.txt, feat-bound.txt)
+    // are un-dotted, so the dot prefix cleanly separates staging state.
     locally {
       import scala.jdk.CollectionConverters._
       val now = System.currentTimeMillis()
       val listing = Files.list(metaDir(tableDir))
       try listing.iterator().asScala
-        .filter { p => val n = p.getFileName.toString
-          n.startsWith(".snap-staging") || n.startsWith(".ref-staging") }
+        .filter(_.getFileName.toString.startsWith("."))
         .filter(p => now - Files.getLastModifiedTime(p).toMillis > orphanMinAgeMs)
         .foreach(Files.deleteIfExists(_))
       finally listing.close()

@@ -284,7 +284,7 @@ class MainSpec extends SparkSpec {
     // tombstones, retention GC'd everything older than the compacted head
     val head = sources.SnapshotTable.snapshot(table,
       sources.SnapshotTable.currentSnapshotId(table).get)
-    assert(head.operation === "overwrite" && head.deletes.isEmpty)
+    assert(head.operation === "replace" && head.deletes.isEmpty)
     assert(sources.SnapshotTable.read(spark, table).count() === 250L)
     assert(sources.SnapshotTable.snapshotIds(table) === Seq(head.id))
 

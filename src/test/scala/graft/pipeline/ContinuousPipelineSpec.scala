@@ -147,4 +147,36 @@ class ContinuousPipelineSpec extends SparkSpec {
       SnapshotTable.currentSnapshotId(corpus).get, "ts", 600L, 0L)
     assertSameRows(all, reference(bound))
   }
+
+  test("moved-head crash: feature commit landed, cursor did not, corpus advanced") {
+    // the seam a window-pair tag cannot close: the replay's window differs
+    // from the crashed cycle's, so only boundary-coverage idempotency
+    // (emittedBound from the feature table's own committed state) prevents
+    // re-emitting every window below the old boundary
+    val corpus = Files.createTempDirectory("graft-cont3-corpus").toString
+    val feats = Files.createTempDirectory("graft-cont3-feats").toString
+    val cursor = s"$feats.cursor"
+    val rows = orderedRows
+    def slice(a: Int, b: Int) = rows.slice(a, b).toDF("image_id", "bytes",
+      "w", "h", "fmt", "caption", "phash", "ts")
+
+    assert(SnapshotIngest.commitOnce(slice(0, 200), corpus, "cam", 0L, Seq("ts")))
+    assert(ContinuousFeatures.cycle(spark, corpus, labels, feats, cursor)
+      === Some((0L, 1L)))
+    val emitted1 = SnapshotTable.read(spark, feats).count()
+    assert(emitted1 > 0)
+
+    // the crash: cursor never written, AND a new epoch lands first
+    Files.write(java.nio.file.Paths.get(cursor), "0".getBytes("UTF-8"))
+    assert(SnapshotIngest.commitOnce(slice(200, 400), corpus, "cam", 1L, Seq("ts")))
+    assert(ContinuousFeatures.cycle(spark, corpus, labels, feats, cursor)
+      === Some((0L, 2L)))
+
+    val all = SnapshotTable.read(spark, feats)
+    assert(all.select(col("entity"), col("window_start")).distinct().count()
+      === all.count(), "the moved-head replay duplicated emitted windows")
+    val bound = ContinuousFeatures.boundarySec(spark, corpus,
+      SnapshotTable.currentSnapshotId(corpus).get, "ts", 600L, 0L)
+    assertSameRows(all, reference(bound))
+  }
 }

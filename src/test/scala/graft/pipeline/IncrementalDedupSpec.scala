@@ -109,13 +109,85 @@ class IncrementalDedupSpec extends SparkSpec {
     // the crash: cursor never advanced past cycle 2 — rewind and reprocess
     Files.write(java.nio.file.Paths.get(cursor), "2".getBytes("UTF-8"))
     val r = IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
-    assert(r === Some((2L, 3L)), "replay window not re-delivered")
-    // tags detected both appends: zero new rows, zero new snapshots
+    assert(r === None,
+      "the self-healed cursor must detect the replay before re-reading the corpus")
+    assert(Incremental.readCursor(cursor) === 3L, "cursor not fast-forwarded")
+    // zero new rows, zero new snapshots
     assert(SnapshotTable.read(spark,
       IncrementalDedup.signaturesDir(s)).count() === sigRows)
     assert(SnapshotTable.currentSnapshotId(
       IncrementalDedup.edgesDir(s)) === edgeHead)
     assertSameRows(IncrementalDedup.currentLabels(spark, s, cfg), fullLabels)
+    // the tag-level idempotency still holds when processBatch is replayed
+    // DIRECTLY with a committed window (the pre-self-heal seam)
+    IncrementalDedup.processBatch(spark, s,
+      corpus.where(pmod(col("id"), lit(3)) === 2).select(col("id"), col("h")),
+      2L, 3L, cfg)
+    assert(SnapshotTable.read(spark,
+      IncrementalDedup.signaturesDir(s)).count() === sigRows)
+    assert(SnapshotTable.currentSnapshotId(
+      IncrementalDedup.edgesDir(s)) === edgeHead)
+  }
+
+  test("moved-head replay: crash before the cursor write plus a NEW commit") {
+    val (c, s) = (tmp("corpus"), tmp("state"))
+    val cursor = s"$s/cursor.txt"
+    ingestAll(c, s, cursor)
+    // cycle 3 (window (2,3]) fully committed but died before the cursor
+    // write — and the corpus moved on before the replay, so the replay's
+    // window would be (2,4]: a tag the idempotency check has never seen.
+    // Without cursor self-healing this re-appends batch 3's signatures.
+    Files.write(java.nio.file.Paths.get(cursor), "2".getBytes("UTF-8"))
+    val extra = Seq((30L, 0xF0F0F0F0L), (31L, 0xF0F0F0F0L)).toDF("id", "h")
+    SnapshotTable.commit(spark, c, extra)
+    val r = IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
+    assert(r === Some((3L, 4L)), "heal must re-deliver ONLY the new commit")
+    val sigs = SnapshotTable.read(spark, IncrementalDedup.signaturesDir(s))
+    assert(sigs.count() === 32)
+    assert(sigs.groupBy("id").count().where(col("count") > 1).isEmpty,
+      "the moved-head replay duplicated signatures")
+    val labels = IncrementalDedup.currentLabels(spark, s, cfg)
+    assert(labels.count() === 32)
+    val pair = labels.where(col("id").isin(30L, 31L)).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("rep")).toMap
+    assert(pair(30L) === 30L && pair(31L) === 30L)
+    assertSameRows(labels.where(col("id") < 30), fullLabels)
+    val edges = SnapshotTable.read(spark, IncrementalDedup.edgesDir(s))
+    assert(edges.groupBy("a", "b").count().where(col("count") > 1).isEmpty,
+      "the moved-head replay duplicated edges")
+  }
+
+  test("moved-head replay after an edge-only crash: edges are not duplicated") {
+    val (c, s) = (tmp("corpus"), tmp("state"))
+    val cursor = s"$s/cursor.txt"
+    (0 to 1).foreach { g =>
+      SnapshotTable.commit(spark, c, corpus.where(pmod(col("id"), lit(3)) === g))
+      IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
+    }
+    // cycle 3 crashes AFTER its edge commit, BEFORE the sig commit…
+    SnapshotTable.commit(spark, c, corpus.where(pmod(col("id"), lit(3)) === 2))
+    val fresh = corpus.where(pmod(col("id"), lit(3)) === 2)
+    val state = SnapshotTable.read(spark, IncrementalDedup.signaturesDir(s))
+    SnapshotTable.commit(spark, IncrementalDedup.edgesDir(s),
+      Dedup.incrementalEdgesFromHashes(state, fresh, "id", "h", 1,
+        cap = 4096, broadcastSizes = true),
+      "append", Some("dedup-edges:2-3"))
+    // …and the corpus moves on before the replay: the wider window (2,4]
+    // re-generates batch 3's edges under a fresh tag — the content-level
+    // anti-join must drop them
+    val extra = Seq((30L, 0xF0F0F0F0L), (31L, 0xF0F0F0F0L)).toDF("id", "h")
+    SnapshotTable.commit(spark, c, extra)
+    val r = IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
+    assert(r === Some((2L, 4L)), "batch 3 must be re-delivered (sigs never landed)")
+    val edges = SnapshotTable.read(spark, IncrementalDedup.edgesDir(s))
+    assert(edges.groupBy("a", "b").count().where(col("count") > 1).isEmpty,
+      "the re-generated window duplicated edges")
+    assertSameRows(edges.where(col("a") < 30 && col("b") < 30), fullEdges)
+    val sigs = SnapshotTable.read(spark, IncrementalDedup.signaturesDir(s))
+    assert(sigs.count() === 32)
+    assertSameRows(
+      IncrementalDedup.currentLabels(spark, s, cfg).where(col("id") < 30),
+      fullLabels)
   }
 
   test("partial replay: edges committed, signatures not — completes cleanly") {

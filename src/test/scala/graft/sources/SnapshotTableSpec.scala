@@ -171,6 +171,16 @@ class SnapshotTableSpec extends SparkSpec {
     assertSameRows(SnapshotTable.readRange(spark, dir, "id", 10L, 20L),
       rows(0, 1000).where(col("id").between(10, 20) && !col("id").between(12, 14))
         .union(rows(13, 14)))
+
+    // a scheduled compaction must not strip the table's stats columns —
+    // the rewrite inherits them from the source snapshot's files, so
+    // range reads keep pruning afterwards
+    val comp = SnapshotTable.compact(spark, dir, targetFiles = 2)
+    assert(comp.files.forall(_.stats.exists(_._1 == "id")),
+      "compaction must inherit the source snapshot's stats columns")
+    assertSameRows(SnapshotTable.readRange(spark, dir, "id", 10L, 20L),
+      rows(0, 1000).where(col("id").between(10, 20) && !col("id").between(12, 14))
+        .union(rows(13, 14)))
   }
 
   test("readRange on a timestamp stats column prunes by epoch micros") {
@@ -636,13 +646,22 @@ class SnapshotTableSpec extends SparkSpec {
     assert(preFiles >= 21, s"ingest should have fragmented the table, got $preFiles files")
 
     val compacted = SnapshotTable.compact(spark, dir, targetFiles = 2)
-    assert(compacted.operation === "overwrite")
+    assert(compacted.operation === "replace")
     assert(compacted.deletes.isEmpty, "compaction must consume tombstones")
     assert(compacted.files.size === 2)
     assertSameRows(SnapshotTable.read(spark, dir),
       rows(30, 200).union(rows(0, 10)))
     // time travel to the pre-compaction snapshot still works until GC
     assert(SnapshotTable.read(spark, dir, Some(compacted.id - 1)).count() === 180L)
+
+    // an incremental consumer whose cursor predates the compaction
+    // TRAVERSES it (a replace adds no logical rows): the diff is exactly
+    // the window's appends read from their ORIGINAL immutable files, with
+    // the window's tombstones applied by sequence — scheduled maintenance
+    // must never wedge cursor consumers
+    assertSameRows(SnapshotTable.changes(spark, dir, 5L, compacted.id),
+      rows(0, 10))
+    assert(SnapshotTable.changes(spark, dir, 7L, compacted.id).count() === 0L)
 
     // conflict check: a rewrite computed from a stale snapshot must refuse
     // to publish once the head moved (it would drop the newer commit's rows)
