@@ -21,7 +21,8 @@ import scala.jdk.CollectionConverters._
   *
   *   spark-submit --class graft.Main musifspark.jar \
   *     --admin <tableDir> [--delete-keys col=<parquetOfKeys>] \
-  *     [--retract-state <stateDir>] [--compact] [--expire <keepLast>]
+  *     [--retract-state <stateDir>] [--compact] [--tag <name>] \
+  *     [--drop-tag <name>] [--expire <keepLast>]
   *
   * Reads the image+caption table (any Spark source — parquet in the
   * sandbox, an Iceberg catalog table in production via
@@ -64,9 +65,10 @@ object Main {
     // rewrite that materializes it and the GC that reclaims the space.
     opts.get("admin").foreach { tableDir =>
       require(opts.contains("deleteKeys") || opts.contains("compact") ||
-        opts.contains("expire"),
+        opts.contains("expire") || opts.contains("tag") ||
+        opts.contains("dropTag"),
         "--admin needs at least one verb: --delete-keys col=<parquet>, " +
-          "--compact, --expire <keepLast>")
+          "--compact, --tag <name>, --drop-tag <name>, --expire <keepLast>")
       require(!opts.contains("retractState") || opts.contains("deleteKeys"),
         "--retract-state cascades a takedown and needs --delete-keys to " +
           "name the keys")
@@ -95,6 +97,18 @@ object Main {
           s"${snap.files.size} files / ${snap.totalRows} rows" +
           snap.bucketSpec.map(b => s" (bucket layout ${b.buckets}x${b.bucketCol} kept)")
             .getOrElse(""))
+      }
+      // tag the maintained head BEFORE dropping old names and GC'ing: the
+      // release-rotation flow (compact → publish 'vN' → retire 'vN-1' →
+      // reclaim) as one invocation
+      opts.get("tag").foreach { name =>
+        val id = sources.SnapshotTable.createTag(tableDir, name)
+        println(s"[admin] tagged snapshot $id of $tableDir as '$name'")
+      }
+      opts.get("dropTag").foreach { name =>
+        val dropped = sources.SnapshotTable.dropTag(tableDir, name)
+        println(s"[admin] ${if (dropped) "dropped" else "no such"} " +
+          s"tag '$name' on $tableDir")
       }
       opts.get("expire").foreach { keep =>
         val (manifests, files) =
@@ -355,6 +369,14 @@ object Main {
         require(v.nonEmpty && !v.startsWith("--"),
           s"--retract-state expects an IncrementalDedup state dir, got '$v'")
         parseArgs(rest, acc + ("retractState" -> v))
+      case "--tag" :: v :: rest =>
+        require(v.nonEmpty && !v.startsWith("--"),
+          s"--tag expects a release name, got '$v'")
+        parseArgs(rest, acc + ("tag" -> v))
+      case "--drop-tag" :: v :: rest =>
+        require(v.nonEmpty && !v.startsWith("--"),
+          s"--drop-tag expects a tag name, got '$v'")
+        parseArgs(rest, acc + ("dropTag" -> v))
       case "--compact" :: rest     => parseArgs(rest, acc + ("compact" -> "true"))
       case "--expire" :: v :: rest =>
         val n = try v.trim.toInt catch {

@@ -300,6 +300,27 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("--admin --tag/--drop-tag: release rotation from the CLI") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-main-tag").toString
+    val table = s"$tmp/corpus"
+    sources.SnapshotTable.append(spark, table, spark.range(0, 100).toDF("id"))
+    Main.main(Array("--admin", table, "--tag", "v1"))
+    assert(sources.SnapshotTable.resolveTag(table, "v1") === Some(1L))
+    sources.SnapshotTable.overwrite(spark, table,
+      spark.range(100, 120).toDF("id"))
+    // one invocation rotates the release: publish v2 at the new head,
+    // retire v1, reclaim its now-unreferenced data
+    Main.main(Array("--admin", table,
+      "--tag", "v2", "--drop-tag", "v1", "--expire", "1"))
+    assert(sources.SnapshotTable.tags(table) === Map("v2" -> 2L))
+    intercept[IllegalArgumentException] {
+      sources.SnapshotTable.snapshot(table, 1L)
+    }
+    assert(sources.SnapshotTable.read(spark, table,
+      sources.SnapshotTable.resolveTag(table, "v2")).count() === 20L)
+  }
+
   test("--admin --retract-state: a takedown cascades into the dedup state") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
