@@ -171,6 +171,24 @@ object EngineQueries {
           r2(sum(col("l_extendedprice"))).as("sum_price"))
     }),
 
+    // Incremental scan ACROSS a compaction (the `replace` traversal that
+    // keeps cursor consumers alive through scheduled maintenance): the
+    // window (1, 3] contains a replace commit at 2 — its rewritten files
+    // are existing data and must contribute NOTHING; the diff is exactly
+    // commit 3's appended rows, read from their own immutable files. A
+    // consumer that wedged on the rewrite, or a diff that leaked the
+    // compacted copies of commit 1's rows, hash-mismatches against the
+    // same modulo oracle as q115.
+    "q124_changes_across_replace" -> ((s, dir) => {
+      val table = snapCompactTable(s, dir)
+      require(graft.sources.SnapshotTable.snapshot(table, 2L).operation
+        == "replace", "snapshot 2 must be the compaction rewrite")
+      graft.sources.SnapshotTable.changes(s, table, 1L, 3L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_price"))
+    }),
+
     // Manifest-level FILE SKIPPING (SnapshotTable.readRange): events are
     // committed range-partitioned on epoch seconds with per-file min/max
     // recorded in the manifest; the one-hour window's BOUNDS come from the
@@ -1406,6 +1424,15 @@ object EngineQueries {
         | round(sum(l_extendedprice) + 3.7e-10, 2) AS sum_price
         |FROM lineitem WHERE l_orderkey % 3 = 0 GROUP BY 1""".stripMargin,
 
+    // the window crosses a compaction: the replace contributes nothing,
+    // the diff is exactly the post-compaction append — identical modulo
+    // predicate to q115's
+    "q124_changes_across_replace" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        | round(sum(l_quantity) + 3.7e-10, 2) AS sum_qty,
+        | round(sum(l_extendedprice) + 3.7e-10, 2) AS sum_price
+        |FROM lineitem WHERE l_orderkey % 3 = 0 GROUP BY 1""".stripMargin,
+
     "q120_snapshot_delete" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n,
         | round(sum(l_quantity) + 3.7e-10, 2) AS sum_qty,
@@ -1465,6 +1492,26 @@ object EngineQueries {
           col("l_quantity"), col("l_extendedprice"))
       graft.sources.SnapshotTable.append(s, tmp,
         li.where(pmod(col("l_orderkey"), lit(3)) =!= 0))
+      graft.sources.SnapshotTable.append(s, tmp,
+        li.where(pmod(col("l_orderkey"), lit(3)) === 0))
+    }
+  }
+
+  /** q124's compaction-crossed lineitem table, cached per sf dir like
+    * [[snapTable]]. Three snapshots: (1) append of the l_orderkey%3<>0
+    * rows as many small files (the fragmented-ingest shape), (2) the
+    * compaction rewrite (`replace` — same logical rows, fresh files),
+    * (3) append of the %3==0 remainder. */
+  private def snapCompactTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_snapcmp_" +
+      graft.sources.TableSource.pathKey(dir)
+    Q.cachedBuild(tmp) {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+      graft.sources.SnapshotTable.append(s, tmp,
+        li.where(pmod(col("l_orderkey"), lit(3)) =!= 0).repartition(8))
+      graft.sources.SnapshotTable.compact(s, tmp, targetFiles = 2)
       graft.sources.SnapshotTable.append(s, tmp,
         li.where(pmod(col("l_orderkey"), lit(3)) === 0))
     }

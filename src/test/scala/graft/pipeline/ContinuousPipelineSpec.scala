@@ -148,6 +148,46 @@ class ContinuousPipelineSpec extends SparkSpec {
     assertSameRows(all, reference(bound))
   }
 
+  test("scheduled corpus compaction between cycles: the loop keeps running") {
+    // the composition the replace operation exists for: maintenance
+    // compacts the corpus WHILE the feature loop's cursor sits at a
+    // pre-compaction snapshot — the next cycle's changes window crosses
+    // the replace commit and must deliver exactly the post-cursor appends
+    val corpus = Files.createTempDirectory("graft-cont4-corpus").toString
+    val feats = Files.createTempDirectory("graft-cont4-feats").toString
+    val cursor = s"$feats.cursor"
+    val rows = orderedRows
+    def slice(a: Int, b: Int) = rows.slice(a, b).toDF("image_id", "bytes",
+      "w", "h", "fmt", "caption", "phash", "ts")
+    // stats-bearing writes need MICROS timestamps (INT96 footers carry no
+    // trusted stats — see the first test); the compaction REWRITE writes
+    // with the session conf too, so it applies to the whole flow here
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prior = spark.conf.get(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      assert(SnapshotIngest.commitOnce(slice(0, 150), corpus, "cam", 0L, Seq("ts")))
+      assert(SnapshotIngest.commitOnce(slice(150, 250), corpus, "cam", 1L, Seq("ts")))
+      assert(ContinuousFeatures.cycle(spark, corpus, labels, feats, cursor)
+        === Some((0L, 2L)))
+      // the maintenance pass rewrites the fragmented ingest (stats inherited)
+      val compacted = SnapshotTable.compact(spark, corpus)
+      assert(compacted.operation === "replace")
+      assert(compacted.files.forall(_.stats.exists(_._1 == "ts")),
+        "compaction must inherit the ingest's ts stats")
+      // the loop continues across the rewrite without a cursor reset
+      assert(SnapshotIngest.commitOnce(slice(250, 400), corpus, "cam", 2L, Seq("ts")))
+      assert(ContinuousFeatures.cycle(spark, corpus, labels, feats, cursor)
+        === Some((2L, 4L)))
+      val all = SnapshotTable.read(spark, feats)
+      assert(all.select(col("entity"), col("window_start")).distinct().count()
+        === all.count())
+      val bound = ContinuousFeatures.boundarySec(spark, corpus,
+        SnapshotTable.currentSnapshotId(corpus).get, "ts", 600L, 0L)
+      assertSameRows(all, reference(bound))
+    } finally spark.conf.set(tsKey, prior)
+  }
+
   test("moved-head crash: feature commit landed, cursor did not, corpus advanced") {
     // the seam a window-pair tag cannot close: the replay's window differs
     // from the crashed cycle's, so only boundary-coverage idempotency

@@ -129,6 +129,28 @@ class IncrementalDedupSpec extends SparkSpec {
       IncrementalDedup.edgesDir(s)) === edgeHead)
   }
 
+  test("corpus compaction between ingest cycles does not wedge or re-sign") {
+    val (c, s) = (tmp("corpus"), tmp("state"))
+    val cursor = s"$s/cursor.txt"
+    (0 to 1).foreach { g =>
+      SnapshotTable.commit(spark, c, corpus.where(pmod(col("id"), lit(3)) === g))
+      IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
+    }
+    // scheduled maintenance rewrites the corpus while the dedup cursor
+    // sits behind it; the next cycle's window crosses the replace commit
+    // and must hash ONLY batch 3 — the compacted copies of batches 1-2
+    // are existing data and must not re-enter the state
+    assert(SnapshotTable.compact(spark, c).operation === "replace")
+    SnapshotTable.commit(spark, c, corpus.where(pmod(col("id"), lit(3)) === 2))
+    val r = IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
+    assert(r === Some((2L, 4L)))
+    val sigs = SnapshotTable.read(spark, IncrementalDedup.signaturesDir(s))
+    assert(sigs.count() === 30)
+    assert(sigs.groupBy("id").count().where(col("count") > 1).isEmpty,
+      "compacted copies re-entered the signature state")
+    assertSameRows(IncrementalDedup.currentLabels(spark, s, cfg), fullLabels)
+  }
+
   test("moved-head replay: crash before the cursor write plus a NEW commit") {
     val (c, s) = (tmp("corpus"), tmp("state"))
     val cursor = s"$s/cursor.txt"
