@@ -20,7 +20,7 @@ import scala.jdk.CollectionConverters._
   * takedown/compaction/retention loop; verbs compose in this order):
   *
   *   spark-submit --class graft.Main musifspark.jar \
-  *     --admin <tableDir> [--delete-keys col=<parquetOfKeys>] \
+  *     --admin <tableDir> [--describe] [--delete-keys col=<parquetOfKeys>] \
   *     [--retract-state <stateDir>] [--compact] [--tag <name>] \
   *     [--drop-tag <name>] [--expire <keepLast>]
   *
@@ -66,9 +66,28 @@ object Main {
     opts.get("admin").foreach { tableDir =>
       require(opts.contains("deleteKeys") || opts.contains("compact") ||
         opts.contains("expire") || opts.contains("tag") ||
-        opts.contains("dropTag"),
+        opts.contains("dropTag") || opts.contains("describe"),
         "--admin needs at least one verb: --delete-keys col=<parquet>, " +
-          "--compact, --tag <name>, --drop-tag <name>, --expire <keepLast>")
+          "--compact, --tag <name>, --drop-tag <name>, --expire <keepLast>, " +
+          "--describe")
+      // --describe runs FIRST: inspect before acting (and again last if
+      // combined with mutating verbs, so the output shows the result)
+      def describe(): Unit = {
+        val snaps = sources.SnapshotTable
+          .metadataTable(spark, tableDir, "snapshots")
+        println(s"[admin] $tableDir: ${snaps.count()} snapshots")
+        snaps.show(20, truncate = false)
+        val refs = sources.SnapshotTable.metadataTable(spark, tableDir, "refs")
+        if (refs.count() > 0) refs.show(20, truncate = false)
+        val dels = sources.SnapshotTable
+          .metadataTable(spark, tableDir, "deletes")
+        if (dels.count() > 0) {
+          println(s"[admin] ${dels.count()} pending tombstone files " +
+            "(compact() consumes them)")
+          dels.show(20, truncate = false)
+        }
+      }
+      if (opts.contains("describe")) describe()
       require(!opts.contains("retractState") || opts.contains("deleteKeys"),
         "--retract-state cascades a takedown and needs --delete-keys to " +
           "name the keys")
@@ -377,6 +396,7 @@ object Main {
         require(v.nonEmpty && !v.startsWith("--"),
           s"--drop-tag expects a tag name, got '$v'")
         parseArgs(rest, acc + ("dropTag" -> v))
+      case "--describe" :: rest    => parseArgs(rest, acc + ("describe" -> "true"))
       case "--compact" :: rest     => parseArgs(rest, acc + ("compact" -> "true"))
       case "--expire" :: v :: rest =>
         val n = try v.trim.toInt catch {

@@ -781,6 +781,47 @@ object SnapshotTable {
   def dropTag(tableDir: String, name: String): Boolean =
     Files.deleteIfExists(refPath(tableDir, name))
 
+  /** Metadata tables — the Iceberg `tbl$snapshots` / `$files` /
+    * `$deletes` / `$refs` introspection analog, as DataFrames built
+    * driver-side from the manifest log (O(#snapshots) small JSON, no data
+    * scan). What an operator inspects before acting: `snapshots` shows
+    * the commit history (operation, rows, file/tombstone counts — the
+    * fragmentation signal that schedules a compaction), `files` and
+    * `deletes` show one snapshot's live data files (with their manifest
+    * min/max stats) and pending tombstones, `refs` lists the published
+    * release names. `snapshotId` pins `files`/`deletes` to a version
+    * (default: current). */
+  def metadataTable(spark: SparkSession, tableDir: String, kind: String,
+                    snapshotId: Option[Long] = None): DataFrame = {
+    val sp = spark; import sp.implicits._
+    def pinned: Snapshot = {
+      val id = snapshotId.orElse(currentSnapshotId(tableDir)).getOrElse(
+        sys.error(s"$tableDir has no snapshots"))
+      snapshot(tableDir, id)
+    }
+    kind match {
+      case "snapshots" =>
+        snapshots(tableDir).map(s => (s.id, s.parentId, s.operation,
+          new java.sql.Timestamp(s.committedAtMs), s.totalRows,
+          s.totalBytes, s.files.size.toLong, s.deletes.size.toLong, s.tag))
+          .toDF("snapshot_id", "parent_id", "operation", "committed_at",
+            "total_rows", "total_bytes", "n_files", "n_delete_files", "tag")
+      case "files" =>
+        val s = pinned
+        s.files.map(f => (s.id, f.path, f.rows, f.bytes, f.addedAt,
+          f.stats.map { case (c, mn, mx) => c -> Seq(mn, mx) }.toMap))
+          .toDF("snapshot_id", "path", "rows", "bytes", "added_at", "stats")
+      case "deletes" =>
+        val s = pinned
+        s.deletes.map(d => (s.id, d.path, d.keyCol, d.rows, d.addedAt))
+          .toDF("snapshot_id", "path", "key_col", "rows", "added_at")
+      case "refs" =>
+        tags(tableDir).toSeq.sorted.toDF("name", "snapshot_id")
+      case other => sys.error(
+        s"unknown metadata table '$other' (snapshots|files|deletes|refs)")
+    }
+  }
+
   /** Retain the newest `keepLast` snapshots; delete older manifests and
     * every commit DIRECTORY none of whose files is reachable from the
     * retained set — including `_SUCCESS`/`.crc` sidecars and the directory

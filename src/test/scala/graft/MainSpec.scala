@@ -319,6 +319,10 @@ class MainSpec extends SparkSpec {
     }
     assert(sources.SnapshotTable.read(spark, table,
       sources.SnapshotTable.resolveTag(table, "v2")).count() === 20L)
+    // --describe is a read-only verb: inspect without mutating
+    val headBefore = sources.SnapshotTable.currentSnapshotId(table)
+    Main.main(Array("--admin", table, "--describe"))
+    assert(sources.SnapshotTable.currentSnapshotId(table) === headBefore)
   }
 
   test("--admin --retract-state: a takedown cascades into the dedup state") {

@@ -406,6 +406,47 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("metadata tables: snapshots/files/deletes/refs introspection") {
+    val dir = tmpTable()
+    SnapshotTable.commit(spark, dir, rows(0, 100).repartition(2),
+      statsCols = Seq("id"))
+    SnapshotTable.deleteKeys(spark, dir, "id", spark.range(0, 10).toDF("id"))
+    SnapshotTable.append(spark, dir, rows(100, 120).coalesce(1))
+    SnapshotTable.createTag(dir, "v1", Some(1L))
+
+    val snaps = SnapshotTable.metadataTable(spark, dir, "snapshots")
+    assert(snaps.count() === 3)
+    assert(snaps.orderBy("snapshot_id").select("operation")
+      .as[String].collect().toSeq === Seq("append", "delete", "append"))
+    assert(snaps.where(col("snapshot_id") === 2L)
+      .select("n_delete_files").as[Long].head() >= 1L)
+
+    // files: the CURRENT live set with manifest stats; pinned = snapshot 1
+    val files = SnapshotTable.metadataTable(spark, dir, "files")
+    assert(files.count() === 3)
+    assert(files.where(col("added_at") === 1L).count() === 2)
+    val stats = files.where(col("added_at") === 1L)
+      .select("stats").as[Map[String, Seq[Long]]].head()
+    assert(stats.contains("id") && stats("id").length === 2)
+    assert(SnapshotTable.metadataTable(spark, dir, "files", Some(1L))
+      .count() === 2)
+
+    val dels = SnapshotTable.metadataTable(spark, dir, "deletes")
+    assert(dels.count() >= 1)
+    assert(dels.agg(sum(col("rows"))).as[Long].head() === 10L,
+      "tombstone rows must sum to the takedown list")
+    assert(dels.select("key_col").distinct().as[String].collect().toSeq
+      === Seq("id"))
+
+    val refs = SnapshotTable.metadataTable(spark, dir, "refs")
+    assert(refs.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("v1", 1L)))
+
+    intercept[RuntimeException] {
+      SnapshotTable.metadataTable(spark, dir, "nope")
+    }
+  }
+
   test("tags: immutable release names pin snapshots against retention GC") {
     val dir = tmpTable()
     SnapshotTable.append(spark, dir, rows(0, 50))           // 1
