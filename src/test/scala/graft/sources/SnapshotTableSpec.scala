@@ -481,51 +481,82 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SnapshotTable.snapshot(dir, 1L) }
   }
 
-  test("randomized op sequences: the latest read always replays the operation log") {
+  test("randomized op sequences: latest reads AND incremental windows replay the log") {
     // append / overwrite / DELETE / COMPACT drawn at random, checked after
     // every commit against an in-memory replay of the log — including the
     // sequence-semantics subtlety: a delete never touches keys appended
     // after it, even when the same key value is re-used (the replay keeps
-    // a multiset keyed by insertion order, exactly what addedAt encodes)
+    // a multiset keyed by insertion order, exactly what addedAt encodes).
+    // After every commit, random changes(a, head] windows are ALSO checked
+    // against the per-commit replay: a window's expected delta is each
+    // in-window append's keys minus the keys of in-window deletes YOUNGER
+    // than that append; replace commits (compaction) contribute nothing;
+    // windows containing an overwrite are skipped (changes refuses them).
     val rnd = new scala.util.Random(42)
     (1 to 3).foreach { _ =>
       val dir = tmpTable()
       var expected = Vector.empty[Long]
+      var log = Vector.empty[(Long, String, Vector[Long])]
       var nextId = 0L
       (1 to 10).foreach { _ =>
         rnd.nextInt(8) match {
           case 0 =>
             val n = 1L + rnd.nextInt(50)
             val batch = nextId until (nextId + n); nextId += n
-            SnapshotTable.overwrite(spark, dir,
+            val s = SnapshotTable.overwrite(spark, dir,
               spark.range(batch.start, batch.end).toDF("id"))
+            log :+= ((s.id, "overwrite", batch.toVector))
             expected = batch.toVector
           case 1 | 2 if expected.nonEmpty =>
             // delete a random slice of CURRENT keys plus some absent ones
             val victims = rnd.shuffle(expected.distinct)
               .take(1 + rnd.nextInt(math.max(1, expected.distinct.size / 2)))
             val absent = Seq(nextId + 1000L, nextId + 1001L)
-            SnapshotTable.deleteKeys(spark, dir, "id",
+            val s = SnapshotTable.deleteKeys(spark, dir, "id",
               (victims ++ absent).toDF("id"))
+            log :+= ((s.id, "delete", (victims ++ absent).toVector))
             expected = expected.filterNot(victims.toSet)
           case 3 if expected.nonEmpty =>
-            SnapshotTable.compact(spark, dir, targetFiles = 2)
+            val s = SnapshotTable.compact(spark, dir, targetFiles = 2)
+            log :+= ((s.id, "replace", Vector.empty))
           case 4 =>
             // re-insert keys that may have been deleted before: they must
             // survive any PREVIOUS delete (only future ones can hit them)
             val reused = expected.headOption.getOrElse(0L)
-            SnapshotTable.append(spark, dir, Seq(reused).toDF("id"))
+            val s = SnapshotTable.append(spark, dir, Seq(reused).toDF("id"))
+            log :+= ((s.id, "append", Vector(reused)))
             expected :+= reused
           case _ =>
             val n = 1L + rnd.nextInt(50)
             val batch = nextId until (nextId + n); nextId += n
-            SnapshotTable.append(spark, dir,
+            val s = SnapshotTable.append(spark, dir,
               spark.range(batch.start, batch.end).toDF("id"))
+            log :+= ((s.id, "append", batch.toVector))
             expected ++= batch
         }
         val got = SnapshotTable.read(spark, dir)
           .select("id").as[Long].collect().sorted.toSeq
         assert(got === expected.sorted, s"divergence after ${expected.size} expected rows")
+
+        // incremental-window fuzz against the same log
+        val head = log.last._1
+        (1 to 2).foreach { _ =>
+          val a = 1L + rnd.nextInt(head.toInt)
+          val window = log.filter(e => e._1 > a && e._1 <= head)
+          if (window.nonEmpty && !window.exists(_._2 == "overwrite")) {
+            val exp = window.flatMap {
+              case (c, "append", keys) =>
+                val laterDels = window.collect {
+                  case (d, "delete", ks) if d > c => ks
+                }.flatten.toSet
+                keys.filterNot(laterDels)
+              case _ => Vector.empty
+            }
+            val delta = SnapshotTable.changes(spark, dir, a, head)
+              .select("id").as[Long].collect().sorted.toSeq
+            assert(delta === exp.sorted, s"changes($a, $head] diverged")
+          }
+        }
       }
     }
   }
