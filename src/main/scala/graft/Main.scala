@@ -135,6 +135,11 @@ object Main {
         println(s"[admin] expired $manifests snapshots, " +
           s"removed $files data files from $tableDir")
       }
+      // …and again after mutating verbs, so the output shows the result
+      val mutated = opts.contains("deleteKeys") || opts.contains("compact") ||
+        opts.contains("expire") || opts.contains("tag") ||
+        opts.contains("dropTag")
+      if (opts.contains("describe") && mutated) describe()
       if (!hadSession) spark.stop()
       return
     }

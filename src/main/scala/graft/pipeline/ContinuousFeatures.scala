@@ -110,6 +110,21 @@ object ContinuousFeatures {
                                  snapshotId: Long, tsCol: String,
                                  stepSec: Long, lateness: Long): Long = {
     val snap = SnapshotTable.snapshot(corpusDir, snapshotId)
+    // the boundary arithmetic below divides manifest stats by 1e6 (epoch
+    // MICROS, TimestampType's physical encoding) and the corpus filter
+    // uses unix_timestamp — both silently produce garbage (boundary ~0,
+    // no window ever emitted) on a numeric epoch column, so refuse loudly
+    snap.schemaJson.foreach { js =>
+      org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .find(_.name == tsCol).foreach { f =>
+          require(f.dataType == org.apache.spark.sql.types.TimestampType,
+            s"ContinuousFeatures needs a TimestampType event-time column; " +
+              s"'$tsCol' is ${f.dataType.simpleString} in $corpusDir — " +
+              "ingest the stream with a timestamp ts (epoch numbers have " +
+              "no declared unit to derive window boundaries from)")
+        }
+    }
     if (snap.files.isEmpty) return Long.MinValue
     val statMaxes = snap.files.map(_.stats.collectFirst {
       case (c, _, mx) if c == tsCol => mx

@@ -188,11 +188,21 @@ object IncrementalDedup {
     * Three equality-delete commits, each O(|ids|): the signature table on
     * `cfg.idCol`, the edge table on `a` and on `b` (an edge dies when
     * EITHER endpoint is retracted). No state rewrite — compact the state
-    * tables on the usual maintenance schedule. Sequence semantics make
-    * the cascade compose with ongoing ingest for free: a crash mid-retract
+    * tables on the usual maintenance schedule. A crash mid-retract
     * replays into extra no-op tombstones, and a later RE-INGEST of a
     * retracted id appends a fresh signature that the old tombstones
-    * cannot touch, so it re-enters dedup cleanly. */
+    * cannot touch, so it re-enters dedup cleanly.
+    *
+    * Concurrency: a dedup cycle IN FLIGHT while retract runs can commit
+    * edges younger than the tombstones (it read the pre-retraction
+    * state), and sequence semantics then keep those ghost edges alive in
+    * the edge table. [[currentLabels]] is immune — it drops edges whose
+    * endpoints lack live signatures at decision time — so labels stay
+    * correct either way; still, schedule retract from the same
+    * maintenance loop as `processNew` (the single-consumer convention
+    * that already governs the cursor) rather than truly concurrently, or
+    * a lingering ghost edge waits for a re-applied retract or a state
+    * compaction to disappear from the raw table. */
   def retract(spark: SparkSession, stateDir: String, cfg: Config,
               ids: DataFrame): Unit =
     retract(spark, stateDir, cfg.idCol, ids)
@@ -223,8 +233,15 @@ object IncrementalDedup {
                     cfg: Config): DataFrame = {
     val ids = SnapshotTable.read(spark, signaturesDir(stateDir))
       .select(col(cfg.idCol))
+    // ghost-edge guard: only edges whose BOTH endpoints still have live
+    // signatures participate in clustering — a retraction racing an
+    // in-flight cycle can land edges younger than its tombstones (see
+    // [[retract]]), and without this a legally-erased id would keep
+    // labeling its surviving partner (or even BE its representative)
     val edges = SnapshotTable.read(spark, edgesDir(stateDir))
       .select(col("a"), col("b"))
+      .join(ids.select(col(cfg.idCol).as("a")), Seq("a"), "left_semi")
+      .join(ids.select(col(cfg.idCol).as("b")), Seq("b"), "left_semi")
     val cc = Dedup.connectedComponents(edges)
       .withColumnRenamed("id", cfg.idCol)
     ids.join(cc, Seq(cfg.idCol), "left")

@@ -654,8 +654,9 @@ object SnapshotTable {
               fromExclusive: Long, toInclusive: Long): DataFrame = {
     require(fromExclusive < toInclusive,
       s"empty snapshot range: ($fromExclusive, $toInclusive]")
-    val window = ((fromExclusive + 1) to toInclusive)
+    val chain = (fromExclusive to toInclusive)
       .map(id => snapshot(tableDir, id))
+    val window = chain.tail
     window.foreach { s =>
       require(s.operation != "overwrite",
         s"snapshot ${s.id} is an overwrite — new CONTENT invalidates " +
@@ -663,14 +664,22 @@ object SnapshotTable {
           "restriction); reset the consumer's cursor and re-read")
     }
     // per-commit formulation (Iceberg's incremental append scan): each
-    // APPEND commit's own added files are read directly — they are
-    // immutable on disk until their manifest expires, so this stays exact
-    // even when a later `replace` (compaction) in the window rewrote the
-    // live set: the replace's files are EXISTING data in new clothing and
-    // are skipped entirely, which is what lets scheduled compaction run
-    // without wedging cursor consumers
-    val added = window.filter(_.operation == "append")
-      .flatMap(s => s.files.filter(_.addedAt == s.id))
+    // APPEND commit's added files — the path diff against its parent's
+    // file list, which stays exact for legacy manifests whose files parse
+    // with addedAt = 0 (an addedAt == id filter would silently return an
+    // EMPTY diff for pre-upgrade commits, the worst failure mode for a
+    // cursor consumer) — are read directly: they are immutable on disk
+    // until their manifest expires, so this stays exact even when a later
+    // `replace` (compaction) in the window rewrote the live set: the
+    // replace's files are EXISTING data in new clothing and are skipped
+    // entirely, which is what lets scheduled compaction run without
+    // wedging cursor consumers
+    val added = chain.sliding(2).flatMap {
+      case Seq(prev, cur) if cur.operation == "append" =>
+        val before = prev.files.map(_.path).toSet
+        cur.files.filterNot(f => before(f.path))
+      case _ => Nil
+    }.toSeq
     val to = window.last
     // a window can add zero files (idle micro-batches, delete/replace
     // only): the diff is legitimately empty — a typed frame, not a refusal

@@ -117,22 +117,11 @@ object SnapshotIngest {
   private def epochFile(tableDir: String, source: String) =
     java.nio.file.Paths.get(tableDir, "meta", s"source-$source.txt")
 
-  private[streaming] def readEpoch(tableDir: String, source: String): Option[Long] = {
-    val p = epochFile(tableDir, source)
-    if (!java.nio.file.Files.exists(p)) None
-    else Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
-  }
+  // single writer per source (foreachBatch serializes epochs): the shared
+  // marker-file convention — atomic REPLACE, newest position wins
+  private[streaming] def readEpoch(tableDir: String, source: String): Option[Long] =
+    graft.pipeline.Incremental.readLongFile(epochFile(tableDir, source))
 
-  private def writeEpoch(tableDir: String, source: String, epochId: Long): Unit = {
-    import java.nio.file.{Files, StandardCopyOption}
-    val p = epochFile(tableDir, source)
-    Files.createDirectories(p.getParent)
-    val tmp = Files.createTempFile(p.getParent, s".source-$source", ".txt")
-    Files.write(tmp, epochId.toString.getBytes("UTF-8"))
-    // single writer per source (foreachBatch serializes epochs): newest
-    // position wins, an atomic REPLACE is correct (the cursor convention,
-    // not the first-writer-wins manifest publish)
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writeEpoch(tableDir: String, source: String, epochId: Long): Unit =
+    graft.pipeline.Incremental.writeLongFile(epochFile(tableDir, source), epochId)
 }

@@ -188,6 +188,21 @@ class ContinuousPipelineSpec extends SparkSpec {
     } finally spark.conf.set(tsKey, prior)
   }
 
+  test("a numeric event-time column is refused loudly, not silently never-emitting") {
+    // boundary arithmetic assumes TimestampType (epoch-micros stats,
+    // unix_timestamp filter); on a BIGINT epoch column both silently
+    // produce a boundary near zero and the loop would never emit
+    val corpus = Files.createTempDirectory("graft-cont5-corpus").toString
+    val feats = Files.createTempDirectory("graft-cont5-feats").toString
+    SnapshotTable.append(spark, corpus, spark.range(100)
+      .select(col("id").as("phash"), (col("id") * 60L).as("ts_sec")))
+    val err = intercept[IllegalArgumentException] {
+      ContinuousFeatures.cycle(spark, corpus, labels, feats,
+        s"$feats.cursor", tsCol = "ts_sec")
+    }
+    assert(err.getMessage.contains("TimestampType"))
+  }
+
   test("moved-head crash: feature commit landed, cursor did not, corpus advanced") {
     // the seam a window-pair tag cannot close: the replay's window differs
     // from the crashed cycle's, so only boundary-coverage idempotency

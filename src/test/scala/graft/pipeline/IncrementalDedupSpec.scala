@@ -129,6 +129,26 @@ class IncrementalDedupSpec extends SparkSpec {
       IncrementalDedup.edgesDir(s)) === edgeHead)
   }
 
+  test("ghost edges from a retract racing an in-flight cycle never affect labels") {
+    val (c, s) = (tmp("corpus"), tmp("state"))
+    val cursor = s"$s/cursor.txt"
+    ingestAll(c, s, cursor)
+    IncrementalDedup.retract(spark, s, cfg, Seq(0L).toDF("id"))
+    // a cycle that read the PRE-retraction state lands its edge commit
+    // after the tombstones — sequence semantics keep the ghost alive in
+    // the raw edge table
+    SnapshotTable.commit(spark, IncrementalDedup.edgesDir(s),
+      Seq((0L, 3L, 0)).toDF("a", "b", "hamming"))
+    assert(SnapshotTable.read(spark, IncrementalDedup.edgesDir(s))
+      .where(col("a") === 0L).count() === 1, "precondition: ghost edge alive")
+    // the decision layer drops it: the retracted id neither appears nor
+    // captures its surviving partner's representative slot
+    val labels = IncrementalDedup.currentLabels(spark, s, cfg)
+    assert(labels.where(col("id") === 0L).isEmpty)
+    assert(labels.where(col("id") === 3L).select("rep").as[Long].head() === 1L,
+      "quad-0's survivors must cluster on their own min id, not the ghost")
+  }
+
   test("corpus compaction between ingest cycles does not wedge or re-sign") {
     val (c, s) = (tmp("corpus"), tmp("state"))
     val cursor = s"$s/cursor.txt"

@@ -406,6 +406,27 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("changes stays exact over legacy manifests lacking added_at stamps") {
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir, rows(0, 30))
+    SnapshotTable.append(spark, dir, rows(30, 50))
+    // simulate a pre-upgrade log: strip the addedAt stamps in place (the
+    // legacy parse default is 0 — an addedAt == id filter would return a
+    // silently EMPTY diff here, the worst failure mode for a consumer)
+    (1L to 2L).foreach { id =>
+      val stripped = SnapshotTable.snapshot(dir, id)
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(dir, "meta", f"snap-$id%08d.json"))
+      assert(SnapshotTable.publish(dir,
+        stripped.copy(files = stripped.files.map(_.copy(addedAt = 0L)))))
+    }
+    assert(SnapshotTable.snapshot(dir, 2L).files.forall(_.addedAt == 0L))
+    assertSameRows(SnapshotTable.changes(spark, dir, 1L, 2L), rows(30, 50))
+    // and a post-upgrade append on the same table diffs exactly too
+    SnapshotTable.append(spark, dir, rows(50, 60))
+    assertSameRows(SnapshotTable.changes(spark, dir, 2L, 3L), rows(50, 60))
+  }
+
   test("metadata tables: snapshots/files/deletes/refs introspection") {
     val dir = tmpTable()
     SnapshotTable.commit(spark, dir, rows(0, 100).repartition(2),
