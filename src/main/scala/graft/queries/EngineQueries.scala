@@ -273,6 +273,75 @@ object EngineQueries {
           r2(sum(col("l_extendedprice"))).as("sum_price"))
     }),
 
+    // Atomic UPSERT (SnapshotTable.upsert — the Iceberg MERGE INTO analog,
+    // latest-wins at key granularity in ONE commit): the %5==0 orders'
+    // rows are upserted with shifted quantities — replacing every line of
+    // the orders already present (%3<>0 AND %5==0, the MATCHED leg) and
+    // inserting the orders absent from the base (%3==0 AND %5==0, the NOT
+    // MATCHED leg). DuckDB replays the merge as base-minus-keys UNION
+    // batch, so a leaked old version, a lost insert, or a tombstone that
+    // hit the batch's own rows hash-mismatches.
+    "q125_upsert_merge" -> ((s, dir) => {
+      val table = snapUpsertTable(s, dir)
+      val head = graft.sources.SnapshotTable.snapshot(table,
+        graft.sources.SnapshotTable.currentSnapshotId(table).get)
+      require(head.operation == "upsert" &&
+        head.deletes.exists(_.addedAt == head.id),
+        "head must be the one-commit upsert (tombstone + data together)")
+      graft.sources.SnapshotTable.read(s, table)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_price"))
+    }),
+
+    // CDC CHANGELOG (SnapshotTable.changelog — Iceberg's changelog view
+    // with pre-images): the upsert commit decomposed into its row-level
+    // change stream — the replaced orders' PRE-IMAGE rows (original
+    // quantities) as deletes, the batch's rows as inserts. DuckDB replays
+    // both channels from the base table, so a missing pre-image, a
+    // post-image leaking into the delete channel, or a lost insert
+    // hash-mismatches.
+    "q126_changelog" -> ((s, dir) => {
+      val table = snapUpsertTable(s, dir)
+      graft.sources.SnapshotTable.changelog(s, table, 1L, 2L)
+        .groupBy(col("l_returnflag"), col("_change_type"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_price"))
+    }),
+
+    // WRITE-AUDIT-PUBLISH (SnapshotTable.stageCommit/readStaged/
+    // publishStaged — the Iceberg WAP pattern): the %3==0 remainder is
+    // STAGED (head readers still see only commit 1 — asserted mid-flow in
+    // the builder), audited via readStaged, then atomically published.
+    // The head read after publish must equal the full corpus.
+    "q127_wap_publish" -> ((s, dir) => {
+      val table = snapWapTable(s, dir)
+      val head = graft.sources.SnapshotTable.snapshot(table,
+        graft.sources.SnapshotTable.currentSnapshotId(table).get)
+      require(head.tag.exists(_.startsWith("wap:")),
+        "head must be the published staged commit")
+      graft.sources.SnapshotTable.read(s, table)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_price"))
+    }),
+
+    // ROLLBACK (SnapshotTable.rollbackTo — Iceberg's rollback_to_snapshot):
+    // a bad append is rolled back by republishing snapshot 1's exact state
+    // as the new head (metadata-only, original sequence stamps kept). The
+    // head read must equal the pre-bad-commit state — identical oracle to
+    // q114's pin, reached through recovery instead of time travel.
+    "q128_rollback" -> ((s, dir) => {
+      val table = snapRollbackTable(s, dir)
+      val head = graft.sources.SnapshotTable.snapshot(table,
+        graft.sources.SnapshotTable.currentSnapshotId(table).get)
+      require(head.operation == "rollback", "head must be the rollback commit")
+      graft.sources.SnapshotTable.read(s, table)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_price"))
+    }),
+
     // Multimodal payload fidelity with a DRIVER-VISIBLE oracle: the synth
     // image table (bytes included) is materialized to parquet and DuckDB
     // re-parses the SAME stored blobs via hex slicing — container magic,
@@ -1453,6 +1522,51 @@ object EngineQueries {
         |  SELECT * FROM lineitem WHERE l_orderkey % 3 = 0
         |) GROUP BY 1""".stripMargin,
 
+    // the merge replayed as base-minus-batch-keys UNION batch: MATCHED
+    // orders (%3<>0 ∧ %5==0) appear only in their post-image form, NOT
+    // MATCHED orders (%3==0 ∧ %5==0) only as inserts
+    "q125_upsert_merge" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        | round(sum(l_quantity) + 3.7e-10, 2) AS sum_qty,
+        | round(sum(l_extendedprice) + 3.7e-10, 2) AS sum_price
+        |FROM (
+        |  SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem
+        |  WHERE l_orderkey % 3 <> 0 AND l_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT l_returnflag, l_quantity + 1000, l_extendedprice FROM lineitem
+        |  WHERE l_orderkey % 5 = 0
+        |) GROUP BY 1""".stripMargin,
+
+    // the same upsert as its change stream: deletes carry the PRE-image
+    // (original quantities of the matched orders), inserts the batch
+    "q126_changelog" ->
+      """SELECT l_returnflag, _change_type, count(*)::BIGINT AS n,
+        | round(sum(l_quantity) + 3.7e-10, 2) AS sum_qty,
+        | round(sum(l_extendedprice) + 3.7e-10, 2) AS sum_price
+        |FROM (
+        |  SELECT l_returnflag, l_quantity, l_extendedprice,
+        |   'delete' AS _change_type FROM lineitem
+        |  WHERE l_orderkey % 3 <> 0 AND l_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT l_returnflag, l_quantity + 1000, l_extendedprice,
+        |   'insert' AS _change_type FROM lineitem
+        |  WHERE l_orderkey % 5 = 0
+        |) GROUP BY 1, 2""".stripMargin,
+
+    // staged + published = the whole corpus
+    "q127_wap_publish" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        | round(sum(l_quantity) + 3.7e-10, 2) AS sum_qty,
+        | round(sum(l_extendedprice) + 3.7e-10, 2) AS sum_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // recovery restores exactly the pre-bad-commit state (q114's predicate)
+    "q128_rollback" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        | round(sum(l_quantity) + 3.7e-10, 2) AS sum_qty,
+        | round(sum(l_extendedprice) + 3.7e-10, 2) AS sum_price
+        |FROM lineitem WHERE l_orderkey % 3 <> 0 GROUP BY 1""".stripMargin,
+
     "q116_snapshot_range" ->
       s"""WITH ev AS (
          | SELECT event_id, event_type, value,
@@ -1542,6 +1656,67 @@ object EngineQueries {
       graft.sources.SnapshotTable.commitBucketed(s, tmp,
         li.where(pmod(col("l_orderkey"), lit(3)) === 0), spec)
       graft.sources.SnapshotTable.compact(s, tmp)
+    }
+  }
+
+  /** q125/q126's upsert lineitem table, cached per sf dir like
+    * [[snapTable]]. Two snapshots: (1) append of the l_orderkey%3<>0
+    * rows; (2) ONE atomic upsert of every %5==0 order's rows with
+    * l_quantity shifted by +1000 — replacing all lines of the orders
+    * present in (1) and inserting the orders absent from it. */
+  private def snapUpsertTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_snapups_" +
+      graft.sources.TableSource.pathKey(dir)
+    Q.cachedBuild(tmp) {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+      graft.sources.SnapshotTable.append(s, tmp,
+        li.where(pmod(col("l_orderkey"), lit(3)) =!= 0))
+      graft.sources.SnapshotTable.upsert(s, tmp, "l_orderkey",
+        li.where(pmod(col("l_orderkey"), lit(5)) === 0)
+          .withColumn("l_quantity", col("l_quantity") + 1000))
+    }
+  }
+
+  /** q127's write-audit-publish table, cached per sf dir like
+    * [[snapTable]]: commit 1 appends the %3<>0 rows, the %3==0 remainder
+    * is STAGED (the WAP invariants — head unmoved, audit read sees the
+    * candidate — are asserted mid-flow), then published. */
+  private def snapWapTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_snapwap_" +
+      graft.sources.TableSource.pathKey(dir)
+    Q.cachedBuild(tmp) {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+      graft.sources.SnapshotTable.append(s, tmp,
+        li.where(pmod(col("l_orderkey"), lit(3)) =!= 0))
+      val sid = graft.sources.SnapshotTable.stageCommit(s, tmp,
+        li.where(pmod(col("l_orderkey"), lit(3)) === 0))
+      require(graft.sources.SnapshotTable.currentSnapshotId(tmp).contains(1L),
+        "staging must not move the head")
+      require(graft.sources.SnapshotTable.readStaged(s, tmp, sid).count()
+        == li.count(), "the audit read must see the full candidate state")
+      graft.sources.SnapshotTable.publishStaged(tmp, sid)
+    }
+  }
+
+  /** q128's rollback table, cached per sf dir like [[snapTable]]:
+    * commit 1 appends the %3<>0 rows, commit 2 is the "bad" append of the
+    * remainder, commit 3 rolls back to snapshot 1 (metadata-only). */
+  private def snapRollbackTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_snaprb_" +
+      graft.sources.TableSource.pathKey(dir)
+    Q.cachedBuild(tmp) {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+      graft.sources.SnapshotTable.append(s, tmp,
+        li.where(pmod(col("l_orderkey"), lit(3)) =!= 0))
+      graft.sources.SnapshotTable.append(s, tmp,
+        li.where(pmod(col("l_orderkey"), lit(3)) === 0))
+      graft.sources.SnapshotTable.rollbackTo(tmp, 1L)
     }
   }
 

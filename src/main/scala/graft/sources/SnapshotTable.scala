@@ -129,7 +129,7 @@ object SnapshotTable {
   final case class Snapshot(
       id: Long,
       parentId: Option[Long],
-      operation: String, // "append" | "overwrite" | "delete" | "replace"
+      operation: String, // append | overwrite | delete | replace | upsert | rollback
       committedAtMs: Long,
       files: Seq[DataFile],
       tag: Option[String] = None,
@@ -348,6 +348,58 @@ object SnapshotTable {
     publishLoop(tableDir, "delete", Nil, tag, None, None, dels)
   }
 
+  /** Atomic UPSERT — the Iceberg `MERGE INTO ... WHEN MATCHED THEN UPDATE
+    * WHEN NOT MATCHED THEN INSERT` analog with whole-row latest-wins
+    * semantics at `keyCol` granularity: ONE commit that both tombstones
+    * the batch's key values against every strictly-older data file and
+    * adds the batch's rows as new data files. The composition
+    * [[deleteKeys]]-then-[[append]] has a visible intermediate state
+    * (readers between the two commits see the keys GONE) and no atomicity
+    * (a crash between them loses the re-insert); upsert closes both — the
+    * manifest publish is the single commit point for delete + insert
+    * together. Sequence semantics make it correct for free: the tombstone
+    * and the new data files carry the SAME snapshot id, and a tombstone
+    * applies only to files strictly older than it, so the batch's own rows
+    * survive while every older version of the keys dies.
+    *
+    * A key may map to several rows (an order's line items, an entity's
+    * events): the upsert replaces ALL of a key's rows with the batch's
+    * rows for that key. The tombstoned key set is read back from the
+    * WRITTEN files (one column-pruned scan), never recomputed from `df` —
+    * a non-deterministic input could otherwise divorce the delete set from
+    * the inserted rows. A bucketed head keeps its layout (the batch is
+    * written bucket-transformed under the same spec); [[readBucketed]]
+    * refuses the resulting mixed-age state until a [[compact]] consumes
+    * the tombstones — [[read]]'s split plan stays exact throughout.
+    * Incremental consumers traverse upsert commits: [[changes]] delivers
+    * the batch's rows and applies the tombstone to the window's own
+    * earlier appends; [[changelog]] additionally emits the replaced rows'
+    * pre-images as deletes. */
+  def upsert(spark: SparkSession, tableDir: String, keyCol: String,
+             df: DataFrame, tag: Option[String] = None,
+             statsCols: Seq[String] = Nil): Snapshot = {
+    val headId = currentSnapshotId(tableDir).getOrElse(
+      sys.error(s"$tableDir has no snapshots to upsert into (use commit)"))
+    val head = snapshot(tableDir, headId)
+    require(df.schema.fieldNames.contains(keyCol),
+      s"upsert key column '$keyCol' is not a column of the batch " +
+        s"(columns: ${df.schema.fieldNames.mkString(", ")})")
+    val newFiles = head.bucketSpec match {
+      case Some(spec) => writeBucketedCommitDir(spark, tableDir, df, spec, statsCols)
+      case None => writeCommitDir(spark, tableDir, df, statsCols)
+    }
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val rel = s"data/d-$commitId"
+    val dataPath = Paths.get(tableDir, rel)
+    readFiles(spark, tableDir, newFiles, Some(df.schema.json))
+      .select(keyCol).distinct().write.parquet(dataPath.toString)
+    val dels = listParquet(spark, dataPath, Nil).map {
+      case (name, rows, bytes, _) => DeleteFile(s"$rel/$name", keyCol, rows, bytes, 0L)
+    }
+    publishLoop(tableDir, "upsert", newFiles, tag, Some(df.schema.json),
+      head.bucketSpec, dels)
+  }
+
   /** Rewrite the CURRENT snapshot's logical state as one fresh `replace`
     * commit (Iceberg's `rewrite_data_files`): tombstones are materialized
     * and dropped, a streaming ingest's pile of per-micro-batch small files
@@ -427,11 +479,11 @@ object SnapshotTable {
       val headSnap =
         if (operation == "overwrite" || operation == "replace") None
         else head.map(snapshot(tableDir, _))
-      if (operation == "append") headSnap.foreach { h =>
+      if (operation == "append" || operation == "upsert") headSnap.foreach { h =>
         require(h.bucketSpec == bucketSpec,
-          s"append layout mismatch on $tableDir: head snapshot ${h.id} has " +
+          s"$operation layout mismatch on $tableDir: head snapshot ${h.id} has " +
             s"bucketSpec=${h.bucketSpec}, this commit has $bucketSpec — " +
-            "appends must preserve the table's layout (overwrite resets it)")
+            s"${operation}s must preserve the table's layout (overwrite resets it)")
         // schema evolution rule (Iceberg's): an append may ADD columns —
         // older files read the new column as null — but never drop or
         // retype one: the manifest schema drives every read, so a
@@ -441,12 +493,12 @@ object SnapshotTable {
           prev.fields.foreach { f =>
             val nf = next.fields.find(_.name == f.name)
             require(nf.nonEmpty,
-              s"append to $tableDir drops column '${f.name}' — appends may " +
+              s"$operation to $tableDir drops column '${f.name}' — it may " +
                 "add columns, never drop them (overwrite replaces the schema)")
             require(nf.get.dataType == f.dataType,
-              s"append to $tableDir retypes column '${f.name}' from " +
+              s"$operation to $tableDir retypes column '${f.name}' from " +
                 s"${f.dataType.simpleString} to ${nf.get.dataType.simpleString} — " +
-                "appends may add columns, never retype them")
+                "it may add columns, never retype them")
           }
         }
       }
@@ -478,6 +530,14 @@ object SnapshotTable {
           Snapshot(nextId, head, operation, System.currentTimeMillis(),
             parentFiles, tag, headSnap.flatMap(_.schemaJson),
             headSnap.flatMap(_.bucketSpec),
+            parentDeletes ++ newDeletes.map(_.copy(addedAt = nextId)))
+        case "upsert" =>
+          // delete + insert under ONE commit point: the tombstone and the
+          // new data files carry the same id, so the tombstone (strictly-
+          // older rule) kills every older version of the keys while the
+          // batch's own rows survive
+          Snapshot(nextId, head, operation, System.currentTimeMillis(),
+            parentFiles ++ stamped, tag, schemaJson, bucketSpec,
             parentDeletes ++ newDeletes.map(_.copy(addedAt = nextId)))
         case other => sys.error(s"unsupported operation: $other")
       }
@@ -646,10 +706,12 @@ object SnapshotTable {
     * explicitly ([[graft.pipeline.IncrementalDedup.retract]], oracled with
     * a mid-stream takedown by q123). `replace` commits (compaction) are
     * traversed too — a rewrite changes files, not logical rows, so the
-    * scheduled maintenance pass never wedges a consumer. Only an
-    * `overwrite` boundary is refused — new CONTENT cannot be represented
-    * as a file-add diff (Iceberg's incremental scan has the same
-    * restriction). */
+    * scheduled maintenance pass never wedges a consumer — and so are
+    * `upsert` commits (the batch's rows are delivered; the replaced keys'
+    * tombstone applies to the window's own earlier appends like any other
+    * window takedown). Only an `overwrite` or `rollback` boundary is
+    * refused — new CONTENT cannot be represented as a file-add diff
+    * (Iceberg's incremental scan has the same restriction). */
   def changes(spark: SparkSession, tableDir: String,
               fromExclusive: Long, toInclusive: Long): DataFrame = {
     require(fromExclusive < toInclusive,
@@ -658,8 +720,8 @@ object SnapshotTable {
       .map(id => snapshot(tableDir, id))
     val window = chain.tail
     window.foreach { s =>
-      require(s.operation != "overwrite",
-        s"snapshot ${s.id} is an overwrite — new CONTENT invalidates " +
+      require(s.operation != "overwrite" && s.operation != "rollback",
+        s"snapshot ${s.id} is a ${s.operation} — new CONTENT invalidates " +
           "incremental history (Iceberg's incremental scan has the same " +
           "restriction); reset the consumer's cursor and re-read")
     }
@@ -675,7 +737,9 @@ object SnapshotTable {
     // entirely, which is what lets scheduled compaction run without
     // wedging cursor consumers
     val added = chain.sliding(2).flatMap {
-      case Seq(prev, cur) if cur.operation == "append" =>
+      // upserts add files the same way — their replaced-row semantics ride
+      // in the tombstone collected below
+      case Seq(prev, cur) if cur.operation == "append" || cur.operation == "upsert" =>
         val before = prev.files.map(_.path).toSet
         cur.files.filterNot(f => before(f.path))
       case _ => Nil
@@ -686,11 +750,96 @@ object SnapshotTable {
     if (added.isEmpty) emptyWithSchema(spark, tableDir, to)
     else {
       // the window's takedowns apply to the window's own earlier appends
-      // (sequence semantics; pre-window tombstones never touch them)
-      val winDeletes = window.filter(_.operation == "delete")
+      // (sequence semantics; pre-window tombstones never touch them) —
+      // upsert tombstones included: a key appended at 5 and upserted at 6
+      // is delivered only in its version-6 form
+      val winDeletes = window
+        .filter(s => s.operation == "delete" || s.operation == "upsert")
         .flatMap(s => s.deletes.filter(_.addedAt == s.id))
       readWithDeletes(spark, tableDir, added, winDeletes, to.schemaJson)
     }
+  }
+
+  /** CDC CHANGELOG scan — the Iceberg `create_changelog_view` analog:
+    * every row-level change between two snapshots, as the table's row
+    * schema plus `_change_type` (`"insert"` | `"delete"`) and
+    * `_commit_id` (the snapshot that caused it). Per commit in the
+    * window:
+    *
+    *  - `append`: its added files' rows as inserts — even when a LATER
+    *    window commit deletes them again (unlike [[changes]], a changelog
+    *    reports history, not surviving state: the later delete emits its
+    *    own records);
+    *  - `delete`: the tombstoned rows' PRE-IMAGES as deletes — the rows
+    *    live at the parent snapshot that match the tombstone keys (rows
+    *    already dead, or absent keys, emit nothing);
+    *  - `upsert`: the replaced keys' pre-images as deletes, then the
+    *    batch's rows as inserts (latest-wins MERGE decomposed into its
+    *    change stream);
+    *  - `replace` (compaction): nothing — files changed, rows didn't;
+    *  - `overwrite` / `rollback`: refused, as in [[changes]].
+    *
+    * The apply-invariant (specs assert it): state at `fromExclusive`
+    * MINUS the delete records PLUS the insert records == state at
+    * `toInclusive`, as multisets of full rows. Pre-image reads cost one
+    * parent-state scan per delete/upsert commit, semi-joined against the
+    * (broadcast-sized) tombstone keys — the same cost profile as Iceberg's
+    * changelog with pre-images. Schema evolution inside the window reads
+    * older commits' missing columns as null (`unionByName` with
+    * allowMissingColumns). */
+  def changelog(spark: SparkSession, tableDir: String,
+                fromExclusive: Long, toInclusive: Long): DataFrame = {
+    require(fromExclusive < toInclusive,
+      s"empty snapshot range: ($fromExclusive, $toInclusive]")
+    val chain = (fromExclusive to toInclusive)
+      .map(id => snapshot(tableDir, id))
+    chain.tail.foreach { s =>
+      require(s.operation != "overwrite" && s.operation != "rollback",
+        s"snapshot ${s.id} is a ${s.operation} — new CONTENT has no " +
+          "row-level change representation; reset the consumer and re-read")
+    }
+    import org.apache.spark.sql.functions.lit
+    def stamp(df: DataFrame, kind: String, id: Long): DataFrame =
+      df.withColumn("_change_type", lit(kind))
+        .withColumn("_commit_id", lit(id))
+    val pieces = chain.sliding(2).flatMap { case Seq(prev, cur) =>
+      val inserts: Seq[DataFrame] = cur.operation match {
+        case "append" | "upsert" =>
+          val before = prev.files.map(_.path).toSet
+          val added = cur.files.filterNot(f => before(f.path))
+          if (added.isEmpty) Nil
+          else Seq(stamp(readFiles(spark, tableDir, added, cur.schemaJson),
+            "insert", cur.id))
+        case _ => Nil
+      }
+      val deletes: Seq[DataFrame] = cur.operation match {
+        case "delete" | "upsert" =>
+          val newDels = cur.deletes.filter(_.addedAt == cur.id)
+          if (newDels.isEmpty || prev.files.isEmpty) Nil
+          else {
+            val parentLive = readWithDeletes(spark, tableDir,
+              prev.files, prev.deletes, prev.schemaJson)
+            // one semi-join per key column, each against the rows the
+            // PREVIOUS key columns didn't already claim — a row matching
+            // several of one commit's tombstones still emits exactly once
+            val (_, preImages) = newDels.groupBy(_.keyCol).toSeq.sortBy(_._1)
+              .foldLeft((parentLive, Seq.empty[DataFrame])) {
+                case ((remaining, acc), (kc, ds)) =>
+                  val keys = spark.read.parquet(
+                    ds.map(d => Paths.get(tableDir, d.path).toString): _*)
+                  (remaining.join(keys, Seq(kc), "left_anti"),
+                    acc :+ remaining.join(keys, Seq(kc), "left_semi"))
+              }
+            preImages.map(stamp(_, "delete", cur.id))
+          }
+        case _ => Nil
+      }
+      deletes ++ inserts
+    }.toSeq
+    if (pieces.isEmpty)
+      stamp(emptyWithSchema(spark, tableDir, chain.last), "", 0L)
+        .where(lit(false))
+    else pieces.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Typed empty frame for a snapshot with no (selected) data files, from
@@ -790,6 +939,158 @@ object SnapshotTable {
   def dropTag(tableDir: String, name: String): Boolean =
     Files.deleteIfExists(refPath(tableDir, name))
 
+  private def stagedPath(tableDir: String, stagingId: String): Path =
+    metaDir(tableDir).resolve(s"staged-$stagingId.json")
+
+  /** WRITE-AUDIT-PUBLISH, step 1 — stage a commit WITHOUT publishing it
+    * (the Iceberg WAP / branch-staging pattern a training-data pipeline
+    * runs before every corpus release: write the candidate, run the audit
+    * queries against it, and only then make it visible): the data files
+    * are written exactly as [[commit]] would, but the manifest lands as
+    * `meta/staged-<id>.json` — OUTSIDE the `snap-*` namespace, so head
+    * readers, [[snapshotIds]], pins and incremental consumers never see
+    * it. [[readStaged]] plans over the candidate state for the audit;
+    * [[publishStaged]] atomically turns it into a real snapshot;
+    * [[dropStaged]] discards a failed audit. Staged data files are
+    * reachable state for [[expireSnapshots]] (a long audit must not lose
+    * its candidate to a concurrent GC). A bucketed table stages with its
+    * head's spec via `spec` — the publish re-validates layout and schema
+    * against whatever head it lands on. Returns the staging id. */
+  def stageCommit(spark: SparkSession, tableDir: String, df: DataFrame,
+                  operation: String = "append",
+                  spec: Option[BucketSpec] = None,
+                  statsCols: Seq[String] = Nil): String = {
+    require(operation == "append" || operation == "overwrite",
+      s"unsupported staged operation: $operation")
+    val files = spec match {
+      case Some(b) => writeBucketedCommitDir(spark, tableDir, df, b, statsCols)
+      case None => writeCommitDir(spark, tableDir, df, statsCols)
+    }
+    val stagingId = java.util.UUID.randomUUID().toString.take(12)
+    // id -1 marks "not yet a snapshot"; parentId records the head at
+    // staging time (informational — the publish stacks on the head it
+    // finds, re-validating). Staged with the manifest tmp+link discipline
+    // so a crash mid-write can't leave a half-written staged manifest.
+    val st = Snapshot(-1L, currentSnapshotId(tableDir), operation,
+      System.currentTimeMillis(), files, None, Some(df.schema.json), spec)
+    val target = stagedPath(tableDir, stagingId)
+    val tmp = Files.createTempFile(metaDir(tableDir), ".staged-staging", ".json")
+    Files.write(tmp, renderManifest(st).getBytes("UTF-8"))
+    try Files.createLink(target, tmp)
+    finally Files.deleteIfExists(tmp)
+    stagingId
+  }
+
+  /** Staging ids currently awaiting audit/publish. */
+  def stagedIds(tableDir: String): Seq[String] = {
+    val md = metaDir(tableDir)
+    if (!Files.isDirectory(md)) Nil
+    else {
+      val listing = Files.list(md)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("staged-") && n.endsWith(".json"))
+          .map(n => n.stripPrefix("staged-").stripSuffix(".json"))
+          .toSeq.sorted
+      } finally listing.close()
+    }
+  }
+
+  private def stagedManifest(tableDir: String, stagingId: String): Snapshot = {
+    val p = stagedPath(tableDir, stagingId)
+    require(Files.exists(p),
+      s"no staged commit $stagingId in $tableDir (published or dropped?)")
+    parseManifest(new String(Files.readAllBytes(p), "UTF-8"))
+  }
+
+  /** WRITE-AUDIT-PUBLISH, step 2 — the audit read: the table state that
+    * [[publishStaged]] would create if run now. A staged `append` reads
+    * the CURRENT head's live state plus the staged files (staged rows
+    * treated as newest, so head tombstones don't touch them — exactly the
+    * sequence stamp the publish will assign); a staged `overwrite` reads
+    * the staged files alone. Head readers remain untouched throughout. */
+  def readStaged(spark: SparkSession, tableDir: String,
+                 stagingId: String): DataFrame = {
+    val st = stagedManifest(tableDir, stagingId)
+    val head = currentSnapshotId(tableDir)
+    (st.operation, head) match {
+      case ("overwrite", _) | ("append", None) =>
+        if (st.files.isEmpty) emptyWithSchema(spark, tableDir, st)
+        else readFiles(spark, tableDir, st.files, st.schemaJson)
+      case ("append", Some(h)) =>
+        val hs = snapshot(tableDir, h)
+        readWithDeletes(spark, tableDir,
+          hs.files ++ st.files.map(_.copy(addedAt = h + 1)),
+          hs.deletes, st.schemaJson.orElse(hs.schemaJson))
+      case (op, _) => sys.error(s"unsupported staged operation: $op")
+    }
+  }
+
+  /** WRITE-AUDIT-PUBLISH, step 3 — atomically publish a staged commit as
+    * a real snapshot (the audit passed). Runs the same optimistic publish
+    * loop as a direct commit — layout and schema validation re-run
+    * against whatever head the publish lands on, so a staged append
+    * composes with commits that landed during the audit (and is refused
+    * if one of them made it incompatible). Idempotent under replay: the
+    * published snapshot is tagged `wap:<stagingId>`, so a publisher that
+    * crashed between publishing and deleting the staged manifest — or a
+    * re-run publish job — resolves to the already-published snapshot
+    * instead of double-appending. */
+  def publishStaged(tableDir: String, stagingId: String): Snapshot = {
+    val wapTag = s"wap:$stagingId"
+    val p = stagedPath(tableDir, stagingId)
+    if (!Files.exists(p))
+      return findByTag(tableDir, wapTag).getOrElse(sys.error(
+        s"staged commit $stagingId of $tableDir was never staged or was " +
+          "dropped (no staged manifest, no published wap tag)"))
+    findByTag(tableDir, wapTag) match {
+      case Some(done) => Files.deleteIfExists(p); done
+      case None =>
+        val st = stagedManifest(tableDir, stagingId)
+        val snap = publishLoop(tableDir, st.operation, st.files,
+          Some(wapTag), st.schemaJson, st.bucketSpec)
+        Files.deleteIfExists(p)
+        snap
+    }
+  }
+
+  /** Discard a staged commit whose audit failed. Its data files become
+    * unreferenced and the next [[expireSnapshots]] reclaims them (after
+    * the orphan min-age, like any never-published commit dir). Returns
+    * false when the staging id doesn't exist. */
+  def dropStaged(tableDir: String, stagingId: String): Boolean =
+    Files.deleteIfExists(stagedPath(tableDir, stagingId))
+
+  /** ROLLBACK — republish an older retained snapshot's exact state as the
+    * new head (Iceberg's `rollback_to_snapshot`): the bad-commit recovery
+    * path. Nothing is rewritten — the new manifest references the target
+    * snapshot's files (with their ORIGINAL `addedAt` stamps: re-stamping
+    * would break the tombstone sequence semantics they were committed
+    * under), tombstones, schema and bucket layout verbatim, so the
+    * rollback is a metadata-only O(1) commit and time travel to the
+    * rolled-back-over snapshots keeps working until retention expires
+    * them. Publishing is refused if the head moves concurrently (a
+    * rollback computed against head H must not silently discard a commit
+    * H+1 it never saw). Incremental consumers treat the boundary like an
+    * overwrite ([[changes]]/[[changelog]] refuse to cross it — content
+    * changed in a way no file-add diff represents). */
+  def rollbackTo(tableDir: String, id: Long,
+                 tag: Option[String] = None): Snapshot = {
+    val headId = currentSnapshotId(tableDir).getOrElse(
+      sys.error(s"$tableDir has no snapshots"))
+    val target = snapshot(tableDir, id)
+    if (id == headId) return target
+    val next = Snapshot(headId + 1, Some(headId), "rollback",
+      System.currentTimeMillis(), target.files, tag, target.schemaJson,
+      target.bucketSpec, target.deletes)
+    require(publish(tableDir, next),
+      s"$tableDir moved past snapshot $headId while rolling back to $id — " +
+        "inspect the new head and retry")
+    next
+  }
+
   /** Metadata tables — the Iceberg `tbl$snapshots` / `$files` /
     * `$deletes` / `$refs` introspection analog, as DataFrames built
     * driver-side from the manifest log (O(#snapshots) small JSON, no data
@@ -826,8 +1127,16 @@ object SnapshotTable {
           .toDF("snapshot_id", "path", "key_col", "rows", "added_at")
       case "refs" =>
         tags(tableDir).toSeq.sorted.toDF("name", "snapshot_id")
+      case "staged" =>
+        stagedIds(tableDir).map { sid =>
+          val st = stagedManifest(tableDir, sid)
+          (sid, st.operation, st.parentId,
+            new java.sql.Timestamp(st.committedAtMs),
+            st.files.map(_.rows).sum, st.files.size.toLong)
+        }.toDF("staging_id", "operation", "staged_on_snapshot", "staged_at",
+          "total_rows", "n_files")
       case other => sys.error(
-        s"unknown metadata table '$other' (snapshots|files|deletes|refs)")
+        s"unknown metadata table '$other' (snapshots|files|deletes|refs|staged)")
     }
   }
 
@@ -867,9 +1176,13 @@ object SnapshotTable {
     // tombstone files are reachable state like data files: a retained
     // snapshot's deletes must survive GC (reads re-apply them), an
     // expired-only tombstone dir (post-compaction) is swept like any
-    // dead commit dir — d-* dirs live under data/ so one sweep covers both
+    // dead commit dir — d-* dirs live under data/ so one sweep covers both.
+    // STAGED commits' files are reachable too: an audit in flight must not
+    // lose its candidate (dropStaged releases them back to orphan sweep)
+    val stagedLive = stagedIds(tableDir).flatMap(sid =>
+      stagedManifest(tableDir, sid).files.map(_.path)).toSet
     val live = retained.flatMap(s =>
-      s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
+      s.files.map(_.path) ++ s.deletes.map(_.path)).toSet ++ stagedLive
     val expiredRefs = expired.flatMap(s =>
       s.files.map(_.path) ++ s.deletes.map(_.path)).toSet -- live
     // last-moment ref re-read before anything destructive: a tag published
@@ -885,8 +1198,9 @@ object SnapshotTable {
     // once safely older than any in-flight write (staging and publishing
     // happen within milliseconds; orphanMinAgeMs is hours), so a
     // long-lived table doesn't accumulate them unboundedly. All durable
-    // meta/ files (snap-*.json, ref-*.txt, source-*.txt, feat-bound.txt)
-    // are un-dotted, so the dot prefix cleanly separates staging state.
+    // meta/ files (snap-*.json, staged-*.json, ref-*.txt, source-*.txt,
+    // feat-bound.txt) are un-dotted, so the dot prefix cleanly separates
+    // staging state.
     locally {
       import scala.jdk.CollectionConverters._
       val now = System.currentTimeMillis()
