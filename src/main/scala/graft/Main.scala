@@ -21,8 +21,9 @@ import scala.jdk.CollectionConverters._
   *
   *   spark-submit --class graft.Main musifspark.jar \
   *     --admin <tableDir> [--describe] [--delete-keys col=<parquetOfKeys>] \
-  *     [--retract-state <stateDir>] [--compact] [--tag <name>] \
-  *     [--drop-tag <name>] [--expire <keepLast>]
+  *     [--retract-state <stateDir>] [--rollback <snapshotId>] [--compact] \
+  *     [--tag <name>] [--drop-tag <name>] [--drop-staged <stagingId>] \
+  *     [--expire <keepLast>]
   *
   * Reads the image+caption table (any Spark source — parquet in the
   * sandbox, an Iceberg catalog table in production via
@@ -66,10 +67,11 @@ object Main {
     opts.get("admin").foreach { tableDir =>
       require(opts.contains("deleteKeys") || opts.contains("compact") ||
         opts.contains("expire") || opts.contains("tag") ||
-        opts.contains("dropTag") || opts.contains("describe"),
+        opts.contains("dropTag") || opts.contains("describe") ||
+        opts.contains("rollback") || opts.contains("dropStaged"),
         "--admin needs at least one verb: --delete-keys col=<parquet>, " +
-          "--compact, --tag <name>, --drop-tag <name>, --expire <keepLast>, " +
-          "--describe")
+          "--rollback <id>, --compact, --tag <name>, --drop-tag <name>, " +
+          "--drop-staged <id>, --expire <keepLast>, --describe")
       // --describe runs FIRST: inspect before acting (and again last if
       // combined with mutating verbs, so the output shows the result)
       def describe(): Unit = {
@@ -86,11 +88,25 @@ object Main {
             "(compact() consumes them)")
           dels.show(20, truncate = false)
         }
+        val staged = sources.SnapshotTable
+          .metadataTable(spark, tableDir, "staged")
+        if (staged.count() > 0) {
+          println(s"[admin] ${staged.count()} staged commits awaiting " +
+            "audit/publish (publishStaged or --drop-staged)")
+          staged.show(20, truncate = false)
+        }
       }
       if (opts.contains("describe")) describe()
       require(!opts.contains("retractState") || opts.contains("deleteKeys"),
         "--retract-state cascades a takedown and needs --delete-keys to " +
           "name the keys")
+      // --rollback runs FIRST among mutating verbs: recovery from a bad
+      // commit precedes any maintenance computed over the head
+      opts.get("rollback").foreach { id =>
+        val snap = sources.SnapshotTable.rollbackTo(tableDir, id.toLong)
+        println(s"[admin] snapshot ${snap.id}: rolled $tableDir back to " +
+          s"snapshot $id (${snap.totalRows} rows; metadata-only)")
+      }
       opts.get("deleteKeys").foreach { v =>
         val Array(keyCol, src) = v.split("=", 2)
         val keys = spark.read.parquet(src)
@@ -129,6 +145,13 @@ object Main {
         println(s"[admin] ${if (dropped) "dropped" else "no such"} " +
           s"tag '$name' on $tableDir")
       }
+      opts.get("dropStaged").foreach { sid =>
+        val dropped = sources.SnapshotTable.dropStaged(tableDir, sid)
+        println(s"[admin] ${if (dropped) "dropped" else "no such"} " +
+          s"staged commit '$sid' on $tableDir" +
+          (if (dropped) " (its files fall to the next --expire's orphan sweep)"
+           else ""))
+      }
       opts.get("expire").foreach { keep =>
         val (manifests, files) =
           sources.SnapshotTable.expireSnapshots(tableDir, keep.toInt)
@@ -138,7 +161,8 @@ object Main {
       // …and again after mutating verbs, so the output shows the result
       val mutated = opts.contains("deleteKeys") || opts.contains("compact") ||
         opts.contains("expire") || opts.contains("tag") ||
-        opts.contains("dropTag")
+        opts.contains("dropTag") || opts.contains("rollback") ||
+        opts.contains("dropStaged")
       if (opts.contains("describe") && mutated) describe()
       if (!hadSession) spark.stop()
       return
@@ -393,6 +417,17 @@ object Main {
         require(v.nonEmpty && !v.startsWith("--"),
           s"--retract-state expects an IncrementalDedup state dir, got '$v'")
         parseArgs(rest, acc + ("retractState" -> v))
+      case "--rollback" :: v :: rest =>
+        val id = try v.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"--rollback expects a snapshot id, got '$v'")
+        }
+        require(id >= 1, s"--rollback expects a snapshot id >= 1, got $id")
+        parseArgs(rest, acc + ("rollback" -> id.toString))
+      case "--drop-staged" :: v :: rest =>
+        require(v.nonEmpty && !v.startsWith("--"),
+          s"--drop-staged expects a staging id, got '$v'")
+        parseArgs(rest, acc + ("dropStaged" -> v))
       case "--tag" :: v :: rest =>
         require(v.nonEmpty && !v.startsWith("--"),
           s"--tag expects a release name, got '$v'")

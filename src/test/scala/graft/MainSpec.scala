@@ -325,6 +325,31 @@ class MainSpec extends SparkSpec {
     assert(sources.SnapshotTable.currentSnapshotId(table) === headBefore)
   }
 
+  test("--admin --rollback/--drop-staged: recovery and audit-discard from the CLI") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-main-rb").toString
+    val table = s"$tmp/corpus"
+    sources.SnapshotTable.append(spark, table, spark.range(0, 100).toDF("id"))
+    sources.SnapshotTable.append(spark, table,
+      spark.range(100, 300).toDF("id")) // the bad commit
+    Main.main(Array("--admin", table, "--rollback", "1"))
+    assert(sources.SnapshotTable.read(spark, table).count() === 100L)
+    assert(sources.SnapshotTable.snapshot(table,
+      sources.SnapshotTable.currentSnapshotId(table).get).operation === "rollback")
+    val sid = sources.SnapshotTable.stageCommit(spark, table,
+      spark.range(300, 310).toDF("id"))
+    Main.main(Array("--admin", table, "--drop-staged", sid))
+    assert(sources.SnapshotTable.stagedIds(table).isEmpty)
+    assert(sources.SnapshotTable.read(spark, table).count() === 100L)
+    // parse-time validation, before any table is touched
+    intercept[IllegalArgumentException] {
+      Main.main(Array("--admin", table, "--rollback", "not-a-number"))
+    }
+    intercept[IllegalArgumentException] {
+      Main.main(Array("--admin", table, "--rollback", "0"))
+    }
+  }
+
   test("--admin --retract-state: a takedown cascades into the dedup state") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
