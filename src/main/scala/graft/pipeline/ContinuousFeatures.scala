@@ -81,6 +81,71 @@ object ContinuousFeatures {
         }
     }
 
+  /** CLOSED-WINDOW REPAIR — the missing arrow between a corpus takedown
+    * (or upsert) that rewrites HISTORY and a feature table whose closed
+    * windows were computed from the old content. [[cycle]]'s contract
+    * makes closed windows final under append-only time-ordered ingest; a
+    * `deleteKeys`/`upsert` below the emitted boundary breaks that
+    * finality, and this repairs it:
+    *
+    *  1. the corpus [[SnapshotTable.changelog]] over `(fromExclusive,
+    *     toInclusive]` yields every row-level change WITH pre-images —
+    *     so the affected ENTITIES are knowable even though the deleted
+    *     rows are gone from the head;
+    *  2. only changes below the emitted boundary matter (later rows
+    *     belong to windows no cycle has emitted yet — the next cycle
+    *     reads post-takedown state anyway);
+    *  3. the affected entities' feature rows are recomputed from the
+    *     post-change corpus and swapped in ATOMICALLY per entity:
+    *     entities that still have rows go through one
+    *     [[SnapshotTable.upsert]] (all their closed-window rows replaced
+    *     in one commit — readers never see an entity half-repaired);
+    *     entities with NO surviving rows are tombstoned
+    *     ([[SnapshotTable.deleteKeys]] — an upsert can only replace keys
+    *     present in its batch).
+    *
+    * Cost is O(affected entities' history), not O(corpus): the recompute
+    * semi-joins the corpus on the affected entity set (broadcast for the
+    * takedown-sized case). Re-running the same repair is safe — the
+    * upsert replaces rows with identical recomputed values and the
+    * tombstones are no-ops — so a crash between the two commits heals on
+    * re-run. One repair per takedown commit window, invoked from the same
+    * maintenance loop that owns the feature table (the single-consumer
+    * convention). Returns the number of affected entities (0 = nothing
+    * below the boundary changed). */
+  def repairClosedWindows(spark: SparkSession, corpusDir: String,
+                          labels: DataFrame, featureDir: String,
+                          fromExclusive: Long, toInclusive: Long,
+                          tsCol: String = "ts"): Long = {
+    require(fromExclusive >= 1,
+      "repair needs a concrete pre-change snapshot (fromExclusive >= 1); " +
+        "a table whose whole history changed should be re-derived, not repaired")
+    val bound = emittedBound(featureDir).getOrElse(return 0L)
+    val cl = SnapshotTable.changelog(spark, corpusDir, fromExclusive, toInclusive)
+    val affected = cl.where(unix_timestamp(col(tsCol)) < bound)
+      .select(col("phash")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = affected.count()
+      if (n == 0) return 0L
+      val corpus = SnapshotTable.read(spark, corpusDir, Some(toInclusive))
+        .where(unix_timestamp(col(tsCol)) < bound)
+        .join(affected, Seq("phash"), "left_semi")
+      val recomputed = FeaturePipeline.features(corpus, labels)
+        .where(unix_timestamp(col("window_start")) < bound)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val vanished = affected.select(col("phash").as("entity"))
+          .join(recomputed.select("entity"), Seq("entity"), "left_anti")
+        if (!vanished.isEmpty)
+          SnapshotTable.deleteKeys(spark, featureDir, "entity", vanished)
+        if (!recomputed.isEmpty)
+          SnapshotTable.upsert(spark, featureDir, "entity", recomputed)
+      } finally recomputed.unpersist(blocking = false)
+      n
+    } finally affected.unpersist(blocking = false)
+  }
+
   /** The upper boundary (exclusive) of everything this feature table has
     * already emitted: max of the newest `feat:b<bound>` commit tag (the
     * durable word — written atomically WITH the rows; newest-first

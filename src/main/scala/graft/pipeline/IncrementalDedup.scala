@@ -67,7 +67,19 @@ object IncrementalDedup {
     * `signature` maps the raw batch to exactly `(cfg.idCol, cfg.hashCol)`
     * rows — e.g. `_.select($"img", ahash64($"bytes").as("ah"))`; keeping
     * it a caller-supplied projection means the state layer is hash-family
-    * agnostic (aHash, MinHash band folds, SimHash — anything 64-bit). */
+    * agnostic (aHash, MinHash band folds, SimHash — anything 64-bit).
+    *
+    * Corpus takedowns and upserts CASCADE AUTOMATICALLY: when the window
+    * crosses a `delete` or `upsert` commit whose tombstone key column is
+    * `cfg.idCol`, those keys are [[retract]]ed from the state BEFORE the
+    * batch is processed — so a takedown needs no separate
+    * `--retract-state` pass, and an upsert's re-signed rows (delivered by
+    * the same window) land younger than the retraction and replace the
+    * OLD content's signature instead of accumulating beside it (without
+    * this, an updated row would keep its stale signature and ghost-edge
+    * its former near-dups forever). Tombstones on a DIFFERENT key column
+    * cannot be mapped to state ids and are skipped — cascade those with
+    * an explicit [[retract]] (the `--retract-state` CLI path). */
   def processNew(spark: SparkSession, corpusDir: String, stateDir: String,
                  cursorPath: String, cfg: Config)
                 (signature: DataFrame => DataFrame): Option[(Long, Long)] = {
@@ -82,10 +94,34 @@ object IncrementalDedup {
       .foreach(Incremental.writeCursor(cursorPath, _))
     Incremental.processNewWithRange(spark, corpusDir, cursorPath) {
       (fresh, from, to) =>
+        // from == 0 is the bootstrap full read: tombstoned rows are
+        // already absent and the state is this consumer's empty start
+        val rk = if (from == 0L) None
+                 else windowRetractionKeys(spark, corpusDir, cfg.idCol, from, to)
         processBatch(spark, stateDir,
           signature(fresh).select(col(cfg.idCol), col(cfg.hashCol)),
-          from, to, cfg)
+          from, to, cfg, rk)
     }
+  }
+
+  /** The ids a window's corpus commits tombstoned on `idCol` — the keys
+    * whose derived state must die with them ([[processNew]]'s automatic
+    * cascade). `delete` and `upsert` commits contribute their own
+    * tombstones (`addedAt == commit id`); tombstones on other key columns
+    * are skipped (no mapping to state ids exists — see [[processNew]]). */
+  private[graft] def windowRetractionKeys(spark: SparkSession, corpusDir: String,
+                                          idCol: String, fromExclusive: Long,
+                                          toInclusive: Long): Option[DataFrame] = {
+    val dels = (fromExclusive + 1 to toInclusive).flatMap { id =>
+      val s = SnapshotTable.snapshot(corpusDir, id)
+      if (s.operation == "delete" || s.operation == "upsert")
+        s.deletes.filter(d => d.addedAt == s.id && d.keyCol == idCol)
+      else Nil
+    }
+    if (dels.isEmpty) None
+    else Some(spark.read.parquet(dels.map(d =>
+        java.nio.file.Paths.get(corpusDir, d.path).toString): _*)
+      .select(col(idCol)).distinct())
   }
 
   private def uptoFile(stateDir: String) =
@@ -111,7 +147,8 @@ object IncrementalDedup {
     * everything-committed-but-no-cursor) are directly unit-testable. */
   private[graft] def processBatch(spark: SparkSession, stateDir: String,
                                   freshSigs: DataFrame, from: Long, to: Long,
-                                  cfg: Config): Unit = {
+                                  cfg: Config,
+                                  retractKeys: Option[DataFrame] = None): Unit = {
     val sigT = signaturesDir(stateDir)
     val edgeT = edgesDir(stateDir)
     val sigTag = s"dedup-sig:$from-$to"
@@ -130,6 +167,19 @@ object IncrementalDedup {
     val edgeDone = newestEdge.exists(_.tag.contains(edgeTag)) ||
       newestEdge.exists(winEnd(_, "dedup-edges:") >= to)
     if (sigCovered && edgeDone) return // full replay: nothing to do
+    // the window's corpus retractions cascade FIRST: the batch must band
+    // against the post-takedown state, and the window's re-signed rows
+    // commit YOUNGER than these tombstones (so an upserted id's new
+    // signature replaces the old instead of dying with it). Gated on
+    // !edgeDone: once this window's edges landed, its retract necessarily
+    // ran in the attempt that committed them — re-applying on a replay
+    // would stamp tombstones YOUNGER than the committed re-signed rows
+    // and erase them. The moved-head wider-window replay stays safe: its
+    // re-applied tombstones kill the crashed attempt's retracted-id edges,
+    // and the edgesAheadOfSigs anti-join below re-commits exactly those
+    // pairs younger than the tombstone (verified in IncrementalDedupSpec).
+    if (!edgeDone)
+      retractKeys.foreach(keys => retract(spark, stateDir, cfg.idCol, keys))
     // state BEFORE this batch: on a partial replay whose signature append
     // already landed, time-travel to that commit's parent — otherwise the
     // batch would meet its own earlier append in the state side (harmless

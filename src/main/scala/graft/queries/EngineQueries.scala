@@ -342,6 +342,36 @@ object EngineQueries {
           r2(sum(col("l_extendedprice"))).as("sum_price"))
     }),
 
+    // Z-ORDER clustered rewrite (SnapshotTable.compactZOrdered — the
+    // Iceberg/Delta ZORDER BY analog): the events corpus arrives
+    // hash-scrambled across three commits (every file spans both
+    // dimensions entirely — manifest pruning useless), then ONE scheduled
+    // rewrite re-clusters it along the (user, time) Morton curve. The
+    // entity x time box query must (a) actually SKIP files — asserted
+    // against the manifest before reading — and (b) return exactly the
+    // rows DuckDB computes from the base table (q118's predicate
+    // arithmetic, bounds from manifest stats alone).
+    "q129_zorder_box" -> ((s, dir) => {
+      val table = snapZOrderTable(s, dir)
+      val head = graft.sources.SnapshotTable.snapshot(table,
+        graft.sources.SnapshotTable.currentSnapshotId(table).get)
+      require(head.operation == "replace", "head must be the Z-order rewrite")
+      val umax = head.files.flatMap(_.stats.collect {
+        case ("user_id", _, mx) => mx }).max
+      val tmin = head.files.flatMap(_.stats.collect {
+        case ("ts_sec", mn, _) => mn }).min
+      val k = umax / 4 + 1
+      val ranges = Seq(("user_id", k, k + k / 2),
+        ("ts_sec", tmin + 3600L, tmin + 259200L))
+      require(graft.sources.SnapshotTable.prunedFiles(head, ranges).size
+        < head.files.size,
+        "the Z-order rewrite must make the box query skip files")
+      graft.sources.SnapshotTable.readRangeMulti(s, table, ranges)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"), r6(avg(col("value"))).as("avg_value"))
+    }),
+
     // Multimodal payload fidelity with a DRIVER-VISIBLE oracle: the synth
     // image table (bytes included) is materialized to parquet and DuckDB
     // re-parses the SAME stored blobs via hex slicing — container magic,
@@ -760,6 +790,26 @@ object EngineQueries {
       }
       graft.pipeline.IncrementalDedup.currentLabels(s, s"$root/state",
         IncrementalDedupCfg)
+    }),
+
+    // CONTENT UPDATE through the dedup state — the seam q119/q122/q123
+    // leave open: a corpus UPSERT (atomic MERGE) rewrites 50 originals'
+    // payloads to their successor's bytes, and the next processNew cycle
+    // must cascade automatically (windowRetractionKeys: the upsert's own
+    // tombstone kills the OLD content's signature and edges; the window
+    // delivers the new rows, which re-sign and re-band). The oracle
+    // recomputes the closure over the SUBSTITUTED content — so a stale
+    // signature that kept its old edges, a lost re-sign, or a cascade
+    // that erased the new rows all hash-mismatch. Each updated image must
+    // land in its successor's cluster (they are now byte-identical).
+    "q130_upsert_dedup" -> ((s, dir) => {
+      val root = dedupStateRoot("q130", dir)
+      Q.cachedBuild(root, "__state_complete") {
+        (0 to 2).foreach(g => ingestDedupBatch(s, root, g))
+        upsertShiftContent(s, root)
+      }
+      graft.pipeline.IncrementalDedup.currentLabels(s, s"$root/state",
+        IncrementalDedupCfg)
     }))
 
   /** Deterministic per-(query, sf-dir) state root for the q119 family. */
@@ -777,6 +827,26 @@ object EngineQueries {
     graft.pipeline.IncrementalDedup.processNew(s, s"$root/corpus",
       s"$root/state", s"$root/cursor.txt", IncrementalDedupCfg) { batch =>
       batch.select(col("img"), ImageFunctions.ahash64(col("bytes")).as("ah"))
+    }
+  }
+
+  /** q130's content update: every original with img % 40 == 1 (never a
+    * partner-carrying %25 == 0 id — no solution mod 25 exists — and
+    * capped below 1999 so the successor always exists) is UPSERTED with
+    * its successor's bytes, then ONE more dedup cycle runs. The cascade
+    * inside processNew must retract the old content's state by itself. */
+  private def upsertShiftContent(s: org.apache.spark.sql.SparkSession,
+                                 root: String): Unit = {
+    val base = ahashCorpusBytes(s)
+    val batch = base
+      .where(pmod(col("img"), lit(40)) === 1 && col("img") < 1999)
+      .select(col("img"), (col("img") + 1).as("src_img"))
+      .join(base.select(col("img").as("src_img"), col("bytes")), Seq("src_img"))
+      .select(col("img"), col("bytes"))
+    graft.sources.SnapshotTable.upsert(s, s"$root/corpus", "img", batch)
+    graft.pipeline.IncrementalDedup.processNew(s, s"$root/corpus",
+      s"$root/state", s"$root/cursor.txt", IncrementalDedupCfg) { b =>
+      b.select(col("img"), ImageFunctions.ahash64(col("bytes")).as("ah"))
     }
   }
 
@@ -845,11 +915,14 @@ object EngineQueries {
     * — one SQL string so the two claims can never drift apart. */
   private val ImageDedupClosureSql: String = imageDedupClosureSql("true")
 
-  /** The closure SQL with a survivor predicate over `img`: q122 retracts
+  /** The closure SQL with a survivor predicate over `img` (q122 retracts
     * part of the corpus and the oracle recomputes the closure over ONLY
     * the alive rows — connectivity THROUGH a retracted node must vanish
-    * with it, exactly what the edge-endpoint tombstones implement. */
-  private def imageDedupClosureSql(alivePred: String): String =
+    * with it, exactly what the edge-endpoint tombstones implement) and an
+    * optional base REWRITE (q130 upserts new payloads: the oracle hashes
+    * the substituted content, `base1` being the pre-rewrite rows). */
+  private def imageDedupClosureSql(alivePred: String,
+                                   baseSubst: Option[String] = None): String =
     s"""WITH RECURSIVE im AS (
       | SELECT substr(image_id, 4)::BIGINT AS img, w, h, hex(bytes) AS hx
       | FROM read_parquet('__SYNTH_DIR__/images/*.parquet')
@@ -859,7 +932,8 @@ object EngineQueries {
       | UNION ALL
       | SELECT img + 1000000 AS img, w, h, hx, true AS dup
       | FROM im WHERE img % 25 = 0),
-      |base AS (SELECT * FROM base0 WHERE $alivePred),
+      |base1 AS (SELECT * FROM base0 WHERE $alivePred),
+      |base AS (${baseSubst.getOrElse("SELECT * FROM base1")}),
       |s AS (
       | SELECT img,
       |  [CASE WHEN dup AND i = 0 THEN 255
@@ -1326,6 +1400,17 @@ object EngineQueries {
     // identical to q95's (batch-incremental == full-corpus is the claim)
     "q119_incremental_dedup" -> ImageDedupClosureSql,
     "q122_retracted_dedup" -> imageDedupClosureSql("img >= 200"),
+
+    // the upserted images hash their SUCCESSOR's content (w/h substituted
+    // with the bytes — pixel indexing must use the source image's dims);
+    // the constants mirror upsertShiftContent exactly
+    "q130_upsert_dedup" -> imageDedupClosureSql("true", Some(
+      """SELECT b.img,
+        | CASE WHEN b.img % 40 = 1 AND b.img < 1999 THEN s2.w ELSE b.w END AS w,
+        | CASE WHEN b.img % 40 = 1 AND b.img < 1999 THEN s2.h ELSE b.h END AS h,
+        | CASE WHEN b.img % 40 = 1 AND b.img < 1999 THEN s2.hx ELSE b.hx END AS hx,
+        | b.dup
+        |FROM base1 b LEFT JOIN base1 s2 ON s2.img = b.img + 1""".stripMargin)),
     // mid-stream takedown: only the pre-takedown batches' img<200 rows die;
     // batch img%3==2 arrives after the tombstone and survives (sequence
     // semantics), as does every +1000000 partner (img >= 1000000)
@@ -1578,6 +1663,21 @@ object EngineQueries {
          |FROM ev, b WHERE ts_sec BETWEEN t0 + 3600 AND t0 + 7200
          |GROUP BY 1""".stripMargin,
 
+    // identical window arithmetic to q118 — the Z-order rewrite changes
+    // FILES (and how many of them the box touches), never rows
+    "q129_zorder_box" ->
+      s"""WITH ev AS (
+         | SELECT event_id, user_id, event_type, value,
+         |  ${Q.sqlEpoch("ts")} AS ts_sec FROM events),
+         |b AS (SELECT min(ts_sec) AS t0, max(user_id) // 4 + 1 AS k FROM ev)
+         |SELECT event_type, count(*)::BIGINT AS n,
+         | min(event_id) AS min_id, max(event_id) AS max_id,
+         | round(avg(value) + 3.7e-10, 6) AS avg_value
+         |FROM ev, b
+         |WHERE user_id BETWEEN k AND k + k // 2
+         | AND ts_sec BETWEEN t0 + 3600 AND t0 + 259200
+         |GROUP BY 1""".stripMargin,
+
     // the user split constant k and the time origin replayed from the base
     // table — identical arithmetic to the manifest-derived Spark bounds
     "q118_snapshot_range_multi" ->
@@ -1717,6 +1817,28 @@ object EngineQueries {
       graft.sources.SnapshotTable.append(s, tmp,
         li.where(pmod(col("l_orderkey"), lit(3)) === 0))
       graft.sources.SnapshotTable.rollbackTo(tmp, 1L)
+    }
+  }
+
+  /** q129's Z-order table, cached per sf dir like [[snapTable]]: the
+    * events corpus committed hash-scrambled (three commits, round-robin
+    * files — every file spans the full user AND time range, so manifest
+    * pruning starts useless), then re-clustered by ONE
+    * `compactZOrdered(user_id, ts_sec)` rewrite. */
+  private def snapZOrderTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_snapzo_" +
+      graft.sources.TableSource.pathKey(dir)
+    Q.cachedBuild(tmp) {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_timestamp(col("ts")).as("ts_sec"))
+      (0L until 3L).foreach { g =>
+        graft.sources.SnapshotTable.commit(s, tmp,
+          ev.where(pmod(xxhash64(col("event_id")), lit(3)) === g).repartition(4),
+          statsCols = Seq("user_id", "ts_sec"))
+      }
+      graft.sources.SnapshotTable.compactZOrdered(s, tmp,
+        "user_id", "ts_sec", targetFiles = 16)
     }
   }
 

@@ -330,22 +330,36 @@ object SnapshotTable {
     val headId = currentSnapshotId(tableDir).getOrElse(
       sys.error(s"$tableDir has no snapshots to delete from"))
     val head = snapshot(tableDir, headId)
+    requireKeyInHeadSchema(tableDir, head, keyCol, "delete")
+    val dels = writeTombstoneDir(spark, tableDir, keyCol, keys)
+    publishLoop(tableDir, "delete", Nil, tag, None, None, dels)
+  }
+
+  /** The tombstoned key column must exist in the HEAD schema — a key
+    * absent from older files reads as null there, and nulls never match
+    * an equi-anti-join, so the operation would silently delete nothing. */
+  private def requireKeyInHeadSchema(tableDir: String, head: Snapshot,
+                                     keyCol: String, op: String): Unit =
     head.schemaJson.foreach { json =>
-      val schema = org.apache.spark.sql.types.DataType.fromJson(json)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val schema = structFromJson(json)
       require(schema.fieldNames.contains(keyCol),
-        s"delete key column '$keyCol' is not a column of $tableDir " +
+        s"$op key column '$keyCol' is not a column of $tableDir " +
           s"(schema: ${schema.fieldNames.mkString(", ")})")
     }
+
+  /** Write `keys`' distinct `keyCol` values as an immutable tombstone
+    * parquet dir and return its [[DeleteFile]]s (shared by [[deleteKeys]]
+    * and [[upsert]] so the two can never diverge). */
+  private def writeTombstoneDir(spark: SparkSession, tableDir: String,
+                                keyCol: String, keys: DataFrame): Seq[DeleteFile] = {
     Files.createDirectories(metaDir(tableDir))
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val rel = s"data/d-$commitId"
     val dataPath = Paths.get(tableDir, rel)
     keys.select(keyCol).distinct().write.parquet(dataPath.toString)
-    val dels = listParquet(spark, dataPath, Nil).map {
+    listParquet(spark, dataPath, Nil).map {
       case (name, rows, bytes, _) => DeleteFile(s"$rel/$name", keyCol, rows, bytes, 0L)
     }
-    publishLoop(tableDir, "delete", Nil, tag, None, None, dels)
   }
 
   /** Atomic UPSERT — the Iceberg `MERGE INTO ... WHEN MATCHED THEN UPDATE
@@ -384,18 +398,24 @@ object SnapshotTable {
     require(df.schema.fieldNames.contains(keyCol),
       s"upsert key column '$keyCol' is not a column of the batch " +
         s"(columns: ${df.schema.fieldNames.mkString(", ")})")
+    // ...and of the HEAD schema: older files would read an absent key as
+    // null, the tombstone anti-join would match nothing, and every old
+    // version would silently survive beside the batch
+    requireKeyInHeadSchema(tableDir, head, keyCol, "upsert")
     val newFiles = head.bucketSpec match {
       case Some(spec) => writeBucketedCommitDir(spark, tableDir, df, spec, statsCols)
       case None => writeCommitDir(spark, tableDir, df, statsCols)
     }
-    val commitId = java.util.UUID.randomUUID().toString.take(12)
-    val rel = s"data/d-$commitId"
-    val dataPath = Paths.get(tableDir, rel)
-    readFiles(spark, tableDir, newFiles, Some(df.schema.json))
-      .select(keyCol).distinct().write.parquet(dataPath.toString)
-    val dels = listParquet(spark, dataPath, Nil).map {
-      case (name, rows, bytes, _) => DeleteFile(s"$rel/$name", keyCol, rows, bytes, 0L)
-    }
+    // an empty batch merges nothing: an idle zero-file commit (commit()'s
+    // idle-micro-batch convention), not a crash in the tombstone read
+    if (newFiles.isEmpty)
+      return publishLoop(tableDir, "upsert", Nil, tag, Some(df.schema.json),
+        head.bucketSpec, Nil)
+    // tombstone the batch's keys, read back from the WRITTEN files — a
+    // non-deterministic input could otherwise divorce the delete set from
+    // the inserted rows
+    val dels = writeTombstoneDir(spark, tableDir, keyCol,
+      readFiles(spark, tableDir, newFiles, Some(df.schema.json)))
     publishLoop(tableDir, "upsert", newFiles, tag, Some(df.schema.json),
       head.bucketSpec, dels)
   }
@@ -446,6 +466,81 @@ object SnapshotTable {
         publishLoop(tableDir, "replace", newFiles, tag, Some(df.schema.json),
           None, Nil, Some(fromId))
     }
+  }
+
+  /** [[compact]] with an explicit SORT ORDER — Iceberg's
+    * `rewrite_data_files` with a sort_order: the rewrite range-partitions
+    * on `sortCols` and sorts within each file, so every output file
+    * covers a narrow contiguous slice of the leading column and the
+    * manifest min/max stats (recorded for `sortCols` plus whatever the
+    * source files carried) become TIGHT — [[readRange]] file skipping
+    * recovers after an out-of-order/fragmented ingest scattered each
+    * commit's values across the whole range. Refused on a bucketed head:
+    * that layout IS the table's clustering ([[compact]] preserves it);
+    * changing it is an explicit `commitBucketed` overwrite. Same
+    * `replace` semantics and moved-head refusal as [[compactFrom]]. */
+  def compactSorted(spark: SparkSession, tableDir: String,
+                    sortCols: Seq[String], targetFiles: Int,
+                    tag: Option[String] = None): Snapshot = {
+    require(sortCols.nonEmpty, "compactSorted needs at least one sort column")
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val fromId = currentSnapshotId(tableDir).getOrElse(
+      sys.error(s"$tableDir has no snapshots"))
+    val snap = snapshot(tableDir, fromId)
+    require(snap.bucketSpec.isEmpty,
+      s"$tableDir carries a bucket layout — that layout IS its clustering " +
+        "(compact() preserves it); change it with a commitBucketed overwrite")
+    val df = read(spark, tableDir, Some(fromId))
+    import org.apache.spark.sql.functions.col
+    val out = df.repartitionByRange(targetFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    val st = (snap.files.flatMap(_.stats.map(_._1)) ++ sortCols).distinct
+    val newFiles = writeCommitDir(spark, tableDir, out, st)
+    publishLoop(tableDir, "replace", newFiles, tag, Some(df.schema.json),
+      None, Nil, Some(fromId))
+  }
+
+  /** [[compactSorted]]'s two-dimensional sibling — the Iceberg/Delta
+    * `ZORDER BY` analog: rows are rewritten in Morton (Z-curve) order of
+    * the two columns ([[graft.functions.ZOrder]] — pure codegen'd bit
+    * arithmetic, corpus bounds from ONE single-row aggregate), so every
+    * output file has a tight bounding box in BOTH dimensions at once and
+    * [[readRangeMulti]] prunes on either column or their intersection —
+    * where a lexicographic sort serves only its leading column. The
+    * 100 TB use: an events corpus queried both entity-selectively and
+    * time-selectively keeps constant-files-touched on BOTH access paths
+    * after one scheduled rewrite. Columns must cast to long (ints,
+    * longs, timestamps); only their ORDER matters, so any monotone unit
+    * works. */
+  def compactZOrdered(spark: SparkSession, tableDir: String,
+                      colA: String, colB: String, targetFiles: Int,
+                      tag: Option[String] = None): Snapshot = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val fromId = currentSnapshotId(tableDir).getOrElse(
+      sys.error(s"$tableDir has no snapshots"))
+    val snap = snapshot(tableDir, fromId)
+    require(snap.bucketSpec.isEmpty,
+      s"$tableDir carries a bucket layout — that layout IS its clustering " +
+        "(compact() preserves it); change it with a commitBucketed overwrite")
+    val df = read(spark, tableDir, Some(fromId))
+    import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+    val a = col(colA).cast("long"); val b = col(colB).cast("long")
+    // single-row bounded collect: the corpus bounds that normalize the
+    // two dimensions into the Morton domain
+    val bounds = df.agg(fmin(a), fmax(a), fmin(b), fmax(b)).collect()(0)
+    if (bounds.isNullAt(0)) // empty table: nothing to cluster
+      return compactFrom(spark, tableDir, fromId, targetFiles, tag)
+    val z = graft.functions.ZOrder.mortonNormalized(
+      a, bounds.getLong(0), bounds.getLong(1),
+      b, bounds.getLong(2), bounds.getLong(3))
+    val out = df.withColumn("__zorder", z)
+      .repartitionByRange(targetFiles, col("__zorder"))
+      .sortWithinPartitions(col("__zorder"))
+      .drop("__zorder")
+    val st = (snap.files.flatMap(_.stats.map(_._1)) ++ Seq(colA, colB)).distinct
+    val newFiles = writeCommitDir(spark, tableDir, out, st)
+    publishLoop(tableDir, "replace", newFiles, tag, Some(df.schema.json),
+      None, Nil, Some(fromId))
   }
 
   /** Optimistic publish loop shared by [[commit]], [[commitBucketed]],
@@ -712,19 +807,41 @@ object SnapshotTable {
     * window takedown). Only an `overwrite` or `rollback` boundary is
     * refused — new CONTENT cannot be represented as a file-add diff
     * (Iceberg's incremental scan has the same restriction). */
-  def changes(spark: SparkSession, tableDir: String,
-              fromExclusive: Long, toInclusive: Long): DataFrame = {
+  /** Load an incremental window's snapshot chain (`fromExclusive` ..
+    * `toInclusive`) and refuse `overwrite`/`rollback` boundaries — new
+    * CONTENT cannot be represented as a file-level diff, so both
+    * [[changes]] and [[changelog]] share this validation (Iceberg's
+    * incremental scan has the same restriction). */
+  private def incrementalChain(tableDir: String, fromExclusive: Long,
+                               toInclusive: Long): Seq[Snapshot] = {
     require(fromExclusive < toInclusive,
       s"empty snapshot range: ($fromExclusive, $toInclusive]")
     val chain = (fromExclusive to toInclusive)
       .map(id => snapshot(tableDir, id))
-    val window = chain.tail
-    window.foreach { s =>
+    chain.tail.foreach { s =>
       require(s.operation != "overwrite" && s.operation != "rollback",
         s"snapshot ${s.id} is a ${s.operation} — new CONTENT invalidates " +
           "incremental history (Iceberg's incremental scan has the same " +
           "restriction); reset the consumer's cursor and re-read")
     }
+    chain
+  }
+
+  /** One commit's added data files: the path diff against its parent —
+    * exact for legacy manifests (addedAt = 0) and across `replace`
+    * rewrites, whose files are existing data in new clothing. Non-empty
+    * only for `append` and `upsert` commits. */
+  private def addedFiles(prev: Snapshot, cur: Snapshot): Seq[DataFile] =
+    if (cur.operation != "append" && cur.operation != "upsert") Nil
+    else {
+      val before = prev.files.map(_.path).toSet
+      cur.files.filterNot(f => before(f.path))
+    }
+
+  def changes(spark: SparkSession, tableDir: String,
+              fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val chain = incrementalChain(tableDir, fromExclusive, toInclusive)
+    val window = chain.tail
     // per-commit formulation (Iceberg's incremental append scan): each
     // APPEND commit's added files — the path diff against its parent's
     // file list, which stays exact for legacy manifests whose files parse
@@ -736,12 +853,10 @@ object SnapshotTable {
     // replace's files are EXISTING data in new clothing and are skipped
     // entirely, which is what lets scheduled compaction run without
     // wedging cursor consumers
+    // upserts add files the same way appends do — their replaced-row
+    // semantics ride in the tombstone collected below
     val added = chain.sliding(2).flatMap {
-      // upserts add files the same way — their replaced-row semantics ride
-      // in the tombstone collected below
-      case Seq(prev, cur) if cur.operation == "append" || cur.operation == "upsert" =>
-        val before = prev.files.map(_.path).toSet
-        cur.files.filterNot(f => before(f.path))
+      case Seq(prev, cur) => addedFiles(prev, cur)
       case _ => Nil
     }.toSeq
     val to = window.last
@@ -789,28 +904,16 @@ object SnapshotTable {
     * allowMissingColumns). */
   def changelog(spark: SparkSession, tableDir: String,
                 fromExclusive: Long, toInclusive: Long): DataFrame = {
-    require(fromExclusive < toInclusive,
-      s"empty snapshot range: ($fromExclusive, $toInclusive]")
-    val chain = (fromExclusive to toInclusive)
-      .map(id => snapshot(tableDir, id))
-    chain.tail.foreach { s =>
-      require(s.operation != "overwrite" && s.operation != "rollback",
-        s"snapshot ${s.id} is a ${s.operation} — new CONTENT has no " +
-          "row-level change representation; reset the consumer and re-read")
-    }
+    val chain = incrementalChain(tableDir, fromExclusive, toInclusive)
     import org.apache.spark.sql.functions.lit
     def stamp(df: DataFrame, kind: String, id: Long): DataFrame =
       df.withColumn("_change_type", lit(kind))
         .withColumn("_commit_id", lit(id))
     val pieces = chain.sliding(2).flatMap { case Seq(prev, cur) =>
-      val inserts: Seq[DataFrame] = cur.operation match {
-        case "append" | "upsert" =>
-          val before = prev.files.map(_.path).toSet
-          val added = cur.files.filterNot(f => before(f.path))
-          if (added.isEmpty) Nil
-          else Seq(stamp(readFiles(spark, tableDir, added, cur.schemaJson),
-            "insert", cur.id))
-        case _ => Nil
+      val inserts: Seq[DataFrame] = addedFiles(prev, cur) match {
+        case Nil => Nil
+        case added => Seq(stamp(
+          readFiles(spark, tableDir, added, cur.schemaJson), "insert", cur.id))
       }
       val deletes: Seq[DataFrame] = cur.operation match {
         case "delete" | "upsert" =>
@@ -1049,10 +1152,23 @@ object SnapshotTable {
       case Some(done) => Files.deleteIfExists(p); done
       case None =>
         val st = stagedManifest(tableDir, stagingId)
-        val snap = publishLoop(tableDir, st.operation, st.files,
-          Some(wapTag), st.schemaJson, st.bucketSpec)
-        Files.deleteIfExists(p)
-        snap
+        // second replay guard, GC-proof: the wap-tagged snapshot may have
+        // been EXPIRED by retention between the crash and this replay (a
+        // commit tag is not a ref — it doesn't pin against GC). The staged
+        // data paths are unique (uuid commit dirs), so any retained
+        // manifest referencing one proves the publish happened — without
+        // this, the replay would re-append the same files and the head
+        // manifest would list every staged row twice.
+        val stagedPaths = st.files.map(_.path).toSet
+        snapshots(tableDir).reverseIterator
+          .find(_.files.exists(f => stagedPaths(f.path))) match {
+          case Some(landed) => Files.deleteIfExists(p); landed
+          case None =>
+            val snap = publishLoop(tableDir, st.operation, st.files,
+              Some(wapTag), st.schemaJson, st.bucketSpec)
+            Files.deleteIfExists(p)
+            snap
+        }
     }
   }
 
@@ -1128,11 +1244,16 @@ object SnapshotTable {
       case "refs" =>
         tags(tableDir).toSeq.sorted.toDF("name", "snapshot_id")
       case "staged" =>
-        stagedIds(tableDir).map { sid =>
-          val st = stagedManifest(tableDir, sid)
-          (sid, st.operation, st.parentId,
-            new java.sql.Timestamp(st.committedAtMs),
-            st.files.map(_.rows).sum, st.files.size.toLong)
+        // tolerate the list-then-read race: a staged commit published or
+        // dropped between stagedIds() and the manifest read simply
+        // vanishes from the listing instead of failing the whole describe
+        stagedIds(tableDir).flatMap { sid =>
+          try {
+            val st = stagedManifest(tableDir, sid)
+            Some((sid, st.operation, st.parentId,
+              new java.sql.Timestamp(st.committedAtMs),
+              st.files.map(_.rows).sum, st.files.size.toLong))
+          } catch { case _: IllegalArgumentException => None }
         }.toDF("staging_id", "operation", "staged_on_snapshot", "staged_at",
           "total_rows", "n_files")
       case other => sys.error(
@@ -1178,9 +1299,14 @@ object SnapshotTable {
     // expired-only tombstone dir (post-compaction) is swept like any
     // dead commit dir — d-* dirs live under data/ so one sweep covers both.
     // STAGED commits' files are reachable too: an audit in flight must not
-    // lose its candidate (dropStaged releases them back to orphan sweep)
-    val stagedLive = stagedIds(tableDir).flatMap(sid =>
-      stagedManifest(tableDir, sid).files.map(_.path)).toSet
+    // lose its candidate (dropStaged releases them back to orphan sweep).
+    // A staged manifest vanishing mid-listing (concurrent publish/drop) is
+    // skipped: published files are in a retained manifest, dropped ones
+    // fall to the age-gated orphan sweep.
+    val stagedLive = stagedIds(tableDir).flatMap { sid =>
+      try stagedManifest(tableDir, sid).files.map(_.path)
+      catch { case _: IllegalArgumentException => Nil }
+    }.toSet
     val live = retained.flatMap(s =>
       s.files.map(_.path) ++ s.deletes.map(_.path)).toSet ++ stagedLive
     val expiredRefs = expired.flatMap(s =>

@@ -234,4 +234,69 @@ class ContinuousPipelineSpec extends SparkSpec {
       SnapshotTable.currentSnapshotId(corpus).get, "ts", 600L, 0L)
     assertSameRows(all, reference(bound))
   }
+
+  test("closed-window repair: historical takedown and upsert re-derive affected entities") {
+    val corpus = Files.createTempDirectory("graft-cont6-corpus").toString
+    val feats = Files.createTempDirectory("graft-cont6-feats").toString
+    val cursor = s"$feats.cursor"
+    val rows = orderedRows
+    def slice(a: Int, b: Int) = rows.slice(a, b).toDF("image_id", "bytes",
+      "w", "h", "fmt", "caption", "phash", "ts")
+    assert(SnapshotIngest.commitOnce(slice(0, 250), corpus, "cam", 0L, Seq("ts")))
+    assert(SnapshotIngest.commitOnce(slice(250, 400), corpus, "cam", 1L, Seq("ts")))
+    assert(ContinuousFeatures.cycle(spark, corpus, labels, feats, cursor)
+      === Some((0L, 2L)))
+    val boundSec = ContinuousFeatures.boundarySec(spark, corpus, 2L, "ts", 600L, 0L)
+
+    // the takedown rewrites HISTORY below the emitted boundary: one entity
+    // loses every row (the vanished path), another loses a deterministic
+    // half of its below-bound rows (the replaced path)
+    val below = allImages.where(unix_timestamp(col("ts")) < boundSec)
+    val ents = below.select("phash").distinct().orderBy("phash")
+      .collect().map(_.getLong(0))
+    val (eGone, ePart) = (ents(0), ents(1))
+    val takedown = allImages.where(col("phash") === eGone)
+      .select("image_id")
+      .unionByName(below.where(col("phash") === ePart &&
+        pmod(xxhash64(col("image_id")), lit(2)) === 0).select("image_id"))
+    val del = SnapshotTable.deleteKeys(spark, corpus, "image_id", takedown)
+    val n = ContinuousFeatures.repairClosedWindows(spark, corpus, labels,
+      feats, del.id - 1, del.id)
+    assert(n === 2, s"exactly the two touched entities repair, got $n")
+    val modified = allImages.join(takedown, Seq("image_id"), "left_anti")
+    def expected(imgs: DataFrame) =
+      FeaturePipeline.features(imgs, labels)
+        .where(unix_timestamp(col("window_start")) < boundSec)
+    assertSameRows(SnapshotTable.read(spark, feats), expected(modified))
+
+    // re-running the same repair is a no-op in effect (crash-heal path)
+    assert(ContinuousFeatures.repairClosedWindows(spark, corpus, labels,
+      feats, del.id - 1, del.id) === 2)
+    assertSameRows(SnapshotTable.read(spark, feats), expected(modified))
+
+    // a content UPSERT below the boundary: a third entity's below-bound
+    // rows get its own first row's bytes — brightness aggregates change,
+    // and the repair must converge to the substituted corpus
+    val e3 = ents(2)
+    val newBytes = modified.where(col("phash") === e3)
+      .orderBy("image_id").select("bytes").head().getAs[Array[Byte]](0)
+    val batch = modified.where(col("phash") === e3 &&
+        unix_timestamp(col("ts")) < boundSec)
+      .withColumn("bytes", lit(newBytes))
+    val up = SnapshotTable.upsert(spark, corpus, "image_id", batch)
+    assert(ContinuousFeatures.repairClosedWindows(spark, corpus, labels,
+      feats, up.id - 1, up.id) === 1)
+    val modified2 = modified.join(batch.select("image_id"),
+        Seq("image_id"), "left_anti")
+      .unionByName(batch)
+    assertSameRows(SnapshotTable.read(spark, feats), expected(modified2))
+
+    // changes ABOVE the boundary repair nothing (future cycles own them)
+    val futureIds = allImages
+      .where(unix_timestamp(col("ts")) >= boundSec && col("phash") === ents(3))
+      .select("image_id").limit(1)
+    val del2 = SnapshotTable.deleteKeys(spark, corpus, "image_id", futureIds)
+    assert(ContinuousFeatures.repairClosedWindows(spark, corpus, labels,
+      feats, del2.id - 1, del2.id) === 0)
+  }
 }

@@ -344,6 +344,112 @@ class IncrementalDedupSpec extends SparkSpec {
       labels.select("id"))
   }
 
+  test("AUTO-cascade: a takedown crossing the window retracts state without a manual pass") {
+    val (c, s) = (tmp("corpus"), tmp("state"))
+    val cursor = s"$s/cursor.txt"
+    def cycle(g: Int): Unit = {
+      SnapshotTable.commit(spark, c, corpus.where(pmod(col("id"), lit(3)) === g))
+      IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
+    }
+    cycle(0); cycle(1)
+    // the q123 flow with NO IncrementalDedup.retract call: the corpus
+    // delete commit inside the next window must cascade by itself
+    SnapshotTable.deleteKeys(spark, c, "id", Seq(0L, 1L, 2L).toDF("id"))
+    cycle(2)
+    val labels = IncrementalDedup.currentLabels(spark, s, cfg)
+    assert(labels.count() === 28, "0 and 1 auto-retracted; 2 arrived post-tombstone")
+    assert(labels.where(col("id").isin(0L, 1L)).isEmpty)
+    val q0 = labels.where(col("id").isin(2L, 3L)).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rep"), r.getAs[Boolean]("kept")))).toMap
+    assert(q0(2L) === ((2L, true)) && q0(3L) === ((2L, false)))
+    assertSameRows(labels.where(col("id") >= 4), fullLabels.where(col("id") >= 4))
+    assertSameRows(SnapshotTable.read(spark, c).select("id"), labels.select("id"))
+  }
+
+  test("AUTO-cascade: a corpus UPSERT replaces the old content's signature and edges") {
+    val (c, s) = (tmp("corpus"), tmp("state"))
+    val cursor = s"$s/cursor.txt"
+    ingestAll(c, s, cursor)
+    // id 3 (quad-0 member) gets NEW content equal to quad-1's pattern:
+    // its old signature and its quad-0 edges must die with the upsert,
+    // and the re-signed row must join quad-1 instead
+    SnapshotTable.upsert(spark, c, "id",
+      Seq((3L, 0xFF00L)).toDF("id", "h"))
+    val r = IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
+    assert(r.isDefined)
+    val sigs = SnapshotTable.read(spark, IncrementalDedup.signaturesDir(s))
+    assert(sigs.where(col("id") === 3L).count() === 1,
+      "the upserted id must have exactly ONE live signature (the new one)")
+    assert(sigs.where(col("id") === 3L).select("h").as[Long].head() === 0xFF00L)
+    val labels = IncrementalDedup.currentLabels(spark, s, cfg)
+    assert(labels.count() === 30)
+    val moved = labels.where(col("id").isin(0L, 3L, 4L)).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("rep")).toMap
+    assert(moved(0L) === 0L, "quad-0 keeps its remaining members")
+    assert(moved(3L) === 3L && moved(4L) === 3L,
+      s"the re-signed id must cluster with its NEW content's quad: $moved")
+    assert(SnapshotTable.read(spark, IncrementalDedup.edgesDir(s))
+      .where((col("a") === 3L && col("b") < 4L) ||
+        (col("b") === 3L && col("a") < 4L)).isEmpty,
+      "stale quad-0 edges of the upserted id must be dead")
+  }
+
+  test("AUTO-cascade: tombstones on a different key column are skipped, not cascaded") {
+    val (c, s) = (tmp("corpus"), tmp("state"))
+    val cursor = s"$s/cursor.txt"
+    def cycle(g: Int): Unit = {
+      SnapshotTable.commit(spark, c, corpus.where(pmod(col("id"), lit(3)) === g))
+      IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
+    }
+    cycle(0); cycle(1)
+    // a corpus takedown keyed on the HASH column: no mapping to state ids
+    // exists, so the cascade must skip it (manual retract is the
+    // documented path) — and the cycle must not wedge
+    SnapshotTable.deleteKeys(spark, c, "h", Seq(0xFFL).toDF("h"))
+    cycle(2)
+    assert(SnapshotTable.read(spark,
+      IncrementalDedup.signaturesDir(s)).count() === 30,
+      "a different-column takedown must not touch the state")
+    assert(IncrementalDedup.windowRetractionKeys(spark, c, "id", 2L, 4L) === None)
+  }
+
+  test("replayed window with retraction keys: the edge-done guard keeps re-signed rows") {
+    val (c, s) = (tmp("corpus"), tmp("state"))
+    val cursor = s"$s/cursor.txt"
+    (0 to 1).foreach { g =>
+      SnapshotTable.commit(spark, c, corpus.where(pmod(col("id"), lit(3)) === g))
+      IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
+    }
+    val takedown = Seq(0L, 1L, 2L).toDF("id")
+    SnapshotTable.deleteKeys(spark, c, "id", takedown)      // corpus 3
+    SnapshotTable.commit(spark, c,
+      corpus.where(pmod(col("id"), lit(3)) === 2))          // corpus 4
+    // the crashed attempt: retract ran, the window's edges landed (id 2
+    // arrived post-tombstone and re-formed its quad edge), sigs + cursor
+    // didn't make it
+    IncrementalDedup.retract(spark, s, cfg, takedown)
+    val state = SnapshotTable.read(spark, IncrementalDedup.signaturesDir(s))
+    val fresh = SnapshotTable.changes(spark, c, 2L, 4L)
+    SnapshotTable.commit(spark, IncrementalDedup.edgesDir(s),
+      Dedup.incrementalEdgesFromHashes(state, fresh, "id", "h", 1,
+        cap = 4096, broadcastSizes = true),
+      "append", Some("dedup-edges:2-4"))
+    // the replay: edgeDone holds, so the retraction must NOT re-apply —
+    // a re-applied tombstone (younger than the committed edges) would
+    // erase the post-takedown arrival's edges
+    val r = IncrementalDedup.processNew(spark, c, s, cursor, cfg)(identity)
+    assert(r === Some((2L, 4L)))
+    val labels = IncrementalDedup.currentLabels(spark, s, cfg)
+    assert(labels.count() === 28)
+    val q0 = labels.where(col("id").isin(2L, 3L)).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("rep")).toMap
+    assert(q0 === Map(2L -> 2L, 3L -> 2L),
+      s"the replay erased the re-signed row's edges: $q0")
+    assert(SnapshotTable.read(spark, IncrementalDedup.edgesDir(s))
+      .where(col("a") === 2L || col("b") === 2L).count() > 0)
+  }
+
   test("append-then-delete inside one window: the row is never delivered") {
     val (c, s) = (tmp("corpus"), tmp("state"))
     val cursor = s"$s/cursor.txt"

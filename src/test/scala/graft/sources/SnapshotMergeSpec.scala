@@ -60,6 +60,52 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("missing_col"))
   }
 
+  test("upsert refuses a key column absent from the HEAD schema") {
+    // older files would read the key as null, the anti-join would match
+    // nothing, and every old version would silently survive — refuse loudly
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir, rows(0, 10))
+    val batch = rows(0, 5).withColumn("extra_key", col("id"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.upsert(spark, dir, "extra_key", batch)
+    }
+    assert(e.getMessage.contains("extra_key"))
+    assert(SnapshotTable.currentSnapshotId(dir) === Some(1L), "nothing published")
+  }
+
+  test("an empty upsert batch is an idle commit, not a crash") {
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir, rows(0, 10))
+    val s2 = SnapshotTable.upsert(spark, dir, "id", rows(0, 10).where(lit(false)))
+    assert(s2.operation === "upsert")
+    assertSameRows(SnapshotTable.read(spark, dir), rows(0, 10))
+  }
+
+  test("publishStaged replay survives retention GC of the published snapshot") {
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir, rows(0, 50))
+    val sid = SnapshotTable.stageCommit(spark, dir, rows(50, 70))
+    val stagedFile = Paths.get(dir, "meta", s"staged-$sid.json")
+    val backup = Files.createTempFile("staged-gc", ".json")
+    Files.copy(stagedFile, backup, StandardCopyOption.REPLACE_EXISTING)
+    SnapshotTable.publishStaged(dir, sid)
+    // commits land and retention expires the wap-tagged snapshot (a commit
+    // tag is not a ref — it does not pin against GC)
+    SnapshotTable.append(spark, dir, rows(70, 80))
+    SnapshotTable.append(spark, dir, rows(80, 90))
+    SnapshotTable.expireSnapshots(dir, keepLast = 2, orphanMinAgeMs = 0L)
+    assert(SnapshotTable.findByTag(dir, s"wap:$sid") === None,
+      "precondition: the wap-tagged snapshot must be expired")
+    // the crashed publisher's replay: the staged manifest survived the
+    // crash — the path-containment guard must detect the landed files
+    // instead of appending them a second time
+    Files.copy(backup, stagedFile)
+    SnapshotTable.publishStaged(dir, sid)
+    assert(SnapshotTable.read(spark, dir).count() === 90L,
+      "the replay double-appended the staged rows")
+    assert(SnapshotTable.stagedIds(dir).isEmpty)
+  }
+
   test("upsert preserves a bucketed head's layout; compact restores the zero-exchange read") {
     val dir = tmpTable()
     val spec = SnapshotTable.BucketSpec(4, "entity", Seq("id"))
