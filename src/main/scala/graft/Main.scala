@@ -22,8 +22,8 @@ import scala.jdk.CollectionConverters._
   *   spark-submit --class graft.Main musifspark.jar \
   *     --admin <tableDir> [--describe] [--delete-keys col=<parquetOfKeys>] \
   *     [--retract-state <stateDir>] [--rollback <snapshotId>] [--compact] \
-  *     [--tag <name>] [--drop-tag <name>] [--drop-staged <stagingId>] \
-  *     [--expire <keepLast>]
+  *     [--zorder colA,colB,nFiles] [--tag <name>] [--drop-tag <name>] \
+  *     [--drop-staged <stagingId>] [--expire <keepLast>]
   *
   * Reads the image+caption table (any Spark source — parquet in the
   * sandbox, an Iceberg catalog table in production via
@@ -68,10 +68,14 @@ object Main {
       require(opts.contains("deleteKeys") || opts.contains("compact") ||
         opts.contains("expire") || opts.contains("tag") ||
         opts.contains("dropTag") || opts.contains("describe") ||
-        opts.contains("rollback") || opts.contains("dropStaged"),
+        opts.contains("rollback") || opts.contains("dropStaged") ||
+        opts.contains("zorder"),
         "--admin needs at least one verb: --delete-keys col=<parquet>, " +
-          "--rollback <id>, --compact, --tag <name>, --drop-tag <name>, " +
-          "--drop-staged <id>, --expire <keepLast>, --describe")
+          "--rollback <id>, --compact, --zorder colA,colB,nFiles, " +
+          "--tag <name>, --drop-tag <name>, --drop-staged <id>, " +
+          "--expire <keepLast>, --describe")
+      require(!(opts.contains("compact") && opts.contains("zorder")),
+        "--compact and --zorder are both full rewrites — run one")
       // --describe runs FIRST: inspect before acting (and again last if
       // combined with mutating verbs, so the output shows the result)
       def describe(): Unit = {
@@ -132,6 +136,16 @@ object Main {
           s"${snap.files.size} files / ${snap.totalRows} rows" +
           snap.bucketSpec.map(b => s" (bucket layout ${b.buckets}x${b.bucketCol} kept)")
             .getOrElse(""))
+      }
+      // --zorder colA,colB,nFiles: the clustered rewrite (compact + sort
+      // in one) — consumes tombstones like --compact AND restores
+      // two-dimensional manifest file skipping
+      opts.get("zorder").foreach { v =>
+        val Array(a, b, n) = v.split(",").map(_.trim)
+        val snap = sources.SnapshotTable.compactZOrdered(spark, tableDir,
+          a, b, n.toInt)
+        println(s"[admin] snapshot ${snap.id}: Z-order rewrote $tableDir " +
+          s"on ($a, $b) into ${snap.files.size} files / ${snap.totalRows} rows")
       }
       // tag the maintained head BEFORE dropping old names and GC'ing: the
       // release-rotation flow (compact → publish 'vN' → retire 'vN-1' →
@@ -438,6 +452,16 @@ object Main {
         parseArgs(rest, acc + ("dropTag" -> v))
       case "--describe" :: rest    => parseArgs(rest, acc + ("describe" -> "true"))
       case "--compact" :: rest     => parseArgs(rest, acc + ("compact" -> "true"))
+      case "--zorder" :: v :: rest =>
+        val parts = v.split(",").map(_.trim)
+        require(parts.length == 3 && parts.forall(_.nonEmpty),
+          s"--zorder expects colA,colB,nFiles, got '$v'")
+        val n = try parts(2).toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"--zorder expects a file count as its third part, got '${parts(2)}'")
+        }
+        require(n >= 1, s"--zorder needs nFiles >= 1, got $n")
+        parseArgs(rest, acc + ("zorder" -> v))
       case "--expire" :: v :: rest =>
         val n = try v.trim.toInt catch {
           case _: NumberFormatException => throw new IllegalArgumentException(

@@ -350,6 +350,34 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("--admin --zorder: the clustered rewrite from the CLI") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft-main-zo").toString
+    val table = s"$tmp/corpus"
+    sources.SnapshotTable.commit(spark, table,
+      spark.range(0, 1000)
+        .select((col("id") / 50).cast("long").as("x"),
+          pmod(col("id"), lit(50)).as("y"))
+        .repartition(4),
+      statsCols = Seq("x", "y"))
+    Main.main(Array("--admin", table, "--zorder", "x,y,8"))
+    val head = sources.SnapshotTable.snapshot(table,
+      sources.SnapshotTable.currentSnapshotId(table).get)
+    assert(head.operation === "replace" && head.files.size === 8)
+    assert(head.files.forall(f => f.stats.exists(_._1 == "x") &&
+      f.stats.exists(_._1 == "y")), "both dimensions' stats must ride")
+    assert(sources.SnapshotTable.read(spark, table).count() === 1000L)
+    intercept[IllegalArgumentException] {
+      Main.main(Array("--admin", table, "--zorder", "x,y"))
+    }
+    intercept[IllegalArgumentException] {
+      Main.main(Array("--admin", table, "--zorder", "x,y,0"))
+    }
+    intercept[IllegalArgumentException] {
+      Main.main(Array("--admin", table, "--zorder", "x,y,8", "--compact"))
+    }
+  }
+
   test("--admin --retract-state: a takedown cascades into the dedup state") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
