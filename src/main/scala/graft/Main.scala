@@ -461,7 +461,9 @@ object Main {
             s"--zorder expects a file count as its third part, got '${parts(2)}'")
         }
         require(n >= 1, s"--zorder needs nFiles >= 1, got $n")
-        parseArgs(rest, acc + ("zorder" -> v))
+        // store the NORMALIZED triple so the execution site's re-split
+        // can't diverge from what was validated here
+        parseArgs(rest, acc + ("zorder" -> parts.mkString(",")))
       case "--expire" :: v :: rest =>
         val n = try v.trim.toInt catch {
           case _: NumberFormatException => throw new IllegalArgumentException(

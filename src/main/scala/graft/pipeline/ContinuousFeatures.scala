@@ -128,7 +128,15 @@ object ContinuousFeatures {
     try {
       val n = affected.count()
       if (n == 0) return 0L
-      val corpus = SnapshotTable.read(spark, corpusDir, Some(toInclusive))
+      // recompute from the CURRENT head, not the window's end: cycles may
+      // have run since `toInclusive` and emitted the affected entities'
+      // windows between the old and current bound — a recompute pinned at
+      // `toInclusive` would lack those corpus rows, and the per-entity
+      // upsert (which replaces ALL of an entity's feature rows) would
+      // erase the legitimately-emitted newer windows. The head also
+      // reflects any later changes to these entities, which a subsequent
+      // repair for those windows then finds already applied.
+      val corpus = SnapshotTable.read(spark, corpusDir, None)
         .where(unix_timestamp(col(tsCol)) < bound)
         .join(affected, Seq("phash"), "left_semi")
       val recomputed = FeaturePipeline.features(corpus, labels)

@@ -331,6 +331,7 @@ object SnapshotTable {
       sys.error(s"$tableDir has no snapshots to delete from"))
     val head = snapshot(tableDir, headId)
     requireKeyInHeadSchema(tableDir, head, keyCol, "delete")
+    requireKeyInLiveFiles(spark, tableDir, head, keyCol, "delete")
     val dels = writeTombstoneDir(spark, tableDir, keyCol, keys)
     publishLoop(tableDir, "delete", Nil, tag, None, None, dels)
   }
@@ -346,6 +347,35 @@ object SnapshotTable {
         s"$op key column '$keyCol' is not a column of $tableDir " +
           s"(schema: ${schema.fieldNames.mkString(", ")})")
     }
+
+  /** The schema-EVOLUTION twin of [[requireKeyInHeadSchema]]: the key
+    * column must be PHYSICALLY present in every live data file, not just
+    * the head schema — appends may add columns, so a key column added
+    * mid-table is null in every pre-evolution file, and null never
+    * matches the tombstone anti-join: those rows would silently survive
+    * the delete/upsert. All part files of one commit share a schema
+    * (written from one frame), so ONE parquet footer per distinct
+    * `addedAt` group decides — a driver-side metadata read per retained
+    * commit, milliseconds each. */
+  private def requireKeyInLiveFiles(spark: SparkSession, tableDir: String,
+                                    head: Snapshot, keyCol: String,
+                                    op: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    head.files.groupBy(_.addedAt).toSeq.sortBy(_._1).foreach { case (at, fs) =>
+      val path = new org.apache.hadoop.fs.Path(
+        Paths.get(tableDir, fs.head.path).toString)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val has = try r.getFooter.getFileMetaData.getSchema.containsField(keyCol)
+        finally r.close()
+      require(has,
+        s"$op key column '$keyCol' is missing from the data files " +
+          s"committed at snapshot $at of $tableDir (schema evolution added " +
+          "it later) — their rows would read it as null and silently " +
+          "survive the anti-join; compact() first to materialize the " +
+          "column everywhere, then retry")
+    }
+  }
 
   /** Write `keys`' distinct `keyCol` values as an immutable tombstone
     * parquet dir and return its [[DeleteFile]]s (shared by [[deleteKeys]]
@@ -398,10 +428,12 @@ object SnapshotTable {
     require(df.schema.fieldNames.contains(keyCol),
       s"upsert key column '$keyCol' is not a column of the batch " +
         s"(columns: ${df.schema.fieldNames.mkString(", ")})")
-    // ...and of the HEAD schema: older files would read an absent key as
-    // null, the tombstone anti-join would match nothing, and every old
-    // version would silently survive beside the batch
+    // ...and of the HEAD schema AND physically of every live file: older
+    // files would read an absent key as null, the tombstone anti-join
+    // would match nothing, and every old version would silently survive
+    // beside the batch
     requireKeyInHeadSchema(tableDir, head, keyCol, "upsert")
+    requireKeyInLiveFiles(spark, tableDir, head, keyCol, "upsert")
     val newFiles = head.bucketSpec match {
       case Some(spec) => writeBucketedCommitDir(spark, tableDir, df, spec, statsCols)
       case None => writeCommitDir(spark, tableDir, df, statsCols)
@@ -528,7 +560,11 @@ object SnapshotTable {
     // single-row bounded collect: the corpus bounds that normalize the
     // two dimensions into the Morton domain
     val bounds = df.agg(fmin(a), fmax(a), fmin(b), fmax(b)).collect()(0)
-    if (bounds.isNullAt(0)) // empty table: nothing to cluster
+    // empty table, or a dimension that is entirely null: there is nothing
+    // to cluster on — fall back to a plain rewrite instead of NPE-ing on
+    // the missing bound (rows with SOME nulls are fine: min/max ignore
+    // them and the null Morton keys sort into one partition)
+    if ((0 until 4).exists(bounds.isNullAt))
       return compactFrom(spark, tableDir, fromId, targetFiles, tag)
     val z = graft.functions.ZOrder.mortonNormalized(
       a, bounds.getLong(0), bounds.getLong(1),
@@ -1141,34 +1177,59 @@ object SnapshotTable {
     * crashed between publishing and deleting the staged manifest — or a
     * re-run publish job — resolves to the already-published snapshot
     * instead of double-appending. */
+  private def wapReceiptPath(tableDir: String, stagingId: String): Path =
+    metaDir(tableDir).resolve(s"wap-$stagingId.txt")
+
   def publishStaged(tableDir: String, stagingId: String): Snapshot = {
     val wapTag = s"wap:$stagingId"
     val p = stagedPath(tableDir, stagingId)
-    if (!Files.exists(p))
-      return findByTag(tableDir, wapTag).getOrElse(sys.error(
-        s"staged commit $stagingId of $tableDir was never staged or was " +
-          "dropped (no staged manifest, no published wap tag)"))
-    findByTag(tableDir, wapTag) match {
-      case Some(done) => Files.deleteIfExists(p); done
+    val receipt = wapReceiptPath(tableDir, stagingId)
+    // replay guard 1 — the durable RECEIPT, written atomically right
+    // after the publish and OUTSIDE the expirable manifest log (the
+    // SnapshotIngest source-mark pattern): manifest-derived guards alone
+    // are defeatable — retention GC expires the wap-tagged snapshot, and
+    // a compaction rewrites the staged paths out of every retained
+    // manifest — after which a replay would re-append the staged rows.
+    if (Files.exists(receipt)) {
+      Files.deleteIfExists(p)
+      val id = new String(Files.readAllBytes(receipt), "UTF-8").trim.toLong
+      return if (Files.exists(manifestPath(tableDir, id))) snapshot(tableDir, id)
+        else snapshot(tableDir, currentSnapshotId(tableDir).getOrElse(
+          sys.error(s"$tableDir is empty but carries a publish receipt " +
+            s"for staged commit $stagingId")))
+      // (published earlier; the snapshot itself has since been expired or
+      // rewritten — the current head carries its rows)
+    }
+    // ONE parse of the retained log serves both remaining guards: the wap
+    // tag, and staged-path containment for the residual seam (crash in
+    // the tiny window between publish and receipt, followed by retention
+    // expiring the tagged snapshot — the paths are uuid-unique, so any
+    // retained manifest referencing one proves the publish happened)
+    val retained = snapshots(tableDir)
+    def record(snap: Snapshot): Snapshot = {
+      val tmp = Files.createTempFile(metaDir(tableDir), ".wap-staging", ".txt")
+      Files.write(tmp, snap.id.toString.getBytes("UTF-8"))
+      Files.move(tmp, receipt,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.deleteIfExists(p)
+      snap
+    }
+    retained.reverseIterator.find(_.tag.contains(wapTag)) match {
+      case Some(done) => return record(done)
       case None =>
-        val st = stagedManifest(tableDir, stagingId)
-        // second replay guard, GC-proof: the wap-tagged snapshot may have
-        // been EXPIRED by retention between the crash and this replay (a
-        // commit tag is not a ref — it doesn't pin against GC). The staged
-        // data paths are unique (uuid commit dirs), so any retained
-        // manifest referencing one proves the publish happened — without
-        // this, the replay would re-append the same files and the head
-        // manifest would list every staged row twice.
-        val stagedPaths = st.files.map(_.path).toSet
-        snapshots(tableDir).reverseIterator
-          .find(_.files.exists(f => stagedPaths(f.path))) match {
-          case Some(landed) => Files.deleteIfExists(p); landed
-          case None =>
-            val snap = publishLoop(tableDir, st.operation, st.files,
-              Some(wapTag), st.schemaJson, st.bucketSpec)
-            Files.deleteIfExists(p)
-            snap
-        }
+    }
+    if (!Files.exists(p))
+      sys.error(s"staged commit $stagingId of $tableDir was never staged " +
+        "or was dropped (no staged manifest, no receipt, no wap tag)")
+    val st = stagedManifest(tableDir, stagingId)
+    val stagedPaths = st.files.map(_.path).toSet
+    retained.reverseIterator
+      .find(_.files.exists(f => stagedPaths(f.path))) match {
+      case Some(landed) => record(landed)
+      case None =>
+        record(publishLoop(tableDir, st.operation, st.files,
+          Some(wapTag), st.schemaJson, st.bucketSpec))
     }
   }
 
@@ -1253,7 +1314,7 @@ object SnapshotTable {
             Some((sid, st.operation, st.parentId,
               new java.sql.Timestamp(st.committedAtMs),
               st.files.map(_.rows).sum, st.files.size.toLong))
-          } catch { case _: IllegalArgumentException => None }
+          } catch { case scala.util.control.NonFatal(_) => None }
         }.toDF("staging_id", "operation", "staged_on_snapshot", "staged_at",
           "total_rows", "n_files")
       case other => sys.error(
@@ -1303,9 +1364,10 @@ object SnapshotTable {
     // A staged manifest vanishing mid-listing (concurrent publish/drop) is
     // skipped: published files are in a retained manifest, dropped ones
     // fall to the age-gated orphan sweep.
-    val stagedLive = stagedIds(tableDir).flatMap { sid =>
+    val stagedIds0 = stagedIds(tableDir)
+    val stagedLive = stagedIds0.flatMap { sid =>
       try stagedManifest(tableDir, sid).files.map(_.path)
-      catch { case _: IllegalArgumentException => Nil }
+      catch { case scala.util.control.NonFatal(_) => Nil }
     }.toSet
     val live = retained.flatMap(s =>
       s.files.map(_.path) ++ s.deletes.map(_.path)).toSet ++ stagedLive
@@ -1357,6 +1419,36 @@ object SnapshotTable {
         }
       }
     }
+    // WAP publish receipts (meta/wap-<sid>.txt) whose staged manifest is
+    // gone have done their job; sweep them once aged so a long-lived
+    // table doesn't accumulate one per historical publish. A receipt
+    // whose staged manifest still EXISTS is kept regardless of age — the
+    // replay seam it guards stays open until the manifest is consumed.
+    locally {
+      import scala.jdk.CollectionConverters._
+      val now = System.currentTimeMillis()
+      val listing = Files.list(metaDir(tableDir))
+      try listing.iterator().asScala
+        .filter { pth =>
+          val n = pth.getFileName.toString
+          n.startsWith("wap-") && n.endsWith(".txt") &&
+            !Files.exists(stagedPath(tableDir,
+              n.stripPrefix("wap-").stripSuffix(".txt"))) &&
+            now - Files.getLastModifiedTime(pth).toMillis > orphanMinAgeMs
+        }
+        .foreach(Files.deleteIfExists(_))
+      finally listing.close()
+    }
+    // last-moment WORLD re-read before anything the data sweep could
+    // destroy (the staged twin of the tag guard above): a staged commit
+    // PUBLISHED while this pass was computing puts its files in a
+    // manifest NEWER than `all` — neither `live` nor `stagedLive` covers
+    // them, so the sweep would delete files the new head references.
+    // Restart with the current state; the manifest/view deletions above
+    // are idempotent.
+    if (currentSnapshotId(tableDir) != all.lastOption.map(_.id) ||
+        stagedIds(tableDir) != stagedIds0)
+      return expireSnapshots(tableDir, keepLast, orphanMinAgeMs)
     val dataRoot = Paths.get(tableDir, "data")
     var removed = 0
     if (Files.isDirectory(dataRoot)) {

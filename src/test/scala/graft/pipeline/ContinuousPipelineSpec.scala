@@ -299,4 +299,42 @@ class ContinuousPipelineSpec extends SparkSpec {
     assert(ContinuousFeatures.repairClosedWindows(spark, corpus, labels,
       feats, del2.id - 1, del2.id) === 0)
   }
+
+  test("closed-window repair after later cycles preserves the newly emitted windows") {
+    // the seam the head-read fix closes: a repair pinned at the takedown
+    // window's end would lack the corpus rows behind windows a LATER
+    // cycle emitted for the same entity, and the per-entity upsert would
+    // erase them
+    val corpus = Files.createTempDirectory("graft-cont7-corpus").toString
+    val feats = Files.createTempDirectory("graft-cont7-feats").toString
+    val cursor = s"$feats.cursor"
+    val rows = orderedRows
+    def slice(a: Int, b: Int) = rows.slice(a, b).toDF("image_id", "bytes",
+      "w", "h", "fmt", "caption", "phash", "ts")
+    assert(SnapshotIngest.commitOnce(slice(0, 200), corpus, "cam", 0L, Seq("ts")))
+    assert(ContinuousFeatures.cycle(spark, corpus, labels, feats, cursor)
+      === Some((0L, 1L)))
+    val b1 = ContinuousFeatures.boundarySec(spark, corpus, 1L, "ts", 600L, 0L)
+    val eAff = allImages.where(unix_timestamp(col("ts")) < b1)
+      .select("phash").distinct().orderBy("phash").head().getLong(0)
+    val takedown = allImages.where(col("phash") === eAff &&
+        unix_timestamp(col("ts")) < b1 &&
+        pmod(xxhash64(col("image_id")), lit(2)) === 0)
+      .select("image_id")
+    assert(takedown.count() > 0, "vacuous takedown — pick a different entity")
+    val del = SnapshotTable.deleteKeys(spark, corpus, "image_id", takedown)
+    // more ingest + a cycle raise the bound and emit eAff's newer windows
+    assert(SnapshotIngest.commitOnce(slice(200, 400), corpus, "cam", 1L, Seq("ts")))
+    assert(ContinuousFeatures.cycle(spark, corpus, labels, feats, cursor).isDefined)
+    val b2 = ContinuousFeatures.boundarySec(spark, corpus,
+      SnapshotTable.currentSnapshotId(corpus).get, "ts", 600L, 0L)
+    assert(b2 > b1, "the second ingest must close more windows")
+    // the repair of the OLD takedown window runs AFTER the bound moved
+    assert(ContinuousFeatures.repairClosedWindows(spark, corpus, labels,
+      feats, del.id - 1, del.id) === 1)
+    val modified = allImages.join(takedown, Seq("image_id"), "left_anti")
+    assertSameRows(SnapshotTable.read(spark, feats),
+      FeaturePipeline.features(modified, labels)
+        .where(unix_timestamp(col("window_start")) < b2))
+  }
 }

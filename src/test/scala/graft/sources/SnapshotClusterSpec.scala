@@ -133,6 +133,16 @@ class SnapshotClusterSpec extends SparkSpec {
       expected.where(col("x").between(10, 34) && col("y").between(60, 84)))
   }
 
+  test("compactZOrdered falls back to a plain rewrite when a dimension is all null") {
+    val dir = tmpTable()
+    SnapshotTable.commit(spark, dir, spark.range(0, 100)
+      .select(col("id").as("x"), lit(null).cast("long").as("y"),
+        col("id").as("v")).repartition(4))
+    val snap = SnapshotTable.compactZOrdered(spark, dir, "x", "y", 4)
+    assert(snap.operation === "replace")
+    assert(SnapshotTable.read(spark, dir).count() === 100L)
+  }
+
   test("clustered rewrites refuse a bucketed head (its layout IS the clustering)") {
     val dir = tmpTable()
     SnapshotTable.commitBucketed(spark, dir,

@@ -81,6 +81,53 @@ class SnapshotMergeSpec extends SparkSpec {
     assertSameRows(SnapshotTable.read(spark, dir), rows(0, 10))
   }
 
+  test("upsert/delete refuse a key column schema evolution left null in older files") {
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir, rows(0, 10)) // (id, entity, v)
+    SnapshotTable.append(spark, dir,
+      rows(10, 20).withColumn("k", col("id") * 10)) // evolution adds k
+    // the head schema HAS k, but commit-1's files don't: their rows would
+    // read k as null and silently survive the anti-join — refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.upsert(spark, dir, "k",
+        rows(0, 5).withColumn("k", col("id") * 10))
+    }
+    assert(e.getMessage.contains("schema evolution"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.deleteKeys(spark, dir, "k",
+        rows(0, 1).select((col("id") + 100).as("k")))
+    }
+    assert(e2.getMessage.contains("schema evolution"))
+    // the documented remedy: compact materializes the column everywhere
+    SnapshotTable.compact(spark, dir)
+    SnapshotTable.deleteKeys(spark, dir, "k",
+      rows(10, 11).select((col("id") * 10).as("k"))) // k=100 -> id 10
+    assert(SnapshotTable.read(spark, dir).where(col("id") === 10).isEmpty)
+    assert(SnapshotTable.read(spark, dir).count() === 19L)
+  }
+
+  test("publishStaged replay survives compaction + GC via the durable receipt") {
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir, rows(0, 50))
+    val sid = SnapshotTable.stageCommit(spark, dir, rows(50, 70))
+    val stagedFile = Paths.get(dir, "meta", s"staged-$sid.json")
+    val backup = Files.createTempFile("staged-cmp", ".json")
+    Files.copy(stagedFile, backup, StandardCopyOption.REPLACE_EXISTING)
+    SnapshotTable.publishStaged(dir, sid)
+    // compaction rewrites EVERY path (defeating path containment) and
+    // retention expires the wap-tagged snapshot (defeating the tag) —
+    // only the durable receipt can tell the replay the publish landed
+    SnapshotTable.compact(spark, dir)
+    SnapshotTable.expireSnapshots(dir, keepLast = 1)
+    assert(SnapshotTable.findByTag(dir, s"wap:$sid") === None,
+      "precondition: wap tag expired")
+    Files.copy(backup, stagedFile)
+    SnapshotTable.publishStaged(dir, sid)
+    assert(SnapshotTable.read(spark, dir).count() === 70L,
+      "the replay double-appended through a rewritten lineage")
+    assert(SnapshotTable.stagedIds(dir).isEmpty)
+  }
+
   test("publishStaged replay survives retention GC of the published snapshot") {
     val dir = tmpTable()
     SnapshotTable.append(spark, dir, rows(0, 50))
