@@ -81,6 +81,46 @@ object ContinuousFeatures {
         }
     }
 
+  /** The COMPLETE maintenance pass — [[cycle]] plus automatic
+    * [[repairClosedWindows]]: one scheduled call advances the feature
+    * table's windows AND heals any takedown/upsert the corpus history
+    * carried below the emitted boundary. Repair progress keeps its OWN
+    * durable mark (`<featureDir>/meta/repair-upto.txt`) rather than
+    * piggybacking on the cycle cursor: a crash between the cycle's cursor
+    * write and the repair would otherwise put the mutation commits behind
+    * the cursor forever, and the takedown would never be healed. The mark
+    * advances only after the repair lands, so every seam replays into the
+    * (idempotent) repair re-running. A fresh mark adopts the current head
+    * without retroactive repair — the bootstrap cycle read the full
+    * corpus, which already reflects every past mutation. A repair window
+    * crossing an `overwrite`/`rollback` fails loudly each pass until the
+    * operator re-derives the feature table and resets the mark (those
+    * operations invalidate row-level history — same rule as [[SnapshotTable
+    * .changelog]]). Returns the cycle's processed window. */
+  def maintain(spark: SparkSession, corpusDir: String, labels: DataFrame,
+               featureDir: String, cursorPath: String, tsCol: String = "ts",
+               stepSec: Long = 600L, lateness: Long = 0L): Option[(Long, Long)] = {
+    val res = cycle(spark, corpusDir, labels, featureDir, cursorPath,
+      tsCol, stepSec, lateness)
+    val markFile = java.nio.file.Paths.get(featureDir, "meta", "repair-upto.txt")
+    SnapshotTable.currentSnapshotId(corpusDir).foreach { head =>
+      Incremental.readLongFile(markFile) match {
+        case None => Incremental.writeLongFile(markFile, head)
+        case Some(mark) if mark < head =>
+          val mutated = (mark + 1 to head).exists { id =>
+            val op = SnapshotTable.snapshot(corpusDir, id).operation
+            op == "delete" || op == "upsert"
+          }
+          if (mutated)
+            repairClosedWindows(spark, corpusDir, labels, featureDir,
+              mark, head, tsCol)
+          Incremental.writeLongFile(markFile, head)
+        case _ =>
+      }
+    }
+    res
+  }
+
   /** CLOSED-WINDOW REPAIR — the missing arrow between a corpus takedown
     * (or upsert) that rewrites HISTORY and a feature table whose closed
     * windows were computed from the old content. [[cycle]]'s contract

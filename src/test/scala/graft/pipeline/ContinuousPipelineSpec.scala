@@ -337,4 +337,47 @@ class ContinuousPipelineSpec extends SparkSpec {
       FeaturePipeline.features(modified, labels)
         .where(unix_timestamp(col("window_start")) < b2))
   }
+
+  test("maintain: one scheduled call advances windows AND heals the takedown it crossed") {
+    val corpus = Files.createTempDirectory("graft-cont8-corpus").toString
+    val feats = Files.createTempDirectory("graft-cont8-feats").toString
+    val cursor = s"$feats.cursor"
+    val mark = java.nio.file.Paths.get(feats, "meta", "repair-upto.txt")
+    val rows = orderedRows
+    def slice(a: Int, b: Int) = rows.slice(a, b).toDF("image_id", "bytes",
+      "w", "h", "fmt", "caption", "phash", "ts")
+    assert(SnapshotIngest.commitOnce(slice(0, 200), corpus, "cam", 0L, Seq("ts")))
+    assert(ContinuousFeatures.maintain(spark, corpus, labels, feats, cursor)
+      === Some((0L, 1L)))
+    assert(Incremental.readLongFile(mark) === Some(1L),
+      "bootstrap adopts the head without retroactive repair")
+    val b1 = ContinuousFeatures.boundarySec(spark, corpus, 1L, "ts", 600L, 0L)
+    val eAff = allImages.where(unix_timestamp(col("ts")) < b1)
+      .select("phash").distinct().orderBy("phash").head().getLong(0)
+    val takedown = allImages.where(col("phash") === eAff &&
+        unix_timestamp(col("ts")) < b1 &&
+        pmod(xxhash64(col("image_id")), lit(2)) === 0)
+      .select("image_id")
+    SnapshotTable.deleteKeys(spark, corpus, "image_id", takedown) // snapshot 2
+    assert(SnapshotIngest.commitOnce(slice(200, 400), corpus, "cam", 1L, Seq("ts")))
+    // ONE maintenance call: windows advance AND the takedown heals
+    assert(ContinuousFeatures.maintain(spark, corpus, labels, feats, cursor)
+      === Some((1L, 3L)))
+    assert(Incremental.readLongFile(mark) === Some(3L))
+    val b2 = ContinuousFeatures.boundarySec(spark, corpus, 3L, "ts", 600L, 0L)
+    val modified = allImages.join(takedown, Seq("image_id"), "left_anti")
+    def expected = FeaturePipeline.features(modified, labels)
+      .where(unix_timestamp(col("window_start")) < b2)
+    assertSameRows(SnapshotTable.read(spark, feats), expected)
+    // crash seam: repair landed but the mark write didn't — the replay
+    // re-runs the idempotent repair and converges to the same state
+    Incremental.writeLongFile(mark, 1L)
+    assert(ContinuousFeatures.maintain(spark, corpus, labels, feats, cursor)
+      === None, "no new corpus commits — the cycle is idle")
+    assert(Incremental.readLongFile(mark) === Some(3L), "mark re-advanced")
+    assertSameRows(SnapshotTable.read(spark, feats), expected)
+    // idle steady state: nothing to process, nothing to repair
+    assert(ContinuousFeatures.maintain(spark, corpus, labels, feats, cursor)
+      === None)
+  }
 }
