@@ -176,7 +176,7 @@ object Main {
       val mutated = opts.contains("deleteKeys") || opts.contains("compact") ||
         opts.contains("expire") || opts.contains("tag") ||
         opts.contains("dropTag") || opts.contains("rollback") ||
-        opts.contains("dropStaged")
+        opts.contains("dropStaged") || opts.contains("zorder")
       if (opts.contains("describe") && mutated) describe()
       if (!hadSession) spark.stop()
       return

@@ -103,19 +103,42 @@ object ContinuousFeatures {
     val res = cycle(spark, corpusDir, labels, featureDir, cursorPath,
       tsCol, stepSec, lateness)
     val markFile = java.nio.file.Paths.get(featureDir, "meta", "repair-upto.txt")
-    SnapshotTable.currentSnapshotId(corpusDir).foreach { head =>
+    // the repair HORIZON is the newest corpus snapshot the feature state
+    // reflects — the cycle's processed `to`, or (idle cycle) the cursor.
+    // Never a fresh head read: a takedown landing while a long cycle ran
+    // is not in that cycle's pinned state, so marking it repaired would
+    // skip its heal forever; it belongs to the next pass's horizon.
+    val horizon = res.map(_._2)
+      .orElse(Some(Incremental.readCursor(cursorPath)).filter(_ > 0L))
+    horizon.foreach { upto =>
+      def heal(fromMark: Long): Unit = {
+        val mutated = (fromMark + 1 to upto).exists { id =>
+          val op = SnapshotTable.snapshot(corpusDir, id).operation
+          op == "delete" || op == "upsert"
+        }
+        if (mutated)
+          repairClosedWindows(spark, corpusDir, labels, featureDir,
+            fromMark, upto, tsCol)
+        Incremental.writeLongFile(markFile, upto)
+      }
       Incremental.readLongFile(markFile) match {
-        case None => Incremental.writeLongFile(markFile, head)
-        case Some(mark) if mark < head =>
-          val mutated = (mark + 1 to head).exists { id =>
-            val op = SnapshotTable.snapshot(corpusDir, id).operation
-            op == "delete" || op == "upsert"
-          }
-          if (mutated)
-            repairClosedWindows(spark, corpusDir, labels, featureDir,
-              mark, head, tsCol)
-          Incremental.writeLongFile(markFile, head)
-        case _ =>
+        case Some(mark) if mark < upto => heal(mark)
+        case Some(_) => ()
+        case None => res match {
+          case Some((0L, to)) =>
+            // fresh bootstrap: the full read at `to` reflected every
+            // mutation at or below it — adopt without retroactive repair
+            Incremental.writeLongFile(markFile, to)
+          case Some((from, _)) =>
+            // mark lost mid-stream (or migrating from cycle()-only use):
+            // older windows were emitted from the state at `from`, so this
+            // window's mutations still heal; anything before `from` is
+            // adopted as-is (run repairClosedWindows manually if a
+            // pre-migration takedown needs retroactive healing)
+            heal(from)
+          case None =>
+            Incremental.writeLongFile(markFile, upto)
+        }
       }
     }
     res

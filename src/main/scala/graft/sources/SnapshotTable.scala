@@ -362,18 +362,24 @@ object SnapshotTable {
                                     op: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     head.files.groupBy(_.addedAt).toSeq.sortBy(_._1).foreach { case (at, fs) =>
-      val path = new org.apache.hadoop.fs.Path(
-        Paths.get(tableDir, fs.head.path).toString)
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val has = try r.getFooter.getFileMetaData.getSchema.containsField(keyCol)
-        finally r.close()
-      require(has,
-        s"$op key column '$keyCol' is missing from the data files " +
-          s"committed at snapshot $at of $tableDir (schema evolution added " +
-          "it later) — their rows would read it as null and silently " +
-          "survive the anti-join; compact() first to materialize the " +
-          "column everywhere, then retry")
+      // one footer decides for a post-upgrade commit group; LEGACY
+      // manifests parse every file with addedAt 0 — MIXED commits share
+      // that group, so each of its files must be checked individually
+      val sample = if (at == 0L) fs else Seq(fs.head)
+      sample.foreach { lf =>
+        val path = new org.apache.hadoop.fs.Path(
+          Paths.get(tableDir, lf.path).toString)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val has = try r.getFooter.getFileMetaData.getSchema.containsField(keyCol)
+          finally r.close()
+        require(has,
+          s"$op key column '$keyCol' is missing from the data files " +
+            s"committed at snapshot $at of $tableDir (schema evolution " +
+            "added it later) — their rows would read it as null and " +
+            "silently survive the anti-join; compact() first to " +
+            "materialize the column everywhere, then retry")
+      }
     }
   }
 
@@ -556,6 +562,17 @@ object SnapshotTable {
         "(compact() preserves it); change it with a commitBucketed overwrite")
     val df = read(spark, tableDir, Some(fromId))
     import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+    // refuse non-castable dimensions up front: under non-ANSI SQL a
+    // string column casts to all-null longs, and the all-null fallback
+    // below would silently perform an UNCLUSTERED rewrite while the
+    // caller believes the table is Morton-ordered
+    Seq(colA, colB).foreach { cName =>
+      val dt = df.schema(cName).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.TimestampType,
+        s"compactZOrdered needs numeric or timestamp dimensions; " +
+          s"'$cName' is ${dt.simpleString}")
+    }
     val a = col(colA).cast("long"); val b = col(colB).cast("long")
     // single-row bounded collect: the corpus bounds that normalize the
     // two dimensions into the Morton domain
@@ -1172,11 +1189,17 @@ object SnapshotTable {
     * loop as a direct commit — layout and schema validation re-run
     * against whatever head the publish lands on, so a staged append
     * composes with commits that landed during the audit (and is refused
-    * if one of them made it incompatible). Idempotent under replay: the
-    * published snapshot is tagged `wap:<stagingId>`, so a publisher that
-    * crashed between publishing and deleting the staged manifest — or a
-    * re-run publish job — resolves to the already-published snapshot
-    * instead of double-appending. */
+    * if one of them made it incompatible). Idempotent under SEQUENTIAL
+    * replay: the published snapshot is tagged `wap:<stagingId>` and a
+    * durable receipt (`meta/wap-<id>.txt`) is written right after the
+    * publish, so a publisher that crashed between publishing and deleting
+    * the staged manifest — or a re-run publish job — resolves to the
+    * already-published snapshot instead of double-appending, surviving
+    * retention GC and compaction of the published lineage. One publisher
+    * per staging id at a time (the single-consumer convention that
+    * already governs cursors and tags): two CONCURRENT publishes of the
+    * same id can both pass the replay guards before either lands —
+    * retry a stuck publish after it dies, not beside it. */
   private def wapReceiptPath(tableDir: String, stagingId: String): Path =
     metaDir(tableDir).resolve(s"wap-$stagingId.txt")
 
@@ -1265,6 +1288,19 @@ object SnapshotTable {
     require(publish(tableDir, next),
       s"$tableDir moved past snapshot $headId while rolling back to $id — " +
         "inspect the new head and retry")
+    // post-publish verify (the createTag pattern): a concurrent
+    // expireSnapshots that computed its retained set BEFORE this rollback
+    // landed may be sweeping the target's data files right now — its
+    // manifest disappearing is the signal. Withdraw the rollback and fail
+    // loudly rather than leave a head referencing deleted files. (GC's
+    // own world re-read before its data sweep closes the window from its
+    // side; between the two guards the race is microseconds.)
+    if (!Files.exists(manifestPath(tableDir, id))) {
+      Files.deleteIfExists(manifestPath(tableDir, next.id))
+      sys.error(s"snapshot $id of $tableDir was expired while the rollback " +
+        "was being published — the rollback was withdrawn; roll back to a " +
+        "retained snapshot instead")
+    }
     next
   }
 
@@ -1344,7 +1380,20 @@ object SnapshotTable {
     *
     * Returns (#manifests, #data files) removed. */
   def expireSnapshots(tableDir: String, keepLast: Int,
-                      orphanMinAgeMs: Long = 3600000L): (Int, Int) = {
+                      orphanMinAgeMs: Long = 3600000L): (Int, Int) =
+    expireSnapshotsAttempt(tableDir, keepLast, orphanMinAgeMs, attempt = 1)
+
+  /** [[expireSnapshots]] with the restart budget explicit: the two
+    * world-re-read guards (tags, head/staged) restart the pass when the
+    * table moved mid-computation, but a continuously ingesting table
+    * could move EVERY pass — after `MaxGcAttempts` the pass completes
+    * conservatively (tag guard: nothing done; data-sweep guard: manifests
+    * expired, data sweep deferred to the next scheduled run) instead of
+    * livelocking or growing the stack unboundedly. */
+  private val MaxGcAttempts = 5
+  private def expireSnapshotsAttempt(tableDir: String, keepLast: Int,
+                                     orphanMinAgeMs: Long,
+                                     attempt: Int): (Int, Int) = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val all = snapshots(tableDir)
     if (all.isEmpty) return (0, 0)
@@ -1377,8 +1426,32 @@ object SnapshotTable {
     // while this pass was computing must be honored — restart with the new
     // tag set (createTag's post-publish verify is the complementary guard
     // for a ref landing inside the remaining microsecond window)
-    if (tags(tableDir).values.toSet != tagIds)
-      return expireSnapshots(tableDir, keepLast, orphanMinAgeMs)
+    if (tags(tableDir).values.toSet != tagIds) {
+      if (attempt >= MaxGcAttempts) return (0, 0) // defer; nothing destroyed
+      return expireSnapshotsAttempt(tableDir, keepLast, orphanMinAgeMs, attempt + 1)
+    }
+    // hand a dying `wap:` tag's idempotency duty to a durable receipt: a
+    // publishStaged that crashed between its publish and its receipt
+    // write relies on this tag to detect the replay; expiring it without
+    // a receipt — with a compaction free to erase path containment too —
+    // would let the replay re-append the staged rows. The receipt is the
+    // GC-proof word, written here exactly when the tag dies.
+    expired.foreach { s =>
+      s.tag.filter(_.startsWith("wap:")).foreach { t =>
+        val sid = t.stripPrefix("wap:")
+        val receipt = wapReceiptPath(tableDir, sid)
+        // only the crash signature needs the hand-off: staged manifest
+        // still present means a replay may come; absent means the publish
+        // completed (receipt did its job and may have been swept already)
+        if (!Files.exists(receipt) && Files.exists(stagedPath(tableDir, sid))) {
+          val tmp = Files.createTempFile(metaDir(tableDir), ".wap-staging", ".txt")
+          Files.write(tmp, s.id.toString.getBytes("UTF-8"))
+          Files.move(tmp, receipt,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
     expired.foreach(s => Files.deleteIfExists(manifestPath(tableDir, s.id)))
     // a crash between staging and the atomic publish/move leaves a
     // dot-prefixed staging orphan in meta/ (.snap-staging*, .ref-staging*,
@@ -1447,8 +1520,13 @@ object SnapshotTable {
     // Restart with the current state; the manifest/view deletions above
     // are idempotent.
     if (currentSnapshotId(tableDir) != all.lastOption.map(_.id) ||
-        stagedIds(tableDir) != stagedIds0)
-      return expireSnapshots(tableDir, keepLast, orphanMinAgeMs)
+        stagedIds(tableDir) != stagedIds0) {
+      // manifests already expired above (idempotent); defer only the
+      // DATA sweep when the restart budget is exhausted — never sweep
+      // with a stale live set
+      if (attempt >= MaxGcAttempts) return (expired.size, 0)
+      return expireSnapshotsAttempt(tableDir, keepLast, orphanMinAgeMs, attempt + 1)
+    }
     val dataRoot = Paths.get(tableDir, "data")
     var removed = 0
     if (Files.isDirectory(dataRoot)) {

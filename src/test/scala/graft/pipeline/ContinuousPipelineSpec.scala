@@ -379,5 +379,21 @@ class ContinuousPipelineSpec extends SparkSpec {
     // idle steady state: nothing to process, nothing to repair
     assert(ContinuousFeatures.maintain(spark, corpus, labels, feats, cursor)
       === None)
+    // mark LOST mid-stream (file deleted / migration): the next maintain's
+    // own window still heals — only pre-window history is adopted as-is
+    java.nio.file.Files.deleteIfExists(mark)
+    val takedown2 = allImages.where(col("phash") === eAff &&
+        unix_timestamp(col("ts")) < b1 &&
+        pmod(xxhash64(col("image_id")), lit(2)) === 1)
+      .select("image_id")
+    assert(takedown2.count() > 0, "vacuous second takedown")
+    SnapshotTable.deleteKeys(spark, corpus, "image_id", takedown2) // snapshot 4
+    assert(ContinuousFeatures.maintain(spark, corpus, labels, feats, cursor)
+      === Some((3L, 4L)))
+    assert(Incremental.readLongFile(mark) === Some(4L))
+    val modified2 = modified.join(takedown2, Seq("image_id"), "left_anti")
+    assertSameRows(SnapshotTable.read(spark, feats),
+      FeaturePipeline.features(modified2, labels)
+        .where(unix_timestamp(col("window_start")) < b2))
   }
 }

@@ -106,6 +106,62 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir).count() === 19L)
   }
 
+  test("the key check covers every file of a legacy (addedAt 0) manifest group") {
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir, rows(0, 10)) // files lack k
+    SnapshotTable.append(spark, dir,
+      rows(10, 20).withColumn("k", col("id"))) // files carry k
+    val head = SnapshotTable.snapshot(dir, 2L)
+    // simulate a pre-upgrade manifest: every file parses with addedAt 0,
+    // so MIXED-schema commits share one group — a single-footer shortcut
+    // could sample the k-bearing commit and let the delete through
+    val legacy = head.copy(id = 3L, parentId = Some(2L),
+      files = head.files.map(_.copy(addedAt = 0L)))
+    assert(SnapshotTable.publish(dir, legacy))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.deleteKeys(spark, dir, "k",
+        rows(0, 1).select(col("id").as("k")))
+    }
+    assert(e.getMessage.contains("schema evolution"))
+  }
+
+  test("a dying wap tag hands its idempotency duty to a receipt (crash before receipt write)") {
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir, rows(0, 50))
+    val sid = SnapshotTable.stageCommit(spark, dir, rows(50, 70))
+    val stagedFile = Paths.get(dir, "meta", s"staged-$sid.json")
+    val backup = Files.createTempFile("staged-hand", ".json")
+    Files.copy(stagedFile, backup, StandardCopyOption.REPLACE_EXISTING)
+    SnapshotTable.publishStaged(dir, sid)
+    // reconstruct the crash-between-publish-and-receipt state: staged
+    // manifest present, receipt ABSENT, only the wap tag carries the word
+    Files.copy(backup, stagedFile)
+    Files.deleteIfExists(Paths.get(dir, "meta", s"wap-$sid.txt"))
+    // compaction erases path containment, then GC expires the wap tag —
+    // it must write the receipt as it does (the hand-off), or the replay
+    // below would re-append
+    SnapshotTable.compact(spark, dir)
+    SnapshotTable.expireSnapshots(dir, keepLast = 1)
+    assert(SnapshotTable.findByTag(dir, s"wap:$sid") === None)
+    assert(Files.exists(Paths.get(dir, "meta", s"wap-$sid.txt")),
+      "GC must hand the dying wap tag to a durable receipt")
+    SnapshotTable.publishStaged(dir, sid)
+    assert(SnapshotTable.read(spark, dir).count() === 70L,
+      "the replay double-appended after the tag died")
+  }
+
+  test("rollback and clustered rewrites refuse non-sensical inputs loudly") {
+    val dir = tmpTable()
+    SnapshotTable.append(spark, dir,
+      rows(0, 50).withColumn("label", concat(lit("x"), col("id"))))
+    // a string Z-order dimension would silently produce an unclustered
+    // rewrite via the all-null cast — refused instead
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.compactZOrdered(spark, dir, "label", "id", 4)
+    }
+    assert(e.getMessage.contains("numeric or timestamp"))
+  }
+
   test("publishStaged replay survives compaction + GC via the durable receipt") {
     val dir = tmpTable()
     SnapshotTable.append(spark, dir, rows(0, 50))
